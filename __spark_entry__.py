@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator of the bistro_spark column
+calculus (SURVEY.md §2) over the driver-provided parquet tables; the matching
+``oracle_sql()`` entry is the ANSI-SQL equivalent DuckDB runs on the same
+tables. Aliases match exactly on both sides (the driver hashes values with
+columns sorted by name).
 """
 
 from __future__ import annotations
@@ -12,27 +12,274 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bistro_spark.pipeline import flagship
+from bistro_spark.schema import Schema
+from bistro_spark.sources.io import load_table
+from bistro_spark.sources.tokens import (
+    token_table_duckdb_sql,
+    token_table_fast,
+)
+
+TOKENS_N = 2000  # fixed-size deterministic token table for token queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship calc→link→accu token pipeline on a generated F1 table,
+    smoke-checked alongside sf0.001 parquet reachability."""
+    load_table(spark, "lineitem", "/root/testdata/sf0.001").count()  # sanity
+    return flagship(spark, token_table_fast(spark, 500))
+
+
+# --------------------------------------------------------------------------
+# operator queries over the driver testdata
+# --------------------------------------------------------------------------
+
+
+def q_calc_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """C2 calc: per-row arithmetic over lineitem (native Catalyst)."""
+    s = Schema(spark)
+    t = s.table("lineitem", load_table(spark, "lineitem", sf))
+    t.calc("revenue", "l_extendedprice * (1 - l_discount)")
+    t.calc("charged", "l_extendedprice * (1 - l_discount) * (1 + l_tax)")
+    return t.df().select(
+        "l_orderkey", "l_linenumber", "revenue", "charged"
+    )
+
+
+def q_link_orders_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """C3 link: orders→customer many-to-one broadcast join + path hop."""
+    s = Schema(spark)
+    cust = s.table("customer", load_table(spark, "customer", sf), key=["c_custkey"])
+    orders = s.table("orders", load_table(spark, "orders", sf))
+    orders.link("cust", cust, on={"o_custkey": "c_custkey"}).bring(
+        "cust", "c_mktsegment", "c_acctbal"
+    )
+    return orders.df().select(
+        F.col("o_orderkey"),
+        F.col("cust").alias("cust_key"),
+        F.col("cust__c_mktsegment").alias("mktsegment"),
+        F.col("cust__c_acctbal").alias("acctbal"),
+    )
+
+
+def q_accu_revenue_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """C5 accu: revenue folded from lineitem→orders→customer; customers with
+    no orders get the default 0 (the reference's empty-group case)."""
+    s = Schema(spark)
+    cust = s.table("customer", load_table(spark, "customer", sf), key=["c_custkey"])
+    orders = s.table("orders", load_table(spark, "orders", sf))
+    orders.link("cust", cust, on={"o_custkey": "c_custkey"})
+    cust.accu("total_spent", orders, "cust", "sum(o_totalprice)", default=0.0)
+    cust.accu("n_orders", orders, "cust", "count(*)", default=0)
+    return cust.df().select("c_custkey", "total_spent", "n_orders")
+
+
+def q_project_doc_dims(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 project: build the (source, lang) dimension from documents while
+    linking every document to it."""
+    s = Schema(spark)
+    docs = s.table("documents", load_table(spark, "documents", sf))
+    docs.project("sl", "SRC_LANG", keys={"source": "source", "lang": "lang"})
+    dim = s.table("SRC_LANG")
+    dim.accu("n_docs", docs, "sl", "count(*)", default=0)
+    dim.accu("sum_chars", docs, "sl", "sum(n_chars)", default=0)
+    return dim.df().select("source", "lang", "n_docs", "sum_chars")
+
+
+def q_roll_events_moving(spark: SparkSession, sf: str) -> DataFrame:
+    """C6 roll (count frame): per-user moving sum/avg over the last 3 events
+    in (ts, event_id) order — Window rowsBetween(-2, 0)."""
+    s = Schema(spark)
+    ev = s.table("events", load_table(spark, "events", sf))
+    ev.calc("ord", "struct(ts, event_id)")
+    ev.roll("msum", "sum(value)", order_by="ord", size_past=2,
+            partition_by=["user_id"])
+    ev.roll("mavg", "avg(value)", order_by="ord", size_past=2,
+            partition_by=["user_id"])
+    return ev.df().select("event_id", "user_id", "msum", "mavg")
+
+
+def q_roll_range_events(spark: SparkSession, sf: str) -> DataFrame:
+    """C6 roll (distance frame): per-user sum over events within the
+    preceding 600 s of event time — rangeBetween on epoch seconds."""
+    s = Schema(spark)
+    ev = s.table("events", load_table(spark, "events", sf))
+    # session tz is UTC so NTZ→TZ cast is identity on the instant
+    ev.calc("ts_us", "unix_micros(cast(ts as timestamp))")
+    ev.roll("wsum", "sum(value)", order_by="ts_us", size_past=600_000_000,
+            size_future=0, mode="range", partition_by=["user_id"])
+    return ev.df().select("event_id", "user_id", "wsum")
+
+
+def q_range_bin_events(spark: SparkSession, sf: str) -> DataFrame:
+    """T4 range + C4 project-to-range + C5 accu: 10-minute tumbling bins of
+    events, aggregate per bin (the reference's range-table binning; compiled
+    closed-form, no interval join needed for fixed-width bins)."""
+    s = Schema(spark)
+    ev = s.table("events", load_table(spark, "events", sf))
+    ev.calc("bin_start", "cast(floor(unix_timestamp(ts) / 600) * 600 as long)")
+    bins = s.table("BINS")
+    bins._base_thunk = lambda: ev.df().select("bin_start").dropDuplicates()
+    bins.set_key("bin_start")
+    bins.accu("n_events", ev, "bin_start", "count(*)", default=0)
+    bins.accu("sum_value", ev, "bin_start", "sum(value)", default=0.0)
+    return bins.df().select("bin_start", "n_events", "sum_value")
+
+
+def q_prod_where(spark: SparkSession, sf: str) -> DataFrame:
+    """T2 prod + T3 where: nation × region product table filtered by a
+    predicate (the reference's product-table population)."""
+    s = Schema(spark)
+    nation = s.table("nation", load_table(spark, "nation", sf))
+    region = s.table("region", load_table(spark, "region", sf))
+    p = s.prod("NR", nation, region, where="n_regionkey = r_regionkey")
+    return p.df().select("n_nationkey", "n_name", "r_name")
+
+
+def q_formula_expr(spark: SparkSession, sf: str) -> DataFrame:
+    """F1 formula surface: calc driven by expression strings (the formula
+    module's [A]+[B] → our SQL-expression pass-through via F.expr)."""
+    s = Schema(spark)
+    t = s.table("part", load_table(spark, "part", sf))
+    t.calc("value_density", "p_retailprice / (p_size + 1)")
+    t.calc("brand_type", "concat(p_brand, '#', p_type)")
+    return t.df().select("p_partkey", "value_density", "brand_type")
+
+
+def q_tokens_flagship(spark: SparkSession, sf: str) -> DataFrame:
+    """The north-rule calc→link→accu pipeline on the deterministic F1 token
+    table (sf-independent; the oracle regenerates the identical table)."""
+    return flagship(spark, token_table_fast(spark, TOKENS_N)).select(
+        "source", "n_seq", "sum_tok", "sum_weighted"
+    )
+
+
+def q_tokens_rowlevel(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level token calc parity: n_tok recompute + order-sensitive
+    fingerprint ingredients (first/last token, token sum) — exercises
+    array<int32> exactness end-to-end."""
+    df = token_table_fast(spark, TOKENS_N)
+    return df.select(
+        "doc_id",
+        F.size("tokens").alias("n_tok_calc"),
+        F.element_at("tokens", 1).alias("first_tok"),
+        F.element_at("tokens", -1).alias("last_tok"),
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("tok_sum"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "calc_lineitem": q_calc_lineitem,
+        "link_orders_customer": q_link_orders_customer,
+        "accu_revenue_per_customer": q_accu_revenue_per_customer,
+        "project_doc_dims": q_project_doc_dims,
+        "roll_events_moving": q_roll_events_moving,
+        "roll_range_events": q_roll_range_events,
+        "range_bin_events": q_range_bin_events,
+        "prod_where": q_prod_where,
+        "formula_expr": q_formula_expr,
+        "tokens_flagship": q_tokens_flagship,
+        "tokens_rowlevel": q_tokens_rowlevel,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles (same aliases, same semantics)
+# --------------------------------------------------------------------------
+
+_TOKENS_CTE = token_table_duckdb_sql(TOKENS_N)
+
+_DIM_CTE = """
+dim(source, weight, origin) AS (VALUES
+  ('web',1.0,'crawl'), ('code',0.5,'github'), ('books',2.0,'scan'),
+  ('wiki',1.5,'dump'), ('archive',9.9,'cold'))
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "calc_lineitem": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 - l_discount) AS revenue,
+                   l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
+            FROM lineitem
+        """,
+        "link_orders_customer": """
+            SELECT o.o_orderkey,
+                   c.c_custkey     AS cust_key,
+                   c.c_mktsegment  AS mktsegment,
+                   c.c_acctbal     AS acctbal
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "accu_revenue_per_customer": """
+            SELECT c.c_custkey,
+                   coalesce(sum(o.o_totalprice), 0.0) AS total_spent,
+                   count(o.o_orderkey)                AS n_orders
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey
+        """,
+        "project_doc_dims": """
+            SELECT source, lang,
+                   count(*)                      AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT)  AS sum_chars
+            FROM documents
+            GROUP BY source, lang
+        """,
+        "roll_events_moving": """
+            SELECT event_id, user_id,
+                   sum(value) OVER w AS msum,
+                   avg(value) OVER w AS mavg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "roll_range_events": """
+            SELECT event_id, user_id,
+                   sum(value) OVER (
+                     PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS wsum
+            FROM events
+        """,
+        "range_bin_events": """
+            SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bin_start,
+                   count(*)   AS n_events,
+                   sum(value) AS sum_value
+            FROM events
+            GROUP BY 1
+        """,
+        "prod_where": """
+            SELECT n_nationkey, n_name, r_name
+            FROM nation CROSS JOIN region
+            WHERE n_regionkey = r_regionkey
+        """,
+        "formula_expr": """
+            SELECT p_partkey,
+                   p_retailprice / (p_size + 1)      AS value_density,
+                   concat(p_brand, '#', p_type)      AS brand_type
+            FROM part
+        """,
+        "tokens_flagship": f"""
+            WITH t AS ({_TOKENS_CTE}), {_DIM_CTE}
+            SELECT dim.source,
+                   count(t.doc_id)                             AS n_seq,
+                   CAST(coalesce(sum(t.n_tok), 0) AS BIGINT)   AS sum_tok,
+                   CAST(coalesce(sum(t.n_tok * dim.weight), 0) AS DOUBLE)
+                                                               AS sum_weighted
+            FROM dim LEFT JOIN t USING (source)
+            GROUP BY dim.source
+        """,
+        "tokens_rowlevel": f"""
+            WITH t AS ({_TOKENS_CTE})
+            SELECT doc_id,
+                   CAST(len(tokens) AS INTEGER)      AS n_tok_calc,
+                   tokens[1]                         AS first_tok,
+                   tokens[-1]                        AS last_tok,
+                   CAST(list_sum(tokens) AS BIGINT)  AS tok_sum
+            FROM t
+        """,
+    }

@@ -1,0 +1,86 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit": "sec", "queries": {...}, "sf"}.
+
+Also reports the north-rule throughput numbers (sequences/sec, tokens/sec)
+for the flagship calc→link→accu pipeline over a generated token table as
+extra keys (ignored by consumers that only read the contract fields).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as ent  # noqa: E402
+from bistro_spark.pipeline import flagship  # noqa: E402
+from bistro_spark.session import get_spark  # noqa: E402
+from bistro_spark.sources.tokens import token_table, token_table_fast  # noqa: E402
+
+TOKEN_BENCH_N = int(os.environ.get("BISTRO_BENCH_TOKENS", "1000000"))
+
+
+def _token_parquet(spark, n: int) -> str:
+    """Materialize the F1 token table to parquet once per size (the bench
+    measures the pipeline over a columnar source, as the north rule's
+    Iceberg table would be — not the synthetic generator)."""
+    path = f"/tmp/bistro_bench_tokens_{n}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        token_table_fast(spark, n, partitions=64).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run(df) -> int:
+    """Execute a query fully; count() forces every operator but keeps the
+    result out of the driver (no collect of wide rows)."""
+    return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(master=f"local[{cpus}]", app_name="bistro_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/JIT once so measured times are steady-state
+    _run(token_table(spark, 10_000))
+
+    timings: dict[str, float] = {}
+    for name, fn in ent.queries().items():
+        t0 = time.time()
+        _run(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # north-rule headline: flagship pipeline throughput on N sequences
+    tok_path = _token_parquet(spark, TOKEN_BENCH_N)
+    tok_df = spark.read.parquet(tok_path)
+    t0 = time.time()
+    rollup = flagship(spark, tok_df).collect()
+    tok_sec = time.time() - t0
+    n_tokens = sum(r["sum_tok"] for r in rollup)
+    timings["tokens_pipeline"] = round(tok_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "bistro_spark query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "tokens_pipeline": {
+            "n_seq": TOKEN_BENCH_N,
+            "n_tokens": int(n_tokens),
+            "seq_per_sec": round(TOKEN_BENCH_N / tok_sec),
+            "tokens_per_sec": round(n_tokens / tok_sec),
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -304,6 +304,14 @@ class Table:
         granularity by Schema.java#evaluate's topo sort; here the link join
         simply never computes aggregates it doesn't read)."""
         df = self._compile_base_with_filters()
+        pending_accu: list[AccuDef] = []
+
+        def flush(d: DataFrame) -> DataFrame:
+            if pending_accu:
+                d = self._apply_accu_group(d, list(pending_accu))
+                pending_accu.clear()
+            return d
+
         for op in self._ops:
             if (
                 as_dim_for is not None
@@ -311,8 +319,20 @@ class Table:
                 and op.name not in as_dim_for
             ):
                 continue
+            if isinstance(op, AccuDef):
+                # fuse consecutive accumulates over the same facts+link into
+                # ONE partial+final aggregation pass (the reference evaluates
+                # each accu column in its own fact loop; one shuffle here).
+                if pending_accu and (
+                    pending_accu[0].facts is not op.facts
+                    or pending_accu[0].link != op.link
+                ):
+                    df = flush(df)
+                pending_accu.append(op)
+                continue
+            df = flush(df)
             df = self._apply_op(df, op)
-        return df
+        return flush(df)
 
     def _apply_op(self, df: DataFrame, op: Any) -> DataFrame:
         if isinstance(op, CalcDef):
@@ -384,38 +404,47 @@ class Table:
         return df.join(tdf, cond, "left")
 
     def _apply_accu(self, df: DataFrame, op: AccuDef) -> DataFrame:
-        """groupBy(link).agg() on facts + broadcast-join back to groups.
+        return self._apply_accu_group(df, [op])
 
-        The reference folds facts one-by-one in arrival order
-        (ColumnDefinitionAccu.java); Spark computes the same result with a
-        partial+final hash aggregate provided the fold is commutative-
-        associative (all SQL aggregates are). Order-dependent folds go
-        through streaming/state.py instead.
+    def _apply_accu_group(self, df: DataFrame, ops: list[AccuDef]) -> DataFrame:
+        """groupBy(link).agg(*) on facts + broadcast-join back to groups.
+
+        The reference folds facts one-by-one in arrival order, one loop per
+        accu column (ColumnDefinitionAccu.java); Spark computes the same
+        result with a single partial+final hash aggregate over ALL fused
+        accu columns, provided each fold is commutative-associative (all SQL
+        aggregates are). Order-dependent folds go through streaming state.
+
+        Scale: the aggregate output is |groups| rows → broadcast join-back,
+        no shuffle of the group table; map-side partial aggregation absorbs
+        the skewed fact keys (zipf ``source``) before the tiny shuffle.
         """
+        op0 = ops[0]
         gkeys = self.key_cols()
         if not gkeys:
             raise ValueError(f"accu target table {self.name!r} needs a key")
-        facts_df = op.facts.df()
-        link_def = op.facts._links.get(op.link)
+        facts_df = op0.facts.df()
+        link_def = op0.facts._links.get(op0.link)
         if link_def is not None and len(link_def.on) == 1:
-            link_cols = [op.link]
+            link_cols = [op0.link]
         elif link_def is not None:
-            link_cols = [f"{op.link}{PATH_SEP}{k}" for k in link_def.on.values()]
+            link_cols = [f"{op0.link}{PATH_SEP}{k}" for k in link_def.on.values()]
         else:
-            link_cols = [op.link]  # plain column used as the group key
-        agg_col = _as_column(op.agg).alias(op.name)
-        grouped = facts_df.groupBy(*[F.col(c) for c in link_cols]).agg(agg_col)
-        # join back: group key == link value; aggregate side is small
-        # (|groups| rows) → broadcast; empty groups get the default.
+            link_cols = [op0.link]  # plain column used as the group key
+        agg_cols = [_as_column(op.agg).alias(op.name) for op in ops]
+        grouped = facts_df.groupBy(*[F.col(c) for c in link_cols]).agg(*agg_cols)
         cond = None
         for gk, lc in zip(gkeys, link_cols):
-            c = F.col(gk).eqNullSafe(grouped[lc])
+            c = df[gk].eqNullSafe(grouped[lc])
             cond = c if cond is None else (cond & c)
-        joined = df.join(F.broadcast(grouped), cond, "left").drop(*link_cols)
-        if op.default is not None:
-            joined = joined.withColumn(
-                op.name, F.coalesce(F.col(op.name), F.lit(op.default))
-            )
+        joined = df.join(F.broadcast(grouped), cond, "left")
+        for lc in link_cols:
+            joined = joined.drop(grouped[lc])
+        for op in ops:
+            if op.default is not None:
+                joined = joined.withColumn(
+                    op.name, F.coalesce(F.col(op.name), F.lit(op.default))
+                )
         return joined
 
     # -- path hops ---------------------------------------------------------
