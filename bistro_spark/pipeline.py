@@ -52,6 +52,21 @@ def build_pipeline(
     return s, facts, dim
 
 
+def prepare_facts(spark: SparkSession, batch_df: DataFrame) -> DataFrame:
+    """The calc+link phase only (no accumulate) — the per-delta part of the
+    pipeline, reused by the incremental runner and streaming mode. calc and
+    link are per-row/broadcast ops, so applying them to just the delta is
+    exact (the reference evaluates them over only the added span)."""
+    s = Schema(spark, "prepare")
+    dim = s.table("sources", sources_dim(spark), key=["source"])
+    facts = s.table("tokens", batch_df)
+    facts.calc("n_tok_calc", n_tok_native("tokens"))
+    facts.calc("fingerprint", token_fingerprint("tokens"))
+    facts.link("src", dim, on={"source": "source"}).bring("src", "weight")
+    facts.calc("weighted_tok", "n_tok_calc * src__weight")
+    return facts.df()
+
+
 def flagship(spark: SparkSession, tokens_df: DataFrame) -> DataFrame:
     """Per-source rollup of the pipeline — the driver's smoke query."""
     _, _, dim = build_pipeline(spark, tokens_df)

@@ -1,0 +1,175 @@
+"""Deterministic micro-batch driver — the exact-parity twin of Bistro
+Streams' action loop (``server/.../server/Server.java#submit`` + worker
+thread; actions ``ActionAdd`` / ``ActionRemove`` / ``ActionEval``).
+
+The reference turns a table into a sliding event queue: connectors submit
+ActionAdd(record), a timer submits ActionRemove (FIFO eviction beyond a max
+length / max age) then ActionEval (propagate deltas through the column
+graph). A single worker thread gives a total order over mutations, hence
+deterministic results.
+
+Here a micro-batch IS the ActionAdd delta, retention is applied to a
+buffered window, and "evaluate" recompiles the calculus over the retained
+population — semantically identical to the reference, whose accu/roll
+columns always reflect the *current* table contents after eviction
+(``Table.java#remove`` shrinks the population; ``Schema.java#evaluate``
+re-aggregates). Two state strategies:
+
+- ``retention=None`` (add-only streams): per-group aggregate state is
+  MERGED batch-over-batch (state ∝ #groups — the scalable path, what
+  Structured Streaming's state store does for us in streaming mode).
+- count- or age-based retention: the runner buffers the retained rows
+  (state ∝ window size, same asymptotics as Spark's windowed state) and
+  recomputes aggregates per batch.
+
+This mode exists for (a) row-for-row parity tests against the oracle with
+scripted batch boundaries, (b) count-based retention, which Structured
+Streaming cannot express (no count-based windows) — SURVEY.md §7.3/§7.4.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class AggSpec:
+    """A merge-able accumulate: per-batch partial + cross-batch merge.
+
+    sum/count merge with sum; min/max with min/max. avg must be declared as
+    (sum, count) pairs and finalized — the classic partial-aggregate trick
+    Spark itself uses for partial+final aggregation.
+    """
+
+    name: str
+    batch_expr: str  # aggregate over a batch, e.g. "sum(n_tok)"
+    merge_expr: str  # merge partials, e.g. "sum" | "min" | "max"
+    default: object = 0
+
+
+class IncrementalRunner:
+    """Scripted micro-batch evaluation of a grouped accumulate pipeline.
+
+    Parameters
+    ----------
+    prepare: calc+link phase — fn(batch_df) -> DataFrame, applied to each
+        incoming batch (the delta). This is where calc columns and link
+        joins run: both are per-row/broadcast ops, so delta-only evaluation
+        is exact — same argument the reference uses to evaluate calc/link
+        over only the added span (ColumnDefinitionCalc/Link#evaluate).
+    group_keys: accu grouping (the link column value).
+    aggs: merge-able aggregate specs.
+    retention_count / retention_age: FIFO eviction — max rows (by arrival
+        order column ``order_col``) or max event-time age (vs the max event
+        time seen so far — the watermark analog).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        prepare: Callable[[DataFrame], DataFrame],
+        group_keys: list[str],
+        aggs: list[AggSpec],
+        retention_count: int | None = None,
+        retention_age: str | None = None,  # SQL interval, e.g. "30 seconds"
+        order_col: str = "batch_ofs",
+        time_col: str = "event_time",
+    ):
+        self.spark = spark
+        self.prepare = prepare
+        self.group_keys = group_keys
+        self.aggs = aggs
+        self.retention_count = retention_count
+        self.retention_age = retention_age
+        self.order_col = order_col
+        self.time_col = time_col
+        self._buffer: DataFrame | None = None  # retained window (retention mode)
+        self._state: DataFrame | None = None  # merged aggregates (add-only mode)
+        self.batches_seen = 0
+
+    # -- ActionAdd + ActionEval --------------------------------------------
+
+    def add_batch(self, batch_df: DataFrame) -> None:
+        """ActionAdd(delta) + ActionRemove(retention) + ActionEval."""
+        self.batches_seen += 1
+        prepared = self.prepare(batch_df)
+
+        if self._needs_buffer():
+            buf = prepared if self._buffer is None else self._buffer.unionByName(prepared)
+            buf = self._evict(buf)
+            # localCheckpoint truncates the ever-growing union lineage —
+            # without it plan depth grows per batch (the classic
+            # iterative-union pitfall).
+            self._buffer = buf.localCheckpoint(eager=True)
+        else:
+            partial = prepared.groupBy(*self.group_keys).agg(
+                *[F.expr(a.batch_expr).alias(a.name) for a in self.aggs]
+            )
+            if self._state is None:
+                merged = partial
+            else:
+                merged = (
+                    self._state.unionByName(partial)
+                    .groupBy(*self.group_keys)
+                    .agg(
+                        *[
+                            F.expr(f"{a.merge_expr}({a.name})").alias(a.name)
+                            for a in self.aggs
+                        ]
+                    )
+                )
+            self._state = merged.localCheckpoint(eager=True)
+
+    def _needs_buffer(self) -> bool:
+        return self.retention_count is not None or self.retention_age is not None
+
+    def _evict(self, buf: DataFrame) -> DataFrame:
+        """ActionRemove: FIFO count eviction / age eviction
+        (server/.../actions/ActionRemove.java; age variant = the watermark
+        analog)."""
+        if self.retention_count is not None:
+            # keep the newest N by arrival order — the reference's
+            # remove-oldest-beyond-max-length
+            cutoff_row = (
+                buf.select(self.order_col)
+                .orderBy(F.col(self.order_col).desc())
+                .limit(self.retention_count)
+                .agg(F.min(self.order_col).alias("m"))
+                .collect()[0]["m"]
+            )
+            if cutoff_row is not None:
+                buf = buf.filter(F.col(self.order_col) >= cutoff_row)
+        if self.retention_age is not None:
+            max_t = buf.agg(F.max(self.time_col).alias("m")).collect()[0]["m"]
+            if max_t is not None:
+                buf = buf.filter(
+                    F.col(self.time_col)
+                    > F.lit(max_t) - F.expr(f"INTERVAL {self.retention_age}")
+                )
+        return buf
+
+    # -- read-out -----------------------------------------------------------
+
+    def result(self) -> DataFrame:
+        """Current accumulate values (the reference's getValue read-out
+        after evaluate)."""
+        if self._needs_buffer():
+            if self._buffer is None:
+                raise ValueError("no batches added")
+            return self._buffer.groupBy(*self.group_keys).agg(
+                *[F.expr(a.batch_expr).alias(a.name) for a in self.aggs]
+            )
+        if self._state is None:
+            raise ValueError("no batches added")
+        return self._state
+
+    def window(self) -> DataFrame:
+        """The retained population (retention mode only) — for roll columns
+        and inspection."""
+        if self._buffer is None:
+            raise ValueError("retention mode only")
+        return self._buffer
