@@ -172,6 +172,90 @@ def q_tokens_rowlevel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- training-data ops ---
+
+
+def _dup_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """documents ∪ shifted copies of the first 50 — a dup-bearing corpus
+    (driver documents are all-distinct, so dedup needs synthetic dups)."""
+    docs = load_table(spark, "documents", sf)
+    dups = docs.filter("doc_id < 50").withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    return docs.unionByName(dups)
+
+
+_DUP_CTE = """
+u AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id < 50
+)
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: md5-hash groupBy, keep min doc_id (hash keys shuffle
+    uniformly at 100 TB even when content is skewed)."""
+    from bistro_spark.operators.dedup import exact_dedup
+
+    groups, _ = exact_dedup(_dup_corpus(spark, sf))
+    return groups.select("fp", "keep_id", "n_dups")
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (band-bucket join, never
+    all-pairs)."""
+    from bistro_spark.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(_dup_corpus(spark, sf), k=16, bands=4)
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash 16-bit sketch per document."""
+    from bistro_spark.operators.dedup import simhash
+
+    return simhash(load_table(spark, "documents", sf)).select("doc_id", "simhash")
+
+
+def q_text_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID heuristic, quality score, token count, md5 fingerprint."""
+    from bistro_spark.operators.text import add_text_features
+
+    return add_text_features(load_table(spark, "documents", sf)).select(
+        "doc_id", "n_words", "n_stop", "quality", "lang_pred", "fp_md5"
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-5 for the 3 lowest vec_ids (exact ANN
+    baseline; broadcast queries, no corpus shuffle)."""
+    from bistro_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, "embeddings", sf)
+    queries_df = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk(emb, queries_df, k=5)
+
+
+def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs (rows-only check: the Weyl
+    hyperplane buckets are not practical to replicate in SQL). Corpus =
+    embeddings ∪ exact copies of the first 20 vectors (random embeddings
+    carry no natural near-dups)."""
+    from bistro_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = load_table(spark, "embeddings", sf)
+    dups = emb.filter("vec_id < 20").withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    return embedding_neardup_pairs(
+        emb.unionByName(dups), threshold=0.99, sign_bits=6
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "calc_lineitem": q_calc_lineitem,
@@ -185,6 +269,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "formula_expr": q_formula_expr,
         "tokens_flagship": q_tokens_flagship,
         "tokens_rowlevel": q_tokens_rowlevel,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "simhash": q_simhash,
+        "text_features": q_text_features,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,  # rows-only (no oracle)
     }
 
 
@@ -201,8 +291,81 @@ dim(source, weight, origin) AS (VALUES
 """
 
 
+def _minhash_lsh_sql() -> str:
+    from bistro_spark.operators.dedup import minhash_sig_sql
+
+    band_key_cols = ", ".join(
+        f"CAST(sig[b.band_id*4+{r}] AS VARCHAR)" for r in range(1, 5)
+    )
+    return f"""
+        WITH {_DUP_CTE},
+        sigs AS (SELECT doc_id, {minhash_sig_sql('text', 16)} AS sig FROM u),
+        bands AS (
+          SELECT doc_id, b.band_id,
+                 md5(concat_ws(',', {band_key_cols})) AS band_key
+          FROM sigs, (SELECT unnest(range(4)) AS band_id) b
+        )
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM bands l JOIN bands r
+          ON l.band_id = r.band_id AND l.band_key = r.band_key
+         AND l.doc_id < r.doc_id
+    """
+
+
+def _text_features_sql() -> str:
+    from bistro_spark.operators.text import (
+        lang_pred_sql,
+        quality_score_sql,
+        stopword_count_sql,
+    )
+
+    return f"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+               CAST({stopword_count_sql('text')} AS INTEGER) AS n_stop,
+               CAST({quality_score_sql('text')} AS DOUBLE)   AS quality,
+               {lang_pred_sql('text')}                       AS lang_pred,
+               md5(text)                                     AS fp_md5
+        FROM documents
+    """
+
+
 def oracle_sql() -> dict[str, str]:
+    from bistro_spark.operators.dedup import simhash_sql
+
     return {
+        "dedup_exact": f"""
+            WITH {_DUP_CTE}
+            SELECT md5(text) AS fp, min(doc_id) AS keep_id,
+                   count(*) AS n_dups
+            FROM u GROUP BY 1
+        """,
+        "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "simhash": f"""
+            SELECT doc_id, {simhash_sql('text', 16)} AS simhash
+            FROM documents
+        """,
+        "text_features": _text_features_sql(),
+        "ann_cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(
+                       list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+                       (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[]))) *
+                        sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+              FROM embeddings e CROSS JOIN q)
+            SELECT query_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank,
+                   vec_id, cos_sim
+            FROM scored
+            QUALIFY rank <= 5
+        """,
         "calc_lineitem": """
             SELECT l_orderkey, l_linenumber,
                    l_extendedprice * (1 - l_discount) AS revenue,

@@ -1,0 +1,131 @@
+"""Dedup operator tests: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding near-dup — deterministic fixtures, hand-checkable oracles."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from bistro_spark.operators.dedup import (
+    cosine,
+    embedding_neardup_pairs,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard,
+    ngram_set,
+    simhash,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+    (4, "completely different words entirely unrelated content here"),
+    (5, "spark catalyst tungsten arrow columnar execution engine"),
+    (6, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    groups, survivors = exact_dedup(docs)
+    g = {r["keep_id"]: r["n_dups"] for r in groups.collect()}
+    assert g[1] == 3  # docs 1,2,6
+    assert g[3] == 1 and g[4] == 1 and g[5] == 1
+    ids = sorted(r["doc_id"] for r in survivors.collect())
+    assert ids == [1, 3, 4, 5]
+
+
+def test_exact_dedup_fp_is_md5(spark, docs):
+    groups, _ = exact_dedup(docs)
+    fps = {r["fp"] for r in groups.collect()}
+    assert hashlib.md5(DOCS[0][1].encode()).hexdigest() in fps
+
+
+def test_minhash_identical_texts_identical_sigs(spark, docs):
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signature(docs).collect()}
+    assert sigs[1] == sigs[2] == sigs[6]
+    assert sigs[1] != sigs[4]
+    assert len(sigs[1]) == 16
+    # near-dup shares most signature positions (8 of 9 words identical)
+    shared = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    assert shared >= 8  # expectation 16*8/10≈12.8; deterministic here
+
+
+def test_lsh_candidate_pairs(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(docs).collect()
+    }
+    # exact dups always share every band
+    assert (1, 2) in pairs and (1, 6) in pairs and (2, 6) in pairs
+    # unrelated docs never collide on this fixture
+    assert (4, 5) not in pairs and (1, 4) not in pairs
+
+
+def test_simhash(spark, docs):
+    hs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert hs[1] == hs[2] == hs[6]
+    # near-dup within small Hamming distance; unrelated far
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(hs[1], hs[3]) <= 6
+    assert hs[1] != hs[4]
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e", "a b c d e"), (2, "a b c d e", "a b c x y"),
+         (3, "a b c", "x y z")],
+        "pid long, ta string, tb string",
+    )
+    out = {
+        r["pid"]: r["j"]
+        for r in df.select(
+            "pid",
+            ngram_jaccard(ngram_set(F.col("ta")), ngram_set(F.col("tb"))).alias("j"),
+        ).collect()
+    }
+    assert out[1] == 1.0
+    # 3-grams of 'a b c d e' = {abc,bcd,cde}; of 'a b c x y' = {abc,bcx,cxy}
+    assert abs(out[2] - 1 / 5) < 1e-12
+    assert out[3] == 0.0
+
+
+def test_cosine_exact(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [0.0, 1.0]), (2, [1.0, 2.0], [2.0, 4.0]),
+         (3, [1.0, 0.0], [1.0, 1.0])],
+        "pid long, a array<float>, b array<float>",
+    )
+    out = {
+        r["pid"]: r["c"]
+        for r in df.select("pid", cosine(F.col("a"), F.col("b")).alias("c")).collect()
+    }
+    assert abs(out[1]) < 1e-12
+    assert abs(out[2] - 1.0) < 1e-12
+    assert abs(out[3] - 2 ** -0.5) < 1e-12
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, [1.0, 2.0, 3.0, 4.0]),      # identical -> cos 1
+        (3, [1.01, 2.0, 3.0, 4.0]),     # near
+        (4, [-4.0, 3.0, -2.0, 1.0]),    # far
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_neardup_pairs(df, threshold=0.99).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.9999
+    assert (1, 3) in pairs
+    assert all(4 not in p for p in pairs)

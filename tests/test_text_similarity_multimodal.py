@@ -1,0 +1,138 @@
+"""Text-analysis, similarity-search and multimodal-plumbing tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bistro_spark.operators.multimodal import (
+    decode_image,
+    extract_features,
+    frame_sample,
+    synthetic_media,
+)
+from bistro_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from bistro_spark.operators.text import add_text_features
+
+
+# ------------------------------------------------------------- text ------
+
+
+def test_text_features(spark):
+    df = spark.createDataFrame(
+        [(1, "x the cat and the dog of it"), (2, "der und die der hund")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in add_text_features(df).collect()}
+    # ' the ' twice, ' and ' once, ' of ' once
+    assert out[1]["n_words"] == 8
+    assert out[1]["n_stop"] == 4  # the(2) + and(1) + of(1); ' a '/' to ' absent
+    assert out[1]["lang_pred"] == "en"
+    assert out[2]["lang_pred"] == "de"  # ' und ' + ' die ' markers
+    import hashlib
+
+    assert out[1]["fp_md5"] == hashlib.md5(b"x the cat and the dog of it").hexdigest()
+
+
+def test_text_features_on_documents(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = add_text_features(df)
+    assert out.count() == df.count()
+    row = out.first()
+    assert row["n_words"] > 0 and row["quality"] is not None
+
+
+# -------------------------------------------------------- similarity ------
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    qids = sorted(vecs)[:3]
+    queries = spark.createDataFrame(
+        [(q, [float(x) for x in vecs[q]]) for q in qids],
+        "query_id long, query_vec array<float>",
+    )
+    got = cosine_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cos_sim"]))
+
+    for q in qids:
+        qv = np.array(
+            np.array(vecs[q], dtype=np.float32), dtype=np.float64
+        )  # float32 round-trip like Spark's array<float>
+        sims = []
+        for vid, v in vecs.items():
+            v32 = np.array(np.array(v, dtype=np.float32), dtype=np.float64)
+            c = float(v32 @ qv / (np.linalg.norm(v32) * np.linalg.norm(qv)))
+            sims.append((round(c, 6), vid))
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        expect = [(i + 1, vid, s) for i, (s, vid) in enumerate(sims[:5])]
+        assert sorted(by_q[q]) == expect, q
+        # self always rank 1 with sim 1.0
+        assert expect[0][1] == q and abs(expect[0][2] - 1.0) < 1e-6
+
+
+def test_cosine_topk_lsh_subset_of_bruteforce(spark, emb):
+    qids = [r["vec_id"] for r in emb.limit(2).collect()]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(emb, queries, k=50).collect()
+    approx = cosine_topk_lsh(emb, queries, k=5, sign_bits=4).collect()
+    exact_set = {(r["query_id"], r["vec_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        # every approx hit scores identically to the exact computation
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_set:
+            assert abs(exact_set[key] - r["cos_sim"]) < 1e-9
+    # identical-vector query is in its own bucket -> rank 1 is itself
+    r1 = {r["query_id"]: r["vec_id"] for r in approx if r["rank"] == 1}
+    for q in qids:
+        assert r1[q] == q
+
+
+# -------------------------------------------------------- multimodal ------
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00" * 32)
+
+
+def test_multimodal_features(spark):
+    media = synthetic_media(spark, 90)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 90
+    assert feats.schema.simpleString() == (
+        "struct<media_id:bigint,kind:string,n_bytes:int,mean_byte:double,"
+        "feat:array<float>>"
+    )
+    by_id = {r["media_id"]: r for r in rows}
+    assert by_id[0]["n_bytes"] == 32  # sha256 payload
+    assert len(by_id[0]["feat"]) == 3
+    # deterministic: rerun gives identical features
+    again = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert all(by_id[i]["feat"] == again[i]["feat"] for i in by_id)
+
+
+def test_frame_sample(spark):
+    media = synthetic_media(spark, 30)
+    frames = frame_sample(media, every_ms=5000)
+    got = frames.groupBy("media_id").count().collect()
+    durations = {
+        r["media_id"]: r["duration_ms"]
+        for r in media.filter("kind = 'video'").collect()
+    }
+    for r in got:
+        d = durations[r["media_id"]]
+        expect = max((d - 1), 0) // 5000 + 1 if d > 0 else 1
+        assert r["count"] == expect, (r["media_id"], d)
