@@ -1,0 +1,105 @@
+"""Order-dependent accumulates — the accu folds a hash aggregate cannot
+express.
+
+The reference's accu lambda folds facts in ARRIVAL (row-id) order
+(``core/.../core/ColumnDefinitionAccu.java#evaluate`` iterates the added
+span in id order), so non-commutative folds (EWMA, last-value,
+state-machine CEP) are well-defined there. Spark's agg() is unordered, so
+these route through grouped-map pandas (batch) or
+``applyInPandasWithState`` (streaming), ordered by the lineage offset
+``batch_ofs`` that our sources carry (the Bistro row-id analog).
+
+Everything is Arrow-batched and vectorized inside the group (numpy closed
+forms, no per-row Python loops) per the input_hint.
+
+Scale: state is one row per group key; groups are hash-partitioned so the
+stateful stage scales horizontally. A skewed group key should be salted
+only if the fold is decomposable — EWMA is (exponent algebra below), a
+general CEP is not; that trade-off is inherent, not Spark-specific.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _ewma_update(acc: float | None, xs: np.ndarray, alpha: float) -> float:
+    """Fold EWMA over xs in order, starting from acc — closed form:
+    acc*(1-a)^n + a * sum((1-a)^(n-1-i) * x_i), vectorized."""
+    n = len(xs)
+    if n == 0:
+        return acc if acc is not None else float("nan")
+    w = (1 - alpha) ** np.arange(n - 1, -1, -1, dtype=np.float64)
+    s = float(alpha * np.dot(w, xs))
+    if acc is None:
+        # first observation seeds the average (pandas ewm adjust=False
+        # convention): acc = x_0, then fold the rest
+        acc = float(xs[0])
+        if n == 1:
+            return acc
+        w = (1 - alpha) ** np.arange(n - 2, -1, -1, dtype=np.float64)
+        return float(acc * (1 - alpha) ** (n - 1) + alpha * np.dot(w, xs[1:]))
+    return float(acc * (1 - alpha) ** n + s)
+
+
+def ewma_batch(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    order_col: str = "batch_ofs",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Batch order-dependent accu: EWMA per group over arrival order.
+    applyInPandas per group; inside the group a numpy closed form."""
+    out_schema = ", ".join(f"{k} string" for k in keys) + ", ewma double, n long"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        xs = pdf[value_col].to_numpy(dtype=np.float64)
+        acc = _ewma_update(None, xs, alpha)
+        return pd.DataFrame(
+            {**{k: [pdf[k].iloc[0]] for k in keys}, "ewma": [acc], "n": [len(xs)]}
+        )
+
+    return df.groupBy(*keys).applyInPandas(fold, out_schema)
+
+
+def ewma_stream(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    order_col: str = "batch_ofs",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Streaming order-dependent accu via applyInPandasWithState: state =
+    (ewma, n); each micro-batch folds its (order-sorted) rows into the
+    state — exactly the reference's incremental accu over the added span.
+    Emits the running value per group per batch (update semantics)."""
+    out_schema = ", ".join(f"{k} string" for k in keys) + ", ewma double, n long"
+    state_schema = "ewma double, n long"
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            acc, n = state.get
+        else:
+            acc, n = None, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            xs = pdf[value_col].to_numpy(dtype=np.float64)
+            acc = _ewma_update(acc, xs, alpha)
+            n += len(xs)
+        state.update((acc, n))
+        yield pd.DataFrame(
+            {**{k: [key[i]] for i, k in enumerate(keys)}, "ewma": [acc], "n": [n]}
+        )
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -1,0 +1,168 @@
+"""Order-dependent stateful folds, salted aggregation, metrics/lineage."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bistro_spark.pipeline import prepare_facts
+from bistro_spark.skew import salted_agg
+from bistro_spark.sources.tokens import TOKEN_SCHEMA, token_table_fast
+from bistro_spark.streaming.metrics import (
+    MetricsLogListener,
+    observe_counts,
+    stamp_lineage,
+)
+from bistro_spark.streaming.state import ewma_batch, ewma_stream
+
+N = 400
+
+
+def _pandas_ewma_oracle(pdf: pd.DataFrame, alpha: float) -> dict:
+    out = {}
+    for src, g in pdf.sort_values("batch_ofs").groupby("source"):
+        out[src] = g["n_tok"].ewm(alpha=alpha, adjust=False).mean().iloc[-1]
+    return out
+
+
+def test_ewma_batch_matches_pandas(spark):
+    """Order-dependent accu (arrival order) == pandas ewm(adjust=False)."""
+    df = token_table_fast(spark, N)
+    got = {
+        r["source"]: r["ewma"]
+        for r in ewma_batch(df, ["source"], "n_tok", alpha=0.1).collect()
+    }
+    oracle = _pandas_ewma_oracle(df.toPandas(), 0.1)
+    assert got.keys() == oracle.keys()
+    for k in oracle:
+        assert abs(got[k] - oracle[k]) < 1e-9, k
+
+
+def test_ewma_stream_matches_batch(spark, tmp_path):
+    """Streaming stateful fold across scripted micro-batches converges to
+    the batch fold (incremental accu over added spans)."""
+    full = token_table_fast(spark, N).cache()
+    root = str(tmp_path / "in")
+    for k, (lo, hi) in enumerate([(0, 100), (100, 250), (250, 400)]):
+        full.filter(f"batch_ofs >= {lo} and batch_ofs < {hi}").coalesce(
+            1
+        ).write.parquet(f"{root}/b{k}")
+
+    results = {}
+
+    def fb(df, bid):
+        for r in df.collect():
+            results[r["source"]] = (r["ewma"], r["n"])  # last update wins
+
+    src = (
+        spark.readStream.schema(TOKEN_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(root)
+    )
+    q = (
+        ewma_stream(src, ["source"], "n_tok", alpha=0.1)
+        .writeStream.outputMode("update")
+        .foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    batch = {
+        r["source"]: (r["ewma"], r["n"])
+        for r in ewma_batch(full, ["source"], "n_tok", alpha=0.1).collect()
+    }
+    assert results.keys() == batch.keys()
+    for k in batch:
+        assert results[k][1] == batch[k][1]
+        assert abs(results[k][0] - batch[k][0]) < 1e-9, k
+
+
+def test_salted_agg_equals_plain(spark):
+    """Salted two-phase aggregation == direct aggregation (zipf source)."""
+    df = token_table_fast(spark, N)
+    salted = {
+        r["source"]: (r["n_seq"], r["sum_tok"], r["max_tok"])
+        for r in salted_agg(
+            df,
+            ["source"],
+            {"n_seq": "count(*)", "sum_tok": "sum(n_tok)", "max_tok": "max(n_tok)"},
+            {"n_seq": "sum(n_seq)", "sum_tok": "sum(sum_tok)", "max_tok": "max(max_tok)"},
+            n_salts=8,
+        ).collect()
+    }
+    plain = {
+        r["source"]: (r["n_seq"], r["sum_tok"], r["max_tok"])
+        for r in df.groupBy("source")
+        .agg(
+            F.expr("count(*)").alias("n_seq"),
+            F.expr("sum(n_tok)").alias("sum_tok"),
+            F.expr("max(n_tok)").alias("max_tok"),
+        )
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_metrics_listener_and_lineage(spark, tmp_path):
+    """observe() metrics land in the listener log per batch; lineage
+    columns trace rows to (partition, input file)."""
+    full = token_table_fast(spark, 200)
+    root = str(tmp_path / "in")
+    full.filter("batch_ofs < 100").coalesce(1).write.parquet(root + "/b0")
+    full.filter("batch_ofs >= 100").coalesce(1).write.parquet(root + "/b1")
+
+    mpath = str(tmp_path / "metrics.jsonl")
+    listener = MetricsLogListener(mpath)
+    spark.streams.addListener(listener)
+    try:
+        src = (
+            spark.readStream.schema(TOKEN_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(root)
+        )
+        lineaged = observe_counts(stamp_lineage(src), "input_rows")
+        collected = []
+        q = (
+            lineaged.writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: collected.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # listener delivery is asynchronous — poll until both batches'
+        # progress events have landed (or time out and fail below)
+        import time
+
+        for _ in range(60):
+            if os.path.exists(mpath):
+                evs = [json.loads(l) for l in open(mpath)]
+                if sum(
+                    e.get("num_input_rows", 0)
+                    for e in evs
+                    if e["event"] == "progress"
+                ) >= 200:
+                    break
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+
+    events = [json.loads(l) for l in open(mpath)]
+    progress = [e for e in events if e["event"] == "progress"]
+    assert sum(e["num_input_rows"] for e in progress) == 200
+    observed = [e["observed"].get("input_rows", {}).get("rows") for e in progress]
+    assert sorted(x for x in observed if x) == [100, 100]
+
+    # lineage: every row carries its physical partition + source file
+    assert all(r["_input_file"].endswith(".parquet") for r in collected)
+    assert all(r["_part_id"] is not None for r in collected)
+    files = {r["_input_file"] for r in collected}
+    assert len(files) == 2
