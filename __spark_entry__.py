@@ -71,7 +71,15 @@ def q_accu_revenue_per_customer(spark: SparkSession, sf: str) -> DataFrame:
     cust = s.table("customer", load_table(spark, "customer", sf), key=["c_custkey"])
     orders = s.table("orders", load_table(spark, "orders", sf))
     orders.link("cust", cust, on={"o_custkey": "c_custkey"})
-    cust.accu("total_spent", orders, "cust", "sum(o_totalprice)", default=0.0)
+    # exact decimal sum cast back to double: float addition is order-
+    # dependent, decimal is not → bit-identical across engines/partitionings
+    cust.accu(
+        "total_spent",
+        orders,
+        "cust",
+        "cast(sum(cast(o_totalprice as decimal(20,6))) as double)",
+        default=0.0,
+    )
     cust.accu("n_orders", orders, "cust", "count(*)", default=0)
     return cust.df().select("c_custkey", "total_spent", "n_orders")
 
@@ -94,10 +102,12 @@ def q_roll_events_moving(spark: SparkSession, sf: str) -> DataFrame:
     s = Schema(spark)
     ev = s.table("events", load_table(spark, "events", sf))
     ev.calc("ord", "struct(ts, event_id)")
-    ev.roll("msum", "sum(value)", order_by="ord", size_past=2,
+    ev.roll("msum_dec", "sum(cast(value as decimal(20,6)))", order_by="ord",
+            size_past=2, partition_by=["user_id"])
+    ev.roll("mcount", "count(*)", order_by="ord", size_past=2,
             partition_by=["user_id"])
-    ev.roll("mavg", "avg(value)", order_by="ord", size_past=2,
-            partition_by=["user_id"])
+    ev.calc("msum", "cast(msum_dec as double)")
+    ev.calc("mavg", "cast(msum_dec as double) / mcount")
     return ev.df().select("event_id", "user_id", "msum", "mavg")
 
 
@@ -108,8 +118,10 @@ def q_roll_range_events(spark: SparkSession, sf: str) -> DataFrame:
     ev = s.table("events", load_table(spark, "events", sf))
     # session tz is UTC so NTZ→TZ cast is identity on the instant
     ev.calc("ts_us", "unix_micros(cast(ts as timestamp))")
-    ev.roll("wsum", "sum(value)", order_by="ts_us", size_past=600_000_000,
-            size_future=0, mode="range", partition_by=["user_id"])
+    ev.roll("wsum_dec", "sum(cast(value as decimal(20,6)))", order_by="ts_us",
+            size_past=600_000_000, size_future=0, mode="range",
+            partition_by=["user_id"])
+    ev.calc("wsum", "cast(wsum_dec as double)")
     return ev.df().select("event_id", "user_id", "wsum")
 
 
@@ -124,7 +136,13 @@ def q_range_bin_events(spark: SparkSession, sf: str) -> DataFrame:
     bins._base_thunk = lambda: ev.df().select("bin_start").dropDuplicates()
     bins.set_key("bin_start")
     bins.accu("n_events", ev, "bin_start", "count(*)", default=0)
-    bins.accu("sum_value", ev, "bin_start", "sum(value)", default=0.0)
+    bins.accu(
+        "sum_value",
+        ev,
+        "bin_start",
+        "cast(sum(cast(value as decimal(20,6))) as double)",
+        default=0.0,
+    )
     return bins.df().select("bin_start", "n_events", "sum_value")
 
 
@@ -256,6 +274,65 @@ def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- streaming window shapes --
+
+_DEC_SUM = "cast(sum(cast(value as decimal(20,6))) as double)"
+
+
+def q_tumbling_window_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-window accumulate per event_type (F.window 1 hour) — the
+    streaming operator evaluated on a batch frame (identical semantics)."""
+    from bistro_spark.streaming.windows import tumbling_window_accu
+
+    ev = load_table(spark, "events", sf).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = tumbling_window_accu(
+        ev, "ts", "1 hour", ["event_type"],
+        {"n_events": "count(*)", "sum_value": _DEC_SUM},
+    )
+    return out.select(
+        F.unix_timestamp("window_start").alias("ws"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
+def q_sliding_window_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window accumulate (2h window, 1h slide) per event_type."""
+    from bistro_spark.streaming.windows import sliding_window_accu
+
+    ev = load_table(spark, "events", sf).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = sliding_window_accu(
+        ev, "ts", "2 hours", "1 hour", ["event_type"],
+        {"n_events": "count(*)", "sum_value": _DEC_SUM},
+    )
+    return out.select(
+        F.unix_timestamp("window_start").alias("ws"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
+def q_session_window_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-window accumulate per user (6-hour gap) — the north-rule
+    extension beyond the reference; oracle = gaps-and-islands SQL."""
+    from bistro_spark.streaming.windows import session_window_accu
+
+    ev = load_table(spark, "events", sf).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = session_window_accu(
+        ev, "ts", "6 hours", ["user_id"],
+        {"n_events": "count(*)", "sum_value": _DEC_SUM},
+    )
+    return out.select(
+        F.unix_timestamp("window_start").alias("ws"),
+        F.unix_timestamp("window_end").alias("we"),
+        "user_id", "n_events", "sum_value",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "calc_lineitem": q_calc_lineitem,
@@ -269,6 +346,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "formula_expr": q_formula_expr,
         "tokens_flagship": q_tokens_flagship,
         "tokens_rowlevel": q_tokens_rowlevel,
+        "tumbling_window_events": q_tumbling_window_events,
+        "sliding_window_events": q_sliding_window_events,
+        "session_window_events": q_session_window_events,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "simhash": q_simhash,
@@ -334,6 +414,45 @@ def oracle_sql() -> dict[str, str]:
     from bistro_spark.operators.dedup import simhash_sql
 
     return {
+        "tumbling_window_events": """
+            SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS ws,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                     AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "sliding_window_events": """
+            SELECT CAST(floor((epoch(ts) - k.k * 3600) / 7200) * 7200
+                        + k.k * 3600 AS BIGINT) AS ws,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                     AS sum_value
+            FROM events, (SELECT unnest(range(2)) AS k) k
+            GROUP BY 1, 2
+        """,
+        "session_window_events": """
+            WITH marked AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts)) >= 21600
+                          THEN 1 ELSE 0 END AS brk
+              FROM events),
+            sess AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked)
+            SELECT CAST(floor(epoch(min(ts))) AS BIGINT)          AS ws,
+                   CAST(floor(epoch(max(ts)) + 21600) AS BIGINT)  AS we,
+                   user_id,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                     AS sum_value
+            FROM sess
+            GROUP BY user_id, sid
+        """,
         "dedup_exact": f"""
             WITH {_DUP_CTE}
             SELECT md5(text) AS fp, min(doc_id) AS keep_id,
@@ -381,7 +500,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "accu_revenue_per_customer": """
             SELECT c.c_custkey,
-                   coalesce(sum(o.o_totalprice), 0.0) AS total_spent,
+                   coalesce(CAST(sum(CAST(o.o_totalprice AS DECIMAL(20,6)))
+                                 AS DOUBLE), 0.0)     AS total_spent,
                    count(o.o_orderkey)                AS n_orders
             FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
             GROUP BY c.c_custkey
@@ -395,23 +515,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "roll_events_moving": """
             SELECT event_id, user_id,
-                   sum(value) OVER w AS msum,
-                   avg(value) OVER w AS mavg
+                   CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE)
+                     AS msum,
+                   CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE)
+                     / count(*) OVER w AS mavg
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         """,
         "roll_range_events": """
             SELECT event_id, user_id,
-                   sum(value) OVER (
+                   CAST(sum(CAST(value AS DECIMAL(20,6))) OVER (
                      PARTITION BY user_id ORDER BY epoch_us(ts)
-                     RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS wsum
+                     RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+                     AS DOUBLE) AS wsum
             FROM events
         """,
         "range_bin_events": """
             SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS bin_start,
-                   count(*)   AS n_events,
-                   sum(value) AS sum_value
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+                     AS sum_value
             FROM events
             GROUP BY 1
         """,
@@ -431,7 +555,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim.source,
                    count(t.doc_id)                             AS n_seq,
                    CAST(coalesce(sum(t.n_tok), 0) AS BIGINT)   AS sum_tok,
-                   CAST(coalesce(sum(t.n_tok * dim.weight), 0) AS DOUBLE)
+                   CAST(coalesce(sum(CAST(t.n_tok * dim.weight
+                                          AS DECIMAL(20,6))), 0) AS DOUBLE)
                                                                AS sum_weighted
             FROM dim LEFT JOIN t USING (source)
             GROUP BY dim.source

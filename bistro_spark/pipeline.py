@@ -48,7 +48,14 @@ def build_pipeline(
 
     dim.accu("n_seq", facts, "src", "count(*)", default=0)
     dim.accu("sum_tok", facts, "src", "sum(n_tok_calc)", default=0)
-    dim.accu("sum_weighted", facts, "src", "sum(weighted_tok)", default=0.0)
+    # decimal-exact sum (float addition is order-dependent; decimal isn't)
+    dim.accu(
+        "sum_weighted",
+        facts,
+        "src",
+        "cast(sum(cast(weighted_tok as decimal(20,6))) as double)",
+        default=0.0,
+    )
     return s, facts, dim
 
 

@@ -46,21 +46,20 @@ def make_input(n_rows: int, n_files: int) -> str:
 
     spark = get_spark(master="local[32]", app_name="gen_scaling_input")
     spark.sparkContext.setLogLevel("ERROR")
-    per = n_rows // n_files
-    df = token_table_fast(spark, n_rows, partitions=n_files)
-    for k in range(n_files):
-        (
-            df.filter(f"batch_ofs >= {k * per} and batch_ofs < {(k + 1) * per}")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{path}/f{k:03d}")
-        )
+    # one job: n_files part-files in a single write (batch composition is
+    # hash-arbitrary but fixed; throughput benching doesn't need scripted
+    # batch boundaries — the parity tests do, and script theirs explicitly)
+    token_table_fast(spark, n_rows, partitions=n_files).write.mode(
+        "overwrite"
+    ).parquet(path)
     spark.stop()
     open(os.path.join(path, "_DONE"), "w").close()
     return path
 
 
-def run_once(master: str, cores: int, inp: str, zpath: str) -> dict:
+def run_once(
+    master: str, cores: int, inp: str, zpath: str, files_per_trigger: int = 32
+) -> dict:
     work = tempfile.mkdtemp(prefix=f"scaling_{cores}_")
     cmd = [
         "spark-submit",
@@ -76,7 +75,7 @@ def run_once(master: str, cores: int, inp: str, zpath: str) -> dict:
         "--checkpoint", os.path.join(work, "ck"),
         "--sink", os.path.join(work, "out"),
         "--metrics", os.path.join(work, "metrics.jsonl"),
-        "--files-per-trigger", "4",
+        "--files-per-trigger", str(files_per_trigger),
     ]
     t0 = time.time()
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
@@ -91,13 +90,19 @@ def run_once(master: str, cores: int, inp: str, zpath: str) -> dict:
 
 
 def main() -> None:
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
-    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    # Geometry matters: per-batch input parallelism (files-per-trigger)
+    # must be ≥ the core count being tested, else cores idle and the
+    # measurement reflects trigger overhead, not engine scaling. On a real
+    # cluster the Iceberg streaming read plans splits to match executors;
+    # files-per-trigger=32 is the local stand-in.
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 160
+    fpt = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     zpath = build_zip()
     inp = make_input(n_rows, n_files)
 
-    r8 = run_once("local[8]", 8, inp, zpath)
-    r32 = run_once("local[32]", 32, inp, zpath)
+    r8 = run_once("local[8]", 8, inp, zpath, fpt)
+    r32 = run_once("local[32]", 32, inp, zpath, fpt)
     eff = (r32["seq_per_sec"] / r8["seq_per_sec"]) / 4
     summary = {
         "n_rows": n_rows,
