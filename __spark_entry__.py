@@ -169,7 +169,7 @@ def q_formula_expr(spark: SparkSession, sf: str) -> DataFrame:
 def q_tokens_flagship(spark: SparkSession, sf: str) -> DataFrame:
     """The north-rule calc→link→accu pipeline on the deterministic F1 token
     table (sf-independent; the oracle regenerates the identical table)."""
-    return flagship(spark, token_table_fast(spark, TOKENS_N)).select(
+    return flagship(spark, token_table_fast(spark, TOKENS_N, partitions=4)).select(
         "source", "n_seq", "sum_tok", "sum_weighted"
     )
 
@@ -178,7 +178,7 @@ def q_tokens_rowlevel(spark: SparkSession, sf: str) -> DataFrame:
     """Row-level token calc parity: n_tok recompute + order-sensitive
     fingerprint ingredients (first/last token, token sum) — exercises
     array<int32> exactness end-to-end."""
-    df = token_table_fast(spark, TOKENS_N)
+    df = token_table_fast(spark, TOKENS_N, partitions=4)
     return df.select(
         "doc_id",
         F.size("tokens").alias("n_tok_calc"),
@@ -274,6 +274,60 @@ def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_text_winnow_fp(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing rolling-hash document fingerprint (MOSS scheme) over
+    documents — array<long> of window-min gram hashes."""
+    from bistro_spark.operators.text import winnow_fingerprint
+
+    return load_table(spark, "documents", sf).select(
+        "doc_id", winnow_fingerprint("text").alias("winnow_fp")
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram Jaccard similarity between each document and the next doc_id
+    (hashed word-3-gram sets; exact set arithmetic, JVM-side)."""
+    from bistro_spark.operators.dedup import ngram_jaccard, ngram_set
+
+    docs = load_table(spark, "documents", sf).select(
+        "doc_id", ngram_set(F.col("text")).alias("ng")
+    )
+    l, r = docs.alias("l"), docs.alias("r")
+    return (
+        l.join(r, F.col("r.doc_id") == F.col("l.doc_id") + 1)
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.round(ngram_jaccard(F.col("l.ng"), F.col("r.ng")), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def q_tokens_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash sketch over token-id shingles (the streaming dedup calc of
+    the bench pipeline) on the deterministic F1 token table."""
+    from bistro_spark.operators.dedup import token_minhash
+
+    return token_table_fast(spark, TOKENS_N, partitions=4).select(
+        "doc_id", token_minhash("tokens", k=4).alias("sig")
+    )
+
+
+def q_ann_cosine_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only check: recall < 1 by
+    construction, so no SQL oracle — the exact variant above is the
+    verified twin)."""
+    from bistro_spark.operators.similarity import cosine_topk_lsh
+
+    emb = load_table(spark, "embeddings", sf)
+    queries_df = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk_lsh(emb, queries_df, k=5)
+
+
 # ----------------------------------------------- streaming window shapes --
 
 _DEC_SUM = "cast(sum(cast(value as decimal(20,6))) as double)"
@@ -354,7 +408,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "text_features": q_text_features,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,  # rows-only (no oracle)
         "embedding_neardup": q_embedding_neardup,  # rows-only (no oracle)
+        "text_winnow_fp": q_text_winnow_fp,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "tokens_minhash": q_tokens_minhash,
     }
 
 
@@ -411,9 +469,31 @@ def _text_features_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from bistro_spark.operators.dedup import simhash_sql
+    from bistro_spark.operators.dedup import (
+        ngram_jaccard_sql,
+        ngram_set_sql,
+        simhash_sql,
+        token_minhash_sql,
+    )
+    from bistro_spark.operators.text import winnow_fingerprint_sql
 
     return {
+        "text_winnow_fp": f"""
+            SELECT doc_id, {winnow_fingerprint_sql('text')} AS winnow_fp
+            FROM documents
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH ng AS (
+              SELECT doc_id, {ngram_set_sql('text')} AS ng FROM documents)
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                   round({ngram_jaccard_sql('l.ng', 'r.ng')}, 6) AS jaccard
+            FROM ng l JOIN ng r ON r.doc_id = l.doc_id + 1
+        """,
+        "tokens_minhash": f"""
+            WITH t AS ({_TOKENS_CTE})
+            SELECT doc_id, {token_minhash_sql('tokens', 4)} AS sig
+            FROM t
+        """,
         "tumbling_window_events": """
             SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS ws,
                    event_type,

@@ -78,6 +78,22 @@ def main() -> None:
             "tokens_per_sec": round(n_tokens / tok_sec),
         },
     }
+    # attach the latest N->4N scaling measurement (tools/bench_scaling.py,
+    # full protocol + hardware-ceiling context in BENCH/BASELINE.md)
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_last.json"
+    )
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            s = json.load(f)
+        out["scaling"] = {
+            k: s[k]
+            for k in (
+                "n_cores", "n4_cores", "n_seq_per_sec", "n4_seq_per_sec",
+                "scaling_efficiency", "sketch",
+            )
+            if k in s
+        }
     print(json.dumps(out))
     spark.stop()
 

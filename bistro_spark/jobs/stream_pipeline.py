@@ -29,6 +29,13 @@ def main() -> None:
     ap.add_argument("--files-per-trigger", type=int, default=4)
     ap.add_argument("--watermark", default="30 seconds")
     ap.add_argument("--window", default="60 seconds")
+    ap.add_argument(
+        "--sketch",
+        action="store_true",
+        help="also compute the per-row dedup sketch (MinHash over token "
+        "shingles) and per-window distinct-content count — the "
+        "representative training-data pipeline shape",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -55,17 +62,27 @@ def main() -> None:
         .parquet(args.input)
     )
     src = stamp_lineage(src).withWatermark("event_time", args.watermark)
-    prepared = observe_counts(prepare_facts(spark, src), "prepared")
+    prepared = prepare_facts(spark, src)
+    aggs = {
+        "n_seq": "count(*)",
+        "sum_tok": "sum(n_tok_calc)",
+        "sum_weighted": "sum(weighted_tok)",
+    }
+    if args.sketch:
+        # streaming dedup statistics: full MinHash (k=16, every shingle)
+        # over token 3-gram shingles via the Arrow-vectorized numpy kernel
+        # (the input_hint calc shape) + per-window distinct content count
+        # off the exact fingerprint
+        from bistro_spark.operators.dedup import token_minhash_pandas
+
+        prepared = prepared.withColumn(
+            "tok_sig", token_minhash_pandas("tokens", k=16, stride=1)
+        )
+        aggs["n_distinct"] = "approx_count_distinct(fingerprint)"
+        aggs["sig_min"] = "min(tok_sig[0])"
+    prepared = observe_counts(prepared, "prepared")
     windowed = tumbling_window_accu(
-        prepared,
-        "event_time",
-        args.window,
-        ["src"],
-        {
-            "n_seq": "count(*)",
-            "sum_tok": "sum(n_tok_calc)",
-            "sum_weighted": "sum(weighted_tok)",
-        },
+        prepared, "event_time", args.window, ["src"], aggs
     )
 
     t0 = time.time()
@@ -87,7 +104,11 @@ def main() -> None:
         with open(args.metrics) as f:
             events = [json.loads(line) for line in f]
         progress = [e for e in events if e.get("event") == "progress"]
-        for e in progress[1:]:  # skip warm-up batch
+        # skip the first TWO batches: batch 0 pays query planning + codegen
+        # + state-store init, batch 1 still pays JIT compilation of the
+        # generated code and Python-worker spin-up (measured: batch 1 runs
+        # ~1.5-2x slower than steady state at high core counts)
+        for e in progress[2:]:
             rows += e.get("num_input_rows") or 0
             secs += (e.get("duration_ms", {}).get("triggerExecution") or 0) / 1000
             batches += 1

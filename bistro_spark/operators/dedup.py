@@ -141,6 +141,199 @@ def lsh_candidate_pairs(
     return pairs
 
 
+def token_minhash(
+    tokens: str | Column = "tokens",
+    k: int = 4,
+    shingle: int = 3,
+    stride: int = 4,
+) -> Column:
+    """MinHash signature (array<long>, length k) over token-id shingles —
+    the near-dup sketch for the tokens payload (no text needed).
+
+    Shingle hash = polynomial over the shingle's token ids (element_at
+    reads, no array copies — F.slice+xxhash64 per shingle was measured
+    ~10x slower from per-shingle array allocation); ``stride`` samples
+    every stride-th shingle (standard sketch downsampling). signature_j =
+    min over sampled shingles of the affine rehash (A_j*h + B_j) mod P.
+    All JVM-side: per-token compute, no Python, no shuffle — the per-row
+    calc shape of the streaming dedup pipeline."""
+    c = F.col(tokens) if isinstance(tokens, str) else tokens
+    # polynomial shingle hash, values < P so the affine step can't overflow
+    poly = [(A0 + 2 * j) % P for j in range(shingle)]
+
+    def gram_hash(i: Column) -> Column:
+        h = F.lit(0).cast("long")
+        for j, cj in enumerate(poly):
+            # try_element_at→0: rows shorter than the shingle width hash
+            # their zero-padded prefix (arrays are never empty by schema)
+            h = h + F.coalesce(
+                F.try_element_at(c, i + F.lit(j)).cast("long"), F.lit(0)
+            ) * F.lit(cj)
+        return F.pmod(h, F.lit(P))
+
+    grams = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(c) - (shingle - 1), F.lit(1)), F.lit(stride)
+        ),
+        gram_hash,
+    )
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    grams,
+                    # h < P < 2^31 and a < 2^31: product < 2^62, no overflow
+                    lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(P)),
+                )
+            )
+            for a, b in hash_coeffs(k)
+        ]
+    )
+
+
+def _minhash_flat(flat, lengths, k, shingle, stride, chunk_tokens=16384):
+    """Cache-blocked numpy MinHash kernel over row-concatenated tokens.
+
+    Element-identical to ``token_minhash`` (asserted in tests). Chunks are
+    sized to stay L2-resident with preallocated in-place buffers, so DRAM
+    traffic ≈ one pass over the input — this is what lets the sketch scale
+    with cores instead of with memory bandwidth."""
+    import numpy as np
+
+    poly = [(A0 + 2 * j) % P for j in range(shingle)]
+    coeffs = hash_coeffs(k)
+    offsets = np.concatenate(([0], np.cumsum(lengths)))
+    n = len(lengths)
+    out = np.empty((n, k), dtype=np.int64)
+    buf = np.empty(chunk_tokens + 600, dtype=np.int64)
+    r0 = 0
+    while r0 < n:
+        r1, tok = r0, 0
+        while r1 < n and (tok < chunk_tokens or r1 == r0):
+            tok += lengths[r1]
+            r1 += 1
+        s, e = offsets[r0], offsets[r1]
+        f = flat[s:e]
+        L = lengths[r0:r1]
+        starts = offsets[r0:r1] - s
+        m = len(f)
+        rep_L = np.repeat(L, L)
+        rel = np.arange(m, dtype=np.int64)
+        rel -= np.repeat(starts, L)
+        h = f * poly[0]
+        for j in range(1, shingle):
+            sh = np.empty_like(f)
+            sh[:-j] = f[j:]
+            sh[-j:] = 0
+            np.putmask(sh, (rel + j) >= rep_L, 0)
+            h += sh * poly[j]
+        h %= P
+        lim = np.repeat(np.maximum(L - shingle, 0), L)
+        ok = rel <= lim
+        if stride != 1:
+            ok &= (rel % stride) == 0
+        hv = h[ok]
+        cnt = np.zeros(r1 - r0 + 1, dtype=np.int64)
+        np.cumsum(np.add.reduceat(ok.astype(np.int64), starts), out=cnt[1:])
+        idx = cnt[:-1]
+        v = buf[: len(hv)]
+        for jk, (a, b) in enumerate(coeffs):
+            np.multiply(hv, a, out=v)
+            v += b
+            v %= P
+            out[r0:r1, jk] = np.minimum.reduceat(v, idx)
+        r0 = r1
+    return out
+
+
+def token_minhash_pandas(
+    tokens: str | Column = "tokens",
+    k: int = 16,
+    shingle: int = 3,
+    stride: int = 1,
+) -> Column:
+    """``token_minhash`` as an Arrow-vectorized pandas UDF (numpy kernel).
+
+    The input_hint's calc shape — "calc columns become vectorized
+    pandas/Arrow UDFs" — and the fast path for rich sketches (k=16 over
+    every shingle): the JVM higher-order-function variant evaluates
+    interpreted per element with boxed allocation (GC-bound at high core
+    counts), while this kernel runs C loops over contiguous buffers in
+    per-worker processes. Same values as token_minhash for equal params."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def mh(s):
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        lengths = s.map(len).to_numpy(dtype=np.int64)
+        flat = (
+            np.concatenate(s.to_numpy()) if lengths.sum() else np.empty(0)
+        ).astype(np.int64)
+        out = _minhash_flat(flat, lengths, k, shingle, stride)
+        return pd.Series(list(out))
+
+    c = F.col(tokens) if isinstance(tokens, str) else tokens
+    return mh(c)
+
+
+def token_minhash_arrow(
+    tokens: str | Column = "tokens",
+    k: int = 16,
+    shingle: int = 3,
+    stride: int = 1,
+) -> Column:
+    """``token_minhash`` as a zero-copy Arrow UDF (pyspark 4 ``arrow_udf``).
+
+    The pandas_udf variant materializes one numpy object PER ROW on both
+    sides of the kernel (ListArray -> Series of ndarrays -> Series of
+    lists), which was measured to cost ~4x the kernel itself. Here the
+    ListArray's flat values/offsets buffers feed the kernel directly and
+    the signature matrix goes back as one ListArray — no per-row objects
+    anywhere. Same values as token_minhash for equal params."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf("array<long>")
+    def mh(arr):
+        lo = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        offsets = lo.offsets.to_numpy().astype(np.int64)
+        n = len(lo)
+        if n == 0:
+            return pa.array([], type=pa.list_(pa.int64()))
+        lengths = np.diff(offsets)
+        flat = lo.values.to_numpy()[offsets[0] : offsets[-1]].astype(np.int64)
+        out = _minhash_flat(flat, lengths, k, shingle, stride)
+        return pa.ListArray.from_arrays(
+            np.arange(0, (n + 1) * k, k, dtype=np.int32),
+            pa.array(out.ravel()),
+        )
+
+    c = F.col(tokens) if isinstance(tokens, str) else tokens
+    return mh(c)
+
+
+def token_minhash_sql(
+    tokens_expr: str, k: int = 4, shingle: int = 3, stride: int = 4
+) -> str:
+    """The identical token-shingle MinHash signature as DuckDB SQL."""
+    poly = [(A0 + 2 * j) % P for j in range(shingle)]
+    gram = " + ".join(
+        f"coalesce(tk[i+{j}], 0)::BIGINT * {cj}" for j, cj in enumerate(poly)
+    )
+    mins = ", ".join(
+        f"""(SELECT min(((h % {P}) * {a} + {b}) % {P})
+             FROM (SELECT ({gram}) % {P} AS h
+                   FROM unnest(range(1, greatest(len(tk) - {shingle - 1}, 1) + 1,
+                               {stride})) AS s(i)))"""
+        for a, b in hash_coeffs(k)
+    )
+    return f"(SELECT [{mins}] FROM (SELECT {tokens_expr} AS tk))"
+
+
 # ----------------------------------------------------------- simhash -----
 
 
@@ -195,6 +388,32 @@ def ngram_jaccard(a: Column, b: Column) -> Column:
     return F.when(union == 0, 0.0).otherwise(inter / union)
 
 
+def ngram_set_sql(text_expr: str, n: int = 3) -> str:
+    """The identical ngram_set as DuckDB SQL (distinct sorted hashed word
+    n-grams)."""
+    gram_hash = (
+        "CAST(concat('0x', substr(md5(array_to_string("
+        f"wrd[i:i+{n - 1}], ' ')), 1, 8)) AS BIGINT)"
+    )
+    return f"""(
+      SELECT list_sort(list_distinct(list_transform(
+               range(1, greatest(len(wrd) - {n - 1}, 1) + 1),
+               i -> {gram_hash})))
+      FROM (SELECT string_split({text_expr}, ' ') AS wrd)
+    )"""
+
+
+def ngram_jaccard_sql(a_expr: str, b_expr: str) -> str:
+    """Jaccard over two ngram-set list expressions (DuckDB)."""
+    return f"""(
+      CASE WHEN len(list_distinct(list_concat({a_expr}, {b_expr}))) = 0
+           THEN 0.0
+           ELSE CAST(len(list_intersect({a_expr}, {b_expr})) AS DOUBLE)
+                / len(list_distinct(list_concat({a_expr}, {b_expr})))
+      END
+    )"""
+
+
 # --------------------------------------------- embedding cosine near-dup --
 
 
@@ -220,6 +439,57 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def _weyl_hyperplanes(bits: int, dim: int):
+    """The deterministic pseudo-hyperplane matrix of _sign_bucket as a
+    numpy (bits, dim) array — identical double arithmetic."""
+    import numpy as np
+
+    j = np.arange(bits, dtype=np.float64)[:, None]
+    i = np.arange(dim, dtype=np.float64)[None, :]
+    return ((j * 10007.0 + i) * 0.6180339887) % 1.0 - 0.5
+
+
+def _sign_bucket_np(vec_col: str, bits: int, dim_hint: int | None = None) -> Column:
+    """_sign_bucket as an Arrow-vectorized pandas UDF: one GEMM against the
+    Weyl hyperplane matrix per batch instead of interpreted per-element
+    folds (~50x less overhead at wide embeddings)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def bucket(s):
+        import pandas as pd
+
+        if not len(s):
+            return pd.Series([], dtype="int32")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in s])
+        h = _weyl_hyperplanes(bits, m.shape[1])
+        bitvals = (m @ h.T > 0) @ (1 << np.arange(bits, dtype=np.int64))
+        return pd.Series(bitvals.astype("int32"))
+
+    return bucket(F.col(vec_col))
+
+
+def _pair_cosine_np(a_col: str, b_col: str) -> Column:
+    """Row-wise cosine of two embedding columns via numpy (float64)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pc(a, b):
+        import pandas as pd
+
+        if not len(a):
+            return pd.Series([], dtype="float64")
+        ma = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+        mb = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+        num = (ma * mb).sum(axis=1)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pd.Series(num / den)
+
+    return pc(F.col(a_col), F.col(b_col))
+
+
 def embedding_neardup_pairs(
     emb_df: DataFrame,
     threshold: float = 0.95,
@@ -230,10 +500,10 @@ def embedding_neardup_pairs(
     """Embedding near-dup candidates at scale: random-hyperplane sign
     bucket (deterministic pseudo-hyperplanes) → exact cosine only within
     buckets. Avoids the quadratic all-pairs compare; cosine ≥ threshold
-    filter applied after the bucket-local join."""
-    bucketed = emb_df.withColumn(
-        "bucket", _sign_bucket(F.col(vec_col), sign_bits)
-    )
+    filter applied after the bucket-local join. Bucket bits and pair
+    cosines both run as Arrow-batched numpy (GEMM), not per-element
+    expression interpretation."""
+    bucketed = emb_df.withColumn("bucket", _sign_bucket_np(vec_col, sign_bits))
     l, r = bucketed.alias("l"), bucketed.alias("r")
     return (
         l.join(
@@ -244,8 +514,11 @@ def embedding_neardup_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")).alias("cos_sim"),
+            F.col(f"l.{vec_col}").alias("va"),
+            F.col(f"r.{vec_col}").alias("vb"),
         )
+        .withColumn("cos_sim", _pair_cosine_np("va", "vb"))
+        .drop("va", "vb")
         .filter(F.col("cos_sim") >= threshold)
     )
 

@@ -30,21 +30,58 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force cosine top-k per query (the baseline).
 
-    Plan shape: broadcast(queries) cross-joined into the corpus → one pass
-    over the corpus per partition, no corpus shuffle; the final top-k
-    window shuffles only (|queries| × |corpus|/partitions) pre-filtered
-    candidate rows.
-    """
-    scored = corpus.crossJoin(F.broadcast(queries)).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos_sim"),
+    Plan shape: the (small) query set is collected once and closed over —
+    the numpy analog of `F.broadcast` — then every corpus partition scores
+    its local rows against the whole query matrix with one float64 GEMM
+    (`mapInPandas`, Arrow-batched) and emits only its local top-k; the
+    final exact top-k ranks the ≤ |queries|·k·partitions survivors. The
+    corpus never shuffles and never leaves the JVM except as Arrow
+    batches. (A prior pure-Catalyst variant using `F.aggregate` dot
+    products evaluated interpreted per element — ~10x slower.)"""
+    import numpy as np
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qids = [r[query_id_col] for r in qrows]
+    qm = np.stack([np.asarray(r[query_vec_col], dtype=np.float64) for r in qrows])
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    n_q = len(qids)
+
+    def score(batches):
+        import pandas as pd
+
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b[id_col].to_numpy()
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in b[vec_col]]
+            )
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = np.round(mn @ qn.T, 6)  # (rows, queries)
+            take = min(k, len(ids))
+            for qi in range(n_q):
+                s = sims[:, qi]
+                # local top-k: order by (-sim, id) to match the global
+                # deterministic tie-break
+                idx = np.lexsort((ids, -s))[:take]
+                yield pd.DataFrame(
+                    {
+                        query_id_col: [qids[qi]] * take,
+                        id_col: ids[idx],
+                        "cos_sim": s[idx],
+                    }
+                )
+
+    q_t = dict(queries.dtypes)[query_id_col]
+    id_t = dict(corpus.dtypes)[id_col]
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        score, f"{query_id_col} {q_t}, {id_col} {id_t}, cos_sim double"
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "cos_sim")
     )
@@ -62,13 +99,18 @@ def cosine_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH bucket join, exact cosine
     within the matching bucket only (recall < 1 by construction; the scale
-    path — candidate count drops ~2^-bits)."""
-    c = corpus.withColumn("bucket", _sign_bucket(F.col(vec_col), sign_bits))
-    q = queries.withColumn("bucket", _sign_bucket(F.col(query_vec_col), sign_bits))
-    scored = c.join(F.broadcast(q), "bucket").select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos_sim"),
+    path — candidate count drops ~2^-bits). Buckets and cosines via
+    Arrow-batched numpy GEMM."""
+    from bistro_spark.operators.dedup import _pair_cosine_np, _sign_bucket_np
+
+    c = corpus.withColumn("bucket", _sign_bucket_np(vec_col, sign_bits))
+    q = queries.withColumn("bucket", _sign_bucket_np(query_vec_col, sign_bits))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .withColumn(
+            "cos_sim", F.round(_pair_cosine_np(vec_col, query_vec_col), 6)
+        )
+        .select(query_id_col, id_col, "cos_sim")
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()

@@ -96,6 +96,53 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(t)
 
 
+def winnow_fingerprint(
+    text: Column | str, gram_n: int = 3, window: int = 4
+) -> Column:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD 2003 — the
+    MOSS scheme): hash every word ``gram_n``-gram as it rolls over the
+    document, keep the minimum hash of each sliding window of ``window``
+    consecutive gram hashes, return the distinct mins sorted
+    (array<long>). Guarantees any shared run of ~window+gram_n-1 words
+    between two documents shares a fingerprint element — the rolling-hash
+    dedup/overlap primitive. Native Catalyst; md5 word-hash keeps it
+    bit-identical in the DuckDB oracle."""
+    from bistro_spark.operators.dedup import word_hash
+
+    t = F.col(text) if isinstance(text, str) else text
+    words = F.split(t, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (gram_n - 1), F.lit(1))),
+        lambda i: word_hash(F.concat_ws(" ", F.slice(words, i, gram_n))),
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(grams) - (window - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(grams, i, window)),
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
+def winnow_fingerprint_sql(
+    text_expr: str = "text", gram_n: int = 3, window: int = 4
+) -> str:
+    """The identical winnowing fingerprint as DuckDB SQL."""
+    gram_hash = (
+        "CAST(concat('0x', substr(md5(array_to_string("
+        f"wrd[i:i+{gram_n - 1}], ' ')), 1, 8)) AS BIGINT)"
+    )
+    return f"""(
+      SELECT list_sort(list_distinct(list_transform(
+               range(1, greatest(len(grm) - {window - 1}, 1) + 1),
+               i -> list_min(grm[i:i+{window - 1}]))))
+      FROM (
+        SELECT list_transform(
+                 range(1, greatest(len(wrd) - {gram_n - 1}, 1) + 1),
+                 i -> {gram_hash}) AS grm
+        FROM (SELECT string_split({text_expr}, ' ') AS wrd)
+      )
+    )"""
+
+
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All features in one pass (single projection, codegen'd)."""
     return df.select(

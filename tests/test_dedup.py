@@ -129,3 +129,33 @@ def test_embedding_neardup(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.9999
     assert (1, 3) in pairs
     assert all(4 not in p for p in pairs)
+
+
+def test_token_minhash_jvm_vs_pandas_identical(spark):
+    """The numpy/Arrow kernel must be element-identical to the Catalyst
+    higher-order-function variant for the same (k, shingle, stride) —
+    including short rows (length < shingle, zero-padded)."""
+    from bistro_spark.operators.dedup import token_minhash, token_minhash_pandas
+    from bistro_spark.sources.tokens import token_table_fast
+
+    df = token_table_fast(spark, 300, partitions=4)
+    # token_table rows have varied lengths 1..512 by construction; add the
+    # degenerate single-token row explicitly
+    extra = spark.createDataFrame(
+        [("tiny", [7], 1, "web", None, 0)],
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "event_time timestamp, batch_ofs long",
+    )
+    df = df.unionByName(extra)
+    for k, stride in ((4, 4), (16, 1)):
+        got = (
+            df.select(
+                "doc_id",
+                token_minhash("tokens", k=k, stride=stride).alias("a"),
+                token_minhash_pandas("tokens", k=k, stride=stride).alias("b"),
+            )
+            .collect()
+        )
+        assert len(got) == 301
+        for r in got:
+            assert r["a"] == r["b"], (k, stride, r["doc_id"])
