@@ -328,6 +328,34 @@ def q_ann_cosine_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_topk_lsh(emb, queries_df, k=5)
 
 
+def q_ewma_user_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-dependent accumulate (reference accu folds in arrival order —
+    ColumnDefinitionAccu.java#evaluate): EWMA of value per user over
+    (ts, event_id) order, via the grouped-map numpy closed form. Oracle =
+    the same closed form in SQL (x_0 seeds, adjust=False convention)."""
+    from bistro_spark.streaming.state import ewma_batch
+
+    ev = load_table(spark, "events", sf).withColumn(
+        "ord",
+        F.expr("unix_timestamp(ts) * 1000000 + event_id").cast("long"),
+    )
+    out = ewma_batch(ev, ["user_id"], "value", order_col="ord", alpha=0.1)
+    return out.select(
+        "user_id", F.round("ewma", 6).alias("ewma"), "n"
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing (rows-only: the decode step is a deterministic
+    stub — no SQL twin by construction): synthetic binary media table →
+    mapInPandas feature extraction (payload stats + pseudo-embedding)."""
+    from bistro_spark.operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, 200)
+    out = extract_features(media, fake_decode=True)
+    return out.select("media_id", "kind", "n_bytes", "mean_byte")
+
+
 # ----------------------------------------------- streaming window shapes --
 
 _DEC_SUM = "cast(sum(cast(value as decimal(20,6))) as double)"
@@ -413,6 +441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fp": q_text_winnow_fp,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "tokens_minhash": q_tokens_minhash,
+        "ewma_user_value": q_ewma_user_value,
+        "multimodal_features": q_multimodal_features,  # rows-only (stubbed decode)
     }
 
 
@@ -493,6 +523,23 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS ({_TOKENS_CTE})
             SELECT doc_id, {token_minhash_sql('tokens', 4)} AS sig
             FROM t
+        """,
+        "ewma_user_value": """
+            WITH o AS (
+              SELECT user_id, value,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(floor(epoch(ts)) AS BIGINT) * 1000000
+                                + event_id)                      AS rn,
+                     count(*) OVER (PARTITION BY user_id)        AS n
+              FROM events)
+            SELECT user_id,
+                   round(sum(CASE WHEN rn = 1
+                                  THEN value * power(0.9, n - 1)
+                                  ELSE 0.1 * power(0.9, n - rn) * value
+                             END), 6)       AS ewma,
+                   CAST(max(n) AS BIGINT)   AS n
+            FROM o GROUP BY user_id
         """,
         "tumbling_window_events": """
             SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS ws,

@@ -70,18 +70,29 @@ def minhash_signature(
     df: DataFrame, text_col: str = "text", k: int = 16
 ) -> DataFrame:
     """Append ``sig`` array<long> of k MinHash values (native Catalyst:
-    split → md5-hash per word → k affine min-reductions; no Python)."""
+    split → md5-hash per word → k affine min-reductions; no Python).
+
+    The word-hash array is materialized behind a repartition barrier:
+    CollapseProject would otherwise inline it into every one of the k
+    min-reductions and recompute the per-word md5 k times (measured 2.5x
+    slower end-to-end). The exchange also restores parallelism on
+    few-row-group inputs, and self-joining callers (LSH) get the whole
+    signature computed once via ReusedExchange."""
     words = F.split(F.col(text_col), " ")
     hashes = F.transform(words, lambda w: word_hash(w))
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    base = df.withColumn("_hashes", hashes).repartition(n_part)
     sig = F.array(
         *[
             F.array_min(
-                F.transform(hashes, lambda h: (h * F.lit(a) + F.lit(b)) % P)
+                F.transform(
+                    F.col("_hashes"), lambda h: (h * F.lit(a) + F.lit(b)) % P
+                )
             )
             for a, b in hash_coeffs(k)
         ]
     )
-    return df.withColumn("sig", sig)
+    return base.withColumn("sig", sig).drop("_hashes")
 
 
 def minhash_sig_sql(text_expr: str, k: int = 16) -> str:
@@ -339,19 +350,25 @@ def token_minhash_sql(
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     """SimHash sketch: bit b set iff sum over words of ±1 (sign of bit b of
-    H(w)) is positive. Near-dups have close sketches (Charikar 2002)."""
+    H(w)) is positive. Near-dups have close sketches (Charikar 2002).
+    Word hashes materialized behind a repartition barrier — same reason as
+    minhash_signature (each of the `bits` folds would recompute them)."""
     words = F.split(F.col(text_col), " ")
     hashes = F.transform(words, lambda w: word_hash(w))
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    base = df.withColumn("_hashes", hashes).repartition(n_part)
     bit_cols = []
     for b in range(bits):
         contrib = F.aggregate(
-            hashes,
+            F.col("_hashes"),
             F.lit(0).cast("long"),
             lambda acc, h: acc
             + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
         bit_cols.append(F.when(contrib > 0, F.lit(1 << b)).otherwise(F.lit(0)))
-    return df.withColumn("simhash", sum(bit_cols, start=F.lit(0)).cast("long"))
+    return base.withColumn(
+        "simhash", sum(bit_cols, start=F.lit(0)).cast("long")
+    ).drop("_hashes")
 
 
 def simhash_sql(text_expr: str, bits: int = 16) -> str:

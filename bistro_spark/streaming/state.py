@@ -56,7 +56,10 @@ def ewma_batch(
 ) -> DataFrame:
     """Batch order-dependent accu: EWMA per group over arrival order.
     applyInPandas per group; inside the group a numpy closed form."""
-    out_schema = ", ".join(f"{k} string" for k in keys) + ", ewma double, n long"
+    in_types = dict(df.dtypes)
+    out_schema = (
+        ", ".join(f"{k} {in_types[k]}" for k in keys) + ", ewma double, n long"
+    )
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col)

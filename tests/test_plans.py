@@ -1,0 +1,136 @@
+"""Physical-plan regression tests — the 100TB-readiness properties.
+
+Correctness tests prove the operators compute the right values; these
+prove Catalyst compiles our recipes into the plans that survive scale:
+broadcast link joins (no fact shuffle), fused partial+final accumulates
+(one exchange for N accu columns), scan-level column pruning, parquet
+filter pushdown, and whole-stage codegen coverage. A regression here is a
+silent 10-100x slowdown at cluster scale long before any test fails.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from bistro_spark.schema import Schema
+from bistro_spark.sources.tokens import token_table
+
+
+def plan_of(df, mode: str = "simple") -> str:
+    # "simple" prints each operator once (the "formatted" mode repeats
+    # operators in its details section, which breaks occurrence counting)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def token_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "tokens")
+    token_table(spark, 500, partitions=4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_link_is_broadcast_join_no_fact_shuffle(spark):
+    """C3 link compiles to BroadcastHashJoin: the dim ships to the facts,
+    the fact side never exchanges (Column.java#link is a per-row lookup —
+    shuffling the facts for it would be the classic scale mistake)."""
+    from bistro_spark.pipeline import build_pipeline
+
+    _, facts, _ = build_pipeline(spark, token_table(spark, 100))
+    plan = plan_of(facts.df())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the only exchange is the broadcast of the dim, never a hash
+    # repartition of the facts
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_accu_columns_fuse_into_one_aggregation(spark):
+    """Three accu columns over the same facts+link = ONE partial+final
+    hash aggregate pair and ONE shuffle of pre-reduced rows (the reference
+    loops per accu column; fusing is our planner's job, Catalyst can't
+    merge separate groupBys)."""
+    from bistro_spark.pipeline import build_pipeline
+
+    _, _, dim = build_pipeline(spark, token_table(spark, 100))
+    plan = plan_of(dim.df())
+    assert plan.count("Exchange hashpartitioning") == 1
+    # partial + final pair, not three pairs
+    assert plan.count("HashAggregate") == 2
+
+
+def test_flagship_scan_prunes_unused_columns(spark, token_parquet):
+    """The flagship rollup needs only (tokens, source): doc_id, n_tok,
+    event_time, batch_ofs must not reach the parquet scan."""
+    from bistro_spark.pipeline import flagship
+
+    out = flagship(spark, spark.read.parquet(token_parquet))
+    plan = plan_of(out)
+    scan_lines = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ]
+    assert scan_lines, plan
+    schema_line = " ".join(scan_lines)
+    assert "tokens" in schema_line and "source" in schema_line
+    for unused in ("doc_id", "event_time", "batch_ofs"):
+        assert unused not in schema_line, schema_line
+
+
+def test_where_filter_pushes_down_to_parquet(spark, token_parquet):
+    """T3 where on a source table reaches the scan as PushedFilters, not a
+    post-scan Filter only."""
+    s = Schema(spark)
+    t = s.table("tok", spark.read.parquet(token_parquet))
+    t.where("n_tok > 100")
+    plan = plan_of(t.df().select("doc_id", "n_tok"))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "GreaterThan(n_tok,100)" in " ".join(pushed), plan
+
+
+def test_calc_chain_stays_in_wholestage_codegen(spark):
+    """A calc chain (native expressions) compiles into a WholeStageCodegen
+    span — no interpreted projection boundaries between calcs."""
+    s = Schema(spark)
+    t = s.table("tok", token_table(spark, 100))
+    t.calc("a", "n_tok * 2")
+    t.calc("b", "a + 1")
+    t.calc("c", "concat(doc_id, '-', cast(b as string))")
+    plan = plan_of(t.df().select("c"))
+    # "*(n)" prefixes mark whole-stage-codegen spans in the simple plan;
+    # the whole chain must collapse into span 1 (no interpreted boundary)
+    assert "*(1) Project" in plan and "*(2)" not in plan, plan
+
+
+def test_salted_agg_two_phase_shape(spark):
+    """Salted aggregation = exactly two hash exchanges: (key, salt) then
+    key — the skew-absorbing shape."""
+    from bistro_spark.skew import salted_agg
+
+    df = token_table(spark, 200)
+    out = salted_agg(
+        df,
+        ["source"],
+        {"n": "count(*)", "s": "sum(n_tok)"},
+        {"n": "sum(n)", "s": "sum(s)"},
+        n_salts=8,
+    )
+    plan = plan_of(out)
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_range_link_broadcasts_intervals(spark):
+    """T4 project-to-range compiles to a broadcast interval join (range
+    tables are small dims by construction — the facts never shuffle)."""
+    s = Schema(spark)
+    ev = s.table("ev", token_table(spark, 100))
+    rng = s.range("bins", 0.0, 64.0, 8)
+    s.project_to_range(ev, "bin", rng, "n_tok")
+    plan = plan_of(ev.df().select("doc_id", "bin"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
