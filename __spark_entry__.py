@@ -356,6 +356,19 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("media_id", "kind", "n_bytes", "mean_byte")
 
 
+def q_partition_lineage(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-partition lineage rollup (north-rule lineage surface; rows-only:
+    physical partition ids are engine-internal by definition): every output
+    row traces to (read partition, input file, offset range)."""
+    from bistro_spark.streaming.metrics import (
+        partition_lineage_summary,
+        stamp_lineage,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    return partition_lineage_summary(stamp_lineage(docs), ofs_col="doc_id")
+
+
 # ----------------------------------------------- streaming window shapes --
 
 _DEC_SUM = "cast(sum(cast(value as decimal(20,6))) as double)"
@@ -443,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_minhash": q_tokens_minhash,
         "ewma_user_value": q_ewma_user_value,
         "multimodal_features": q_multimodal_features,  # rows-only (stubbed decode)
+        "partition_lineage": q_partition_lineage,  # rows-only (partition ids)
     }
 
 

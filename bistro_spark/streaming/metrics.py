@@ -99,11 +99,15 @@ class MetricsLogListener(StreamingQueryListener):
                 f.write(json.dumps(obj, default=str) + "\n")
 
 
-def partition_lineage_summary(df_with_lineage: DataFrame) -> DataFrame:
+def partition_lineage_summary(
+    df_with_lineage: DataFrame, ofs_col: str = "batch_ofs"
+) -> DataFrame:
     """Roll committed output up to per-partition lineage rows:
-    (partition, input file) → row count + offset range."""
+    (partition, input file) → row count + offset range. ``ofs_col`` is the
+    arrival-offset column (the Bistro row-id analog; any monotone row key
+    works for batch tables)."""
     return df_with_lineage.groupBy("_part_id", "_input_file").agg(
         F.count("*").alias("rows"),
-        F.min("batch_ofs").alias("min_ofs"),
-        F.max("batch_ofs").alias("max_ofs"),
+        F.min(ofs_col).alias("min_ofs"),
+        F.max(ofs_col).alias("max_ofs"),
     )

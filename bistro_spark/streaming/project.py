@@ -72,3 +72,24 @@ class StreamingProjector:
             self.keys,
             "left",
         )
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    keys: list[str],
+    time_col: str = "event_time",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each key, drop
+    replays that arrive within the watermark horizon.
+
+    This is the streaming twin of operators/dedup.exact_dedup and of the
+    project column's distinct-key extraction (ColumnDefinitionProj.java
+    appends a target row only if the key is new): Spark's
+    ``dropDuplicatesWithinWatermark`` keys the state store by ``keys`` and
+    expires entries once the watermark passes — state is bounded by the
+    horizon, not the stream length (the 10^12-sequence requirement; an
+    unbounded ``dropDuplicates`` would grow state forever)."""
+    return stream_df.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

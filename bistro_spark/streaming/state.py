@@ -106,3 +106,57 @@ def ewma_stream(
     return df.groupBy(*keys).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def accu_stream_tws(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    order_col: str = "batch_ofs",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """ewma_stream on the transformWithStateInPandas API (Spark 4.x).
+
+    Same semantics as ewma_stream (running order-dependent EWMA + count per
+    group, update mode); the new API brings typed per-state-variable
+    handles, TTL, and RocksDB-backed state out of the box — the forward
+    path for custom stateful operators. Kept API-parallel so tests assert
+    both implementations produce identical state trajectories.
+
+    NOTE: TWS's state-server wire protocol needs the ``protobuf`` package
+    (absent in this offline container → the parity test auto-skips);
+    ewma_stream (applyInPandasWithState) is the dependency-free twin.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    out_schema = ", ".join(f"{k} string" for k in keys) + ", ewma double, n long"
+
+    class RunningEwma(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("acc", "ewma double, n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                acc, n = self._state.get()
+            else:
+                acc, n = None, 0
+            for pdf in rows:
+                pdf = pdf.sort_values(order_col)
+                xs = pdf[value_col].to_numpy(dtype=np.float64)
+                acc = _ewma_update(acc, xs, alpha)
+                n += len(xs)
+            self._state.update((acc, n))
+            yield pd.DataFrame(
+                {
+                    **{k: [key[i]] for i, k in enumerate(keys)},
+                    "ewma": [acc],
+                    "n": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(*keys).transformWithStateInPandas(
+        RunningEwma(), out_schema, "update", "None"
+    )

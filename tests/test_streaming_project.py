@@ -93,3 +93,40 @@ def test_quotes_stream_scenario(spark):
     vwap = got["kraken"]["pv"] / got["kraken"]["v"]
     w = pdf[20:40]
     assert abs(vwap - (w.price * w.volume).sum() / w.volume.sum()) < 1e-9
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Replayed doc_ids across micro-batches are dropped by the stateful
+    dedup (first arrival wins); state expires past the watermark."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bistro_spark.sources.tokens import TOKEN_SCHEMA, token_table_fast
+    from bistro_spark.streaming.project import streaming_exact_dedup
+
+    root = str(tmp_path / "in")
+    full = token_table_fast(spark, 120).cache()
+    # batch 0: rows 0..59; batch 1: rows 40..119 (rows 40..59 are replays
+    # arriving in a later micro-batch, within the watermark horizon)
+    full.filter("batch_ofs < 60").coalesce(1).write.parquet(os.path.join(root, "b0"))
+    full.filter("batch_ofs >= 40").coalesce(1).write.parquet(os.path.join(root, "b1"))
+    src = (
+        spark.readStream.schema(TOKEN_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(root)
+    )
+    deduped = streaming_exact_dedup(src, ["doc_id"], watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [r["doc_id"] for r in spark.sql("select doc_id from dedup_out").collect()]
+    assert len(got) == 120  # 140 arrivals, 20 replays dropped
+    assert len(set(got)) == 120
