@@ -29,7 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship calc→link→accu token pipeline on a generated F1 table,
     smoke-checked alongside sf0.001 parquet reachability."""
     load_table(spark, "lineitem", "/root/testdata/sf0.001").count()  # sanity
-    return flagship(spark, token_table_fast(spark, 500))
+    return flagship(spark, token_table_fast(spark, 500, partitions=4))
 
 
 # --------------------------------------------------------------------------

@@ -232,3 +232,93 @@ def test_project_to_range_binning(spark):
     assert bins[0.0]["msum"] == 11.0
     assert bins[10.0]["msum"] == 7.0
     assert bins[20.0]["msum"] == 8.0
+
+
+# ------------------------------------------------- deeper path semantics --
+
+
+def test_two_hop_column_path(spark):
+    """ColumnPath with two link hops (ColumnPath.java#getValue walks any
+    depth): facts.mid.top.v — the middle table's own link column compiles
+    inside the dim side of the first link."""
+    s = Schema(spark)
+    top = s.table(
+        "TOP",
+        spark.createDataFrame([("c1", 100.0), ("c2", 200.0)], "cat string, v double"),
+        key=["cat"],
+    )
+    mid = s.table(
+        "MID",
+        spark.createDataFrame(
+            [("g1", "c1"), ("g2", "c2"), ("g3", "c1")], "name string, cat string"
+        ),
+        key=["name"],
+    )
+    mid.link("t", top, on={"cat": "cat"}).bring("t", "v")
+    facts = s.table(
+        "FACTS",
+        spark.createDataFrame(
+            [(1, "g1"), (2, "g2"), (3, "g3"), (4, "gX")], "fid long, grp string"
+        ),
+    )
+    facts.link("m", mid, on={"grp": "name"}).bring("m", "t__v")
+    got = _by(facts.df().collect(), "fid")
+    assert got[1]["m__t__v"] == 100.0
+    assert got[2]["m__t__v"] == 200.0
+    assert got[3]["m__t__v"] == 100.0
+    assert got[4]["m__t__v"] is None  # miss propagates through the path
+
+
+def test_multi_key_link(spark):
+    """Link on a composite key (Column.java#link takes Column[] keys)."""
+    s = Schema(spark)
+    dim = s.table(
+        "DIM",
+        spark.createDataFrame(
+            [("a", 1, "x"), ("a", 2, "y"), ("b", 1, "z")],
+            "k1 string, k2 int, val string",
+        ),
+        key=["k1", "k2"],
+    )
+    facts = s.table(
+        "FACTS",
+        spark.createDataFrame(
+            [(1, "a", 1), (2, "a", 2), (3, "b", 1), (4, "b", 9)],
+            "fid long, f1 string, f2 int",
+        ),
+    )
+    facts.link("d", dim, on={"f1": "k1", "f2": "k2"}).bring("d", "val")
+    got = _by(facts.df().collect(), "fid")
+    assert got[1]["d__val"] == "x"
+    assert got[2]["d__val"] == "y"
+    assert got[3]["d__val"] == "z"
+    assert got[4]["d__val"] is None
+
+
+def test_project_expression_keys(spark):
+    """Project keyed on an expression of the source row (the reference's
+    value-path variant, ColumnDefinitionProj with expressions)."""
+    s = Schema(spark)
+    facts = s.table(
+        "FACTS",
+        spark.createDataFrame(
+            [(1, "Ab"), (2, "aB"), (3, "cd")], "fid long, k string"
+        ),
+    )
+    facts.project("dim", "DIMU", keys={"upper(k)": "ku"})
+    assert sorted(r["ku"] for r in s.table("DIMU").df().collect()) == ["AB", "CD"]
+    got = _by(facts.df().collect(), "fid")
+    assert got[1]["dim"] == "AB" and got[2]["dim"] == "AB" and got[3]["dim"] == "CD"
+
+
+def test_accu_requires_key_error(spark):
+    """Definition error surfaces eagerly (BistroError analog): accumulate
+    into a table with no declared key is rejected at compile time."""
+    s = Schema(spark)
+    groups = s.table(
+        "G", spark.createDataFrame([("g1",)], "name string")  # no key
+    )
+    facts = s.table("F", spark.createDataFrame([(1, "g1")], "fid long, grp string"))
+    groups.accu("n", facts, "grp", "count(*)", default=0)
+    with pytest.raises(ValueError, match="needs a key"):
+        groups.df().collect()

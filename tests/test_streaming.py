@@ -276,3 +276,81 @@ def test_sliding_and_session_windows_batch_semantics(spark):
     assert sgot[("2026-01-01 00:00:00", "a")] == ("2026-01-01 00:00:40", 3.0)
     assert sgot[("2026-01-01 00:00:50", "a")] == ("2026-01-01 00:01:20", 4.0)
     assert sgot[("2026-01-01 00:02:00", "b")] == ("2026-01-01 00:02:30", 8.0)
+
+
+def test_streaming_session_window_emits_closed_sessions(spark, tmp_path):
+    """True streaming session windows (F.session_window + watermark,
+    append mode): sessions whose end falls behind the final watermark are
+    emitted and match the batch gaps-and-islands computation; the still-
+    open tail sessions are (correctly) withheld.
+
+    Fixture: 3 sources, events every 2s with a 30s silence gap per source
+    mid-stream, split into micro-batches that cut across sessions."""
+    import os
+
+    root = str(tmp_path / "in")
+    # two bursts per source: [0..20s] and [60..80s] (gap 40s > 10s timeout)
+    rows = []
+    for si, src in enumerate(("web", "code", "books")):
+        for burst_start in (0, 60):
+            for t in range(0, 21, 2):
+                rows.append((f"d{si}_{burst_start}_{t}", src, burst_start + t + si))
+    df = spark.createDataFrame(rows, "doc_id string, src string, ofs int").select(
+        "doc_id",
+        "src",
+        F.expr("timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,ofs)")
+        .alias("event_time"),
+    )
+    # scripted batches split mid-burst
+    for k, (lo, hi) in enumerate([(0, 10), (10, 70), (70, 100)]):
+        df.filter(
+            (F.unix_timestamp("event_time") - F.unix_timestamp(F.lit("2026-01-01 00:00:00")) >= lo)
+            & (F.unix_timestamp("event_time") - F.unix_timestamp(F.lit("2026-01-01 00:00:00")) < hi)
+        ).coalesce(1).write.parquet(os.path.join(root, f"b{k}"))
+
+    src_stream = (
+        spark.readStream.schema("doc_id string, src string, event_time timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(root)
+    )
+    from bistro_spark.streaming.windows import session_window_accu
+
+    out = session_window_accu(
+        src_stream.withWatermark("event_time", "5 seconds"),
+        "event_time",
+        "10 seconds",
+        ["src"],
+        {"n": "count(*)"},
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["src"], r["window_start"].isoformat(), r["n"])
+        for r in spark.sql("select * from sess_out").collect()
+    }
+    # batch oracle: full-session computation, keep only sessions closed
+    # before the final watermark (max event time - 5s)
+    full = session_window_accu(
+        df, "event_time", "10 seconds", ["src"], {"n": "count(*)"}
+    )
+    max_t = df.agg(F.max("event_time")).collect()[0][0]
+    import datetime
+
+    wm = max_t - datetime.timedelta(seconds=5)
+    exp = {
+        (r["src"], r["window_start"].isoformat(), r["n"])
+        for r in full.collect()
+        if r["window_end"] <= wm
+    }
+    assert exp  # the first burst of every source must have closed
+    assert got == exp
+    # each source's first burst = one 11-event session
+    assert sum(1 for g in got if g[2] == 11) == 3
