@@ -178,6 +178,8 @@ def q_tokens_rowlevel(spark: SparkSession, sf: str) -> DataFrame:
     """Row-level token calc parity: n_tok recompute + order-sensitive
     fingerprint ingredients (first/last token, token sum) — exercises
     array<int32> exactness end-to-end."""
+    from bistro_spark.functions.tokens import token_head
+
     df = token_table_fast(spark, TOKENS_N, partitions=4)
     return df.select(
         "doc_id",
@@ -187,6 +189,7 @@ def q_tokens_rowlevel(spark: SparkSession, sf: str) -> DataFrame:
         F.aggregate(
             "tokens", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
         ).alias("tok_sum"),
+        token_head(5).alias("head5"),
     )
 
 
@@ -356,6 +359,20 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("media_id", "kind", "n_bytes", "mean_byte")
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate top-k (rows-only: probe search is approximate by
+    construction; exactness twin = ann_cosine_topk, and n_probe=n_lists
+    equality is asserted in tests)."""
+    from bistro_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, "embeddings", sf)
+    queries_df = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out, _model = ivf_topk(emb, queries_df, k=5, n_lists=8, n_probe=4)
+    return out
+
+
 def q_partition_lineage(spark: SparkSession, sf: str) -> DataFrame:
     """Per-partition lineage rollup (north-rule lineage surface; rows-only:
     physical partition ids are engine-internal by definition): every output
@@ -457,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_user_value": q_ewma_user_value,
         "multimodal_features": q_multimodal_features,  # rows-only (stubbed decode)
         "partition_lineage": q_partition_lineage,  # rows-only (partition ids)
+        "ann_ivf_topk": q_ann_ivf_topk,  # rows-only (approximate probe)
     }
 
 
@@ -708,7 +726,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(tokens) AS INTEGER)      AS n_tok_calc,
                    tokens[1]                         AS first_tok,
                    tokens[-1]                        AS last_tok,
-                   CAST(list_sum(tokens) AS BIGINT)  AS tok_sum
+                   CAST(list_sum(tokens) AS BIGINT)  AS tok_sum,
+                   tokens[1:5]                       AS head5
             FROM t
         """,
     }

@@ -119,3 +119,90 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "cos_sim")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+):
+    """IVF (inverted-file) approximate top-k: coarse k-means quantizer over
+    the corpus, each vector assigned to its nearest centroid's list; a
+    query scores ONLY the ``n_probe`` lists whose centroids are closest.
+
+    The second scale path next to LSH bucketing: candidate count is
+    ~ n_probe/n_lists of the corpus, tunable recall/cost. Training is one
+    MLlib KMeans fit (sampled on a real cluster); assignment is a small
+    broadcast of centroids + a GEMM per partition, and the probe join is a
+    broadcast semi-filter on list id — the corpus never shuffles.
+
+    Returns (result_df, model) — the model's centroids are reusable across
+    queries (the IVF index).
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
+    centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
+
+    def assign_expr(col_name: str) -> Column:
+        """Nearest-centroid id via pandas UDF GEMM (no per-row Python)."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("int")
+        def assign(s):
+            if not len(s):
+                return pd.Series([], dtype="int32")
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in s])
+            # argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c)
+            d = (centroids**2).sum(axis=1)[None, :] - 2.0 * (m @ centroids.T)
+            return pd.Series(d.argmin(axis=1).astype("int32"))
+
+        return assign(F.col(col_name))
+
+    c = corpus.withColumn("_list", assign_expr(vec_col))
+
+    # query -> its n_probe nearest lists (tiny, computed driver-side)
+    import numpy as np  # noqa: F811
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r[query_vec_col], dtype=np.float64)
+        d = ((centroids - qv) ** 2).sum(axis=1)
+        for lst in np.argsort(d)[:n_probe]:
+            probe_rows.append((r[query_id_col], int(lst)))
+    q_t = dict(queries.dtypes)[query_id_col]
+    probes = corpus.sparkSession.createDataFrame(
+        probe_rows, f"{query_id_col} {q_t}, _list int"
+    )
+
+    # restrict the corpus to probed lists per query, then exact cosine
+    candidates = c.join(F.broadcast(probes), "_list")
+    from bistro_spark.operators.dedup import _pair_cosine_np
+
+    qmap = queries.select(query_id_col, query_vec_col)
+    scored = (
+        candidates.join(F.broadcast(qmap), query_id_col)
+        .withColumn("cos_sim", F.round(_pair_cosine_np(vec_col, query_vec_col), 6))
+        .select(query_id_col, id_col, "cos_sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    result = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "cos_sim")
+    )
+    return result, model

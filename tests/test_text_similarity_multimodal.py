@@ -136,3 +136,27 @@ def test_frame_sample(spark):
         d = durations[r["media_id"]]
         expect = max((d - 1), 0) // 5000 + 1 if d > 0 else 1
         assert r["count"] == expect, (r["media_id"], d)
+
+
+def test_ivf_topk_recall(spark):
+    """IVF probe search finds most of the brute-force top-k (recall is
+    tunable via n_probe; with n_probe=n_lists it is exact by construction)."""
+    from bistro_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx_df, model = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=4)
+    approx = {(r["query_id"], r["vec_id"]) for r in approx_df.collect()}
+    assert len(model.clusterCenters()) == 8
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+    # full probe = exact
+    full_df, _ = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=8)
+    full = {(r["query_id"], r["vec_id"]) for r in full_df.collect()}
+    assert full == exact
