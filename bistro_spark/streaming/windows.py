@@ -92,3 +92,46 @@ def session_window_accu(
             *[F.col(n) for n in agg_exprs],
         )
     )
+
+
+def salted_tumbling_window_accu(
+    df: DataFrame,
+    time_col: str,
+    size: str,
+    keys: list[str],
+    partial_exprs: dict[str, str],
+    merge_exprs: dict[str, str],
+    n_salts: int = 16,
+    unique_col: str = "doc_id",
+) -> DataFrame:
+    """Two-phase salted windowed accumulate (streaming skew handling).
+
+    For a hot window×key cell, partial+final aggregation already spreads
+    the MAP side, but the final aggregation still lands the whole cell on
+    ONE state-store partition every micro-batch — the streaming straggler
+    the north rule calls out. Salting splits that cell across ``n_salts``
+    state partitions (first stateful agg keyed (window, keys..., salt)),
+    then a second stateful agg merges the per-salt partials per window.
+    Spark 3.4+ chains the two stateful operators in append mode with
+    correct watermark propagation; the salt is deterministic (crc32 of a
+    row-unique column, skew.py's exactly-once-replay-safe recipe).
+
+    ``partial_exprs``/``merge_exprs`` follow skew.salted_agg: the fold must
+    be decomposable (e.g. count -> sum, sum -> sum, min -> min).
+    """
+    from bistro_spark.skew import with_salt
+
+    salted = with_salt(df, n_salts, unique_col)
+    win = F.window(F.col(time_col), size)
+    partial = salted.groupBy(win.alias("win"), *keys, "_salt").agg(
+        *[F.expr(e).alias(n) for n, e in partial_exprs.items()]
+    )
+    merged = partial.groupBy("win", *keys).agg(
+        *[F.expr(e).alias(n) for n, e in merge_exprs.items()]
+    )
+    return merged.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *keys,
+        *[F.col(n) for n in merge_exprs],
+    )

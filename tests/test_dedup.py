@@ -159,3 +159,43 @@ def test_token_minhash_jvm_vs_pandas_identical(spark):
         assert len(got) == 301
         for r in got:
             assert r["a"] == r["b"], (k, stride, r["doc_id"])
+
+
+def test_token_minhash_kernel_randomized_ragged(spark):
+    """Randomized ragged-array parity (seeded): the numpy kernel and the
+    Catalyst HOF variant agree on adversarial length mixes — many rows
+    shorter than the shingle width, runs of identical tokens, max-id
+    tokens (overflow guard), single-row chunk boundaries."""
+    import numpy as np
+
+    from bistro_spark.operators.dedup import token_minhash, token_minhash_arrow
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(120):
+        kind = i % 4
+        if kind == 0:
+            n = int(rng.randint(1, 4))  # shorter than / at shingle width
+        elif kind == 1:
+            n = int(rng.randint(4, 40))
+        elif kind == 2:
+            n = 1  # degenerate
+        else:
+            n = int(rng.randint(400, 512))  # forces multi-chunk paths
+        if kind == 3:
+            toks = [50256] * n  # max vocab id everywhere: overflow guard
+        else:
+            toks = [int(x) for x in rng.randint(0, 50257, size=n)]
+        rows.append((f"r{i}", toks))
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>").repartition(5)
+    got = (
+        df.select(
+            "doc_id",
+            token_minhash("tokens", k=8, stride=2).alias("a"),
+            token_minhash_arrow("tokens", k=8, stride=2).alias("b"),
+        )
+        .collect()
+    )
+    assert len(got) == 120
+    for r in got:
+        assert r["a"] == r["b"], r["doc_id"]

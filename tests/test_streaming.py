@@ -354,3 +354,45 @@ def test_streaming_session_window_emits_closed_sessions(spark, tmp_path):
     assert got == exp
     # each source's first burst = one 11-event session
     assert sum(1 for g in got if g[2] == 11) == 3
+
+
+def test_salted_streaming_window_equals_unsalted(spark, stream_dir, tmp_path):
+    """Chained stateful aggregation (salted two-phase windowed accumulate)
+    emits the same closed windows as the plain windowed accumulate — the
+    streaming skew path is semantics-preserving."""
+    from bistro_spark.streaming.windows import salted_tumbling_window_accu
+
+    def run(build, name, ck):
+        src = _stream(spark, stream_dir).withWatermark("event_time", "30 seconds")
+        q = (
+            build(src)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["window_start"].isoformat(), r["source"], r["n"], r["s"])
+            for r in spark.sql(f"select * from {name}").collect()
+        }
+
+    plain = run(
+        lambda src: tumbling_window_accu(
+            src, "event_time", "60 seconds", ["source"],
+            {"n": "count(*)", "s": "sum(n_tok)"},
+        ),
+        "win_plain", "ck_plain",
+    )
+    salted = run(
+        lambda src: salted_tumbling_window_accu(
+            src, "event_time", "60 seconds", ["source"],
+            {"n": "count(*)", "s": "sum(n_tok)"},
+            {"n": "sum(n)", "s": "sum(s)"},
+            n_salts=8,
+        ),
+        "win_salted", "ck_salted",
+    )
+    assert plain and salted == plain

@@ -105,3 +105,71 @@ def test_stream_stream_link_matches_batch(spark, two_streams, tmp_path):
     }
     assert len(got) == len(exp) and got == exp
     assert len(got) == N // 2  # every even doc matched exactly once
+
+
+def test_stream_stream_link_checkpoint_resume(spark, two_streams, tmp_path):
+    """Kill the stateful join mid-stream, resume from the same checkpoint:
+    committed output identical to an uninterrupted run (join state — rows
+    buffered waiting for the other side — survives restart)."""
+    from bistro_spark.streaming.sink import IdempotentParquetSink
+
+    left_dir, right_dir, meta = two_streams
+
+    def build():
+        lstream = (
+            spark.readStream.schema(TOKEN_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(left_dir)
+        )
+        rstream = (
+            spark.readStream.schema(
+                "doc_id string, event_time timestamp, score int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(right_dir)
+        )
+        return stream_stream_link(
+            lstream, rstream, "meta", on="doc_id", max_delay="10 seconds"
+        ).select("doc_id", "n_tok", "meta__score")
+
+    def run(sink, ck, stop_after):
+        seen = {"n": 0}
+
+        def fb(df, bid):
+            sink.write(df, bid)
+            seen["n"] += 1
+            if stop_after is not None and seen["n"] >= stop_after:
+                raise RuntimeError("injected crash")
+
+        q = (
+            build()
+            .writeStream.outputMode("append")
+            .foreachBatch(fb)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        except Exception:
+            pass
+
+    sink1 = IdempotentParquetSink(str(tmp_path / "o1"))
+    ck1 = str(tmp_path / "ck1")
+    run(sink1, ck1, stop_after=1)  # crash after the first batch commit
+    run(sink1, ck1, stop_after=None)  # resume
+
+    sink2 = IdempotentParquetSink(str(tmp_path / "o2"))
+    run(sink2, str(tmp_path / "ck2"), stop_after=None)  # uninterrupted
+
+    a = sorted(
+        (r["doc_id"], r["n_tok"], r["meta__score"])
+        for r in sink1.read_committed(spark).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["n_tok"], r["meta__score"])
+        for r in sink2.read_committed(spark).collect()
+    )
+    assert a and a == b
