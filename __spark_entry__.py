@@ -177,7 +177,8 @@ def q_tokens_flagship(spark: SparkSession, sf: str) -> DataFrame:
 def q_tokens_rowlevel(spark: SparkSession, sf: str) -> DataFrame:
     """Row-level token calc parity: n_tok recompute + order-sensitive
     fingerprint ingredients (first/last token, token sum) — exercises
-    array<int32> exactness end-to-end."""
+    array<int32> exactness end-to-end. The head5 array is serialized to a
+    CSV string (the driver's canonicalizer can't sort list columns)."""
     from bistro_spark.functions.tokens import token_head
 
     df = token_table_fast(spark, TOKENS_N, partitions=4)
@@ -189,7 +190,7 @@ def q_tokens_rowlevel(spark: SparkSession, sf: str) -> DataFrame:
         F.aggregate(
             "tokens", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
         ).alias("tok_sum"),
-        token_head(5).alias("head5"),
+        F.concat_ws(",", token_head(5).cast("array<string>")).alias("head5"),
     )
 
 
@@ -279,11 +280,15 @@ def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_text_winnow_fp(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing rolling-hash document fingerprint (MOSS scheme) over
-    documents — array<long> of window-min gram hashes."""
+    documents — the array<long> of window-min gram hashes, serialized to a
+    CSV string so the driver canonicalizer can sort the column."""
     from bistro_spark.operators.text import winnow_fingerprint
 
     return load_table(spark, "documents", sf).select(
-        "doc_id", winnow_fingerprint("text").alias("winnow_fp")
+        "doc_id",
+        F.concat_ws(
+            ",", winnow_fingerprint("text").cast("array<string>")
+        ).alias("winnow_fp"),
     )
 
 
@@ -314,7 +319,10 @@ def q_tokens_minhash(spark: SparkSession, sf: str) -> DataFrame:
     from bistro_spark.operators.dedup import token_minhash
 
     return token_table_fast(spark, TOKENS_N, partitions=4).select(
-        "doc_id", token_minhash("tokens", k=4).alias("sig")
+        "doc_id",
+        F.concat_ws(
+            ",", token_minhash("tokens", k=4).cast("array<string>")
+        ).alias("sig"),
     )
 
 
@@ -541,7 +549,9 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "text_winnow_fp": f"""
-            SELECT doc_id, {winnow_fingerprint_sql('text')} AS winnow_fp
+            SELECT doc_id,
+                   array_to_string({winnow_fingerprint_sql('text')}, ',')
+                     AS winnow_fp
             FROM documents
         """,
         "dedup_ngram_jaccard": f"""
@@ -553,7 +563,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tokens_minhash": f"""
             WITH t AS ({_TOKENS_CTE})
-            SELECT doc_id, {token_minhash_sql('tokens', 4)} AS sig
+            SELECT doc_id,
+                   array_to_string({token_minhash_sql('tokens', 4)}, ',')
+                     AS sig
             FROM t
         """,
         "ewma_user_value": """
@@ -727,7 +739,7 @@ def oracle_sql() -> dict[str, str]:
                    tokens[1]                         AS first_tok,
                    tokens[-1]                        AS last_tok,
                    CAST(list_sum(tokens) AS BIGINT)  AS tok_sum,
-                   tokens[1:5]                       AS head5
+                   array_to_string(tokens[1:5], ',') AS head5
             FROM t
         """,
     }

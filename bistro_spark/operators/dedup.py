@@ -66,22 +66,35 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"):
 # ----------------------------------------------------------- minhash -----
 
 
+def _shuffle_partitions(df: DataFrame) -> int:
+    """spark.sql.shuffle.partitions as an int, falling back to the
+    context's default parallelism when the conf is non-numeric (e.g.
+    'auto' on some platforms)."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
 def minhash_signature(
-    df: DataFrame, text_col: str = "text", k: int = 16
+    df: DataFrame, text_col: str = "text", k: int = 16, barrier: bool = True
 ) -> DataFrame:
     """Append ``sig`` array<long> of k MinHash values (native Catalyst:
     split → md5-hash per word → k affine min-reductions; no Python).
 
-    The word-hash array is materialized behind a repartition barrier:
-    CollapseProject would otherwise inline it into every one of the k
-    min-reductions and recompute the per-word md5 k times (measured 2.5x
-    slower end-to-end). The exchange also restores parallelism on
-    few-row-group inputs, and self-joining callers (LSH) get the whole
-    signature computed once via ReusedExchange."""
+    With ``barrier=True`` (default) the word-hash array is materialized
+    behind a repartition barrier: CollapseProject would otherwise inline it
+    into every one of the k min-reductions and recompute the per-word md5 k
+    times (measured 2.5x slower end-to-end). The exchange also restores
+    parallelism on few-row-group inputs, and self-joining callers (LSH) get
+    the whole signature computed once via ReusedExchange. Callers that need
+    a narrow no-shuffle plan (and accept the recompute) pass
+    ``barrier=False``."""
     words = F.split(F.col(text_col), " ")
     hashes = F.transform(words, lambda w: word_hash(w))
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    base = df.withColumn("_hashes", hashes).repartition(n_part)
+    base = df.withColumn("_hashes", hashes)
+    if barrier:
+        base = base.repartition(_shuffle_partitions(df))
     sig = F.array(
         *[
             F.array_min(
@@ -213,10 +226,31 @@ def _minhash_flat(flat, lengths, k, shingle, stride, chunk_tokens=16384):
 
     poly = [(A0 + 2 * j) % P for j in range(shingle)]
     coeffs = hash_coeffs(k)
+    if len(lengths) and (lengths == 0).any():
+        # zero-length rows would corrupt the reduceat offsets (duplicate /
+        # out-of-range starts); normalize them to a single 0 token, which
+        # is exactly the Catalyst twin's zero-padded-prefix semantics
+        # (token_minhash: sequence(1, greatest(size-s+1, 1)) over
+        # try_element_at→coalesce(…, 0)).
+        lengths = np.asarray(lengths, dtype=np.int64)
+        lengths2 = np.maximum(lengths, 1)
+        off_old = np.concatenate(([0], np.cumsum(lengths)))
+        off_new = np.concatenate(([0], np.cumsum(lengths2)))
+        flat2 = np.zeros(int(off_new[-1]), dtype=np.int64)
+        if len(flat):
+            pos = np.repeat(off_new[:-1], lengths) + (
+                np.arange(len(flat), dtype=np.int64)
+                - np.repeat(off_old[:-1], lengths)
+            )
+            flat2[pos] = flat
+        flat, lengths = flat2, lengths2
     offsets = np.concatenate(([0], np.cumsum(lengths)))
     n = len(lengths)
     out = np.empty((n, k), dtype=np.int64)
-    buf = np.empty(chunk_tokens + 600, dtype=np.int64)
+    # a chunk holds up to chunk_tokens-1 tokens plus one whole extra row, so
+    # the scratch buffer must cover chunk_tokens + the longest row
+    max_row = int(lengths.max()) if n else 0
+    buf = np.empty(chunk_tokens + max_row, dtype=np.int64)
     r0 = 0
     while r0 < n:
         r1, tok = r0, 0
@@ -348,15 +382,19 @@ def token_minhash_sql(
 # ----------------------------------------------------------- simhash -----
 
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str = "text", bits: int = 16, barrier: bool = True
+) -> DataFrame:
     """SimHash sketch: bit b set iff sum over words of ±1 (sign of bit b of
     H(w)) is positive. Near-dups have close sketches (Charikar 2002).
     Word hashes materialized behind a repartition barrier — same reason as
-    minhash_signature (each of the `bits` folds would recompute them)."""
+    minhash_signature (each of the `bits` folds would recompute them);
+    ``barrier=False`` keeps a narrow plan instead."""
     words = F.split(F.col(text_col), " ")
     hashes = F.transform(words, lambda w: word_hash(w))
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    base = df.withColumn("_hashes", hashes).repartition(n_part)
+    base = df.withColumn("_hashes", hashes)
+    if barrier:
+        base = base.repartition(_shuffle_partitions(df))
     bit_cols = []
     for b in range(bits):
         contrib = F.aggregate(

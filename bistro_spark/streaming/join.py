@@ -49,21 +49,23 @@ def stream_stream_link(
     """
     wm = watermark or max_delay
     lt, rt = time_col, f"{name}{PATH_SEP}{time_col}"
+    ron = f"{name}{PATH_SEP}{on}"
+    # alias EVERY right column (key included) to the name__col prefix so no
+    # join type — inner or outer — can emit two identically-named columns
     r = right.select(
-        *[
-            F.col(c).alias(c if c == on else f"{name}{PATH_SEP}{c}")
-            for c in right.columns
-        ]
+        *[F.col(c).alias(f"{name}{PATH_SEP}{c}") for c in right.columns]
     )
     lw = left.withWatermark(lt, wm)
     rw = r.withWatermark(rt, wm)
     cond = (
-        (lw[on] == rw[on])
+        (lw[on] == rw[ron])
         & (rw[rt] >= F.expr(f"{lt} - INTERVAL {max_delay}"))
         & (rw[rt] <= F.expr(f"{lt} + INTERVAL {max_delay}"))
     )
     joined = lw.join(rw, cond, how)
-    # drop the duplicated key column from the right side for inner joins
+    # the prefixed key duplicates the left key on matched rows; drop it for
+    # inner joins (always equal) but keep it for outer joins, where a null
+    # marks the unmatched side
     if how == "inner":
-        joined = joined.drop(rw[on])
+        joined = joined.drop(rw[ron])
     return joined

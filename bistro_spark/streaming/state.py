@@ -83,7 +83,10 @@ def ewma_stream(
     (ewma, n); each micro-batch folds its (order-sorted) rows into the
     state — exactly the reference's incremental accu over the added span.
     Emits the running value per group per batch (update semantics)."""
-    out_schema = ", ".join(f"{k} string" for k in keys) + ", ewma double, n long"
+    in_types = dict(df.dtypes)
+    out_schema = (
+        ", ".join(f"{k} {in_types[k]}" for k in keys) + ", ewma double, n long"
+    )
     state_schema = "ewma double, n long"
 
     def update(
@@ -129,7 +132,10 @@ def accu_stream_tws(
     """
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
-    out_schema = ", ".join(f"{k} string" for k in keys) + ", ewma double, n long"
+    in_types = dict(df.dtypes)
+    out_schema = (
+        ", ".join(f"{k} {in_types[k]}" for k in keys) + ", ewma double, n long"
+    )
 
     class RunningEwma(StatefulProcessor):
         def init(self, handle) -> None:
