@@ -166,6 +166,23 @@ def q_formula_expr(spark: SparkSession, sf: str) -> DataFrame:
     return t.df().select("p_partkey", "value_density", "brand_type")
 
 
+def q_formula_bracket(spark: SparkSession, sf: str) -> DataFrame:
+    """F1 formula bracket grammar ([Column A] + [B] — the reference's
+    exp4j/EvalEx surface, FormulaExp4j.java): bracketed column references,
+    including names with spaces, parsed by the engine's formula shim into
+    the same calc path."""
+    s = Schema(spark)
+    base = load_table(spark, "part", sf).select(
+        "p_partkey",
+        F.col("p_retailprice").alias("unit price"),
+        F.col("p_size").alias("pack size"),
+    )
+    t = s.table("part_f", base)
+    t.calc("density", "[unit price] / ([pack size] + 1)")
+    t.calc("double_density", "[density] * 2")
+    return t.df().select("p_partkey", "density", "double_density")
+
+
 def q_tokens_flagship(spark: SparkSession, sf: str) -> DataFrame:
     """The north-rule calc→link→accu pipeline on the deterministic F1 token
     table (sf-independent; the oracle regenerates the identical table)."""
@@ -263,18 +280,32 @@ def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH-bucketed embedding near-dup pairs (rows-only check: the Weyl
-    hyperplane buckets are not practical to replicate in SQL). Corpus =
-    embeddings ∪ exact copies of the first 20 vectors (random embeddings
-    carry no natural near-dups)."""
+    """Banded multi-table hyperplane-LSH embedding near-dup pairs. Corpus =
+    embeddings ∪ exact copies of the first 20 vectors (the driver
+    embeddings carry no natural pairs above 0.99 — verified max natural
+    cosine 0.51 at sf0.01 — so LSH recall on the qualifying pairs is
+    exactly 1 and the all-pairs SQL oracle is a complete twin)."""
     from bistro_spark.operators.dedup import embedding_neardup_pairs
 
-    emb = load_table(spark, "embeddings", sf)
+    emb = load_table(spark, "embeddings", sf).select("vec_id", "embedding")
     dups = emb.filter("vec_id < 20").withColumn(
         "vec_id", F.col("vec_id") + 100000
     )
     return embedding_neardup_pairs(
-        emb.unionByName(dups), threshold=0.99, sign_bits=6
+        emb.unionByName(dups), threshold=0.99, n_tables=4, bits_per_table=8
+    )
+
+
+def q_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash multi-probe candidate search: all document pairs within
+    Hamming distance ≤ 2 of their 16-bit sketches (bit-flip neighborhood
+    explode + equi bucket join — never all-pairs). Oracle = the all-pairs
+    bit_count(xor) filter, so the probe enumeration's completeness is what
+    is being verified."""
+    from bistro_spark.operators.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(
+        load_table(spark, "documents", sf), bits=16, max_hamming=2
     )
 
 
@@ -357,9 +388,11 @@ def q_ewma_user_value(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Multimodal plumbing (rows-only: the decode step is a deterministic
-    stub — no SQL twin by construction): synthetic binary media table →
-    mapInPandas feature extraction (payload stats + pseudo-embedding)."""
+    """Multimodal plumbing: synthetic binary media table → mapInPandas
+    feature extraction. The payload bytes derive from sha2(hex(id)), which
+    DuckDB reproduces exactly — so n_bytes/mean_byte are hash-verified;
+    only the pseudo-embedding (stubbed decode) is excluded from the
+    contract columns."""
     from bistro_spark.operators.multimodal import extract_features, synthetic_media
 
     media = synthetic_media(spark, 200)
@@ -368,16 +401,19 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF approximate top-k (rows-only: probe search is approximate by
-    construction; exactness twin = ann_cosine_topk, and n_probe=n_lists
-    equality is asserted in tests)."""
+    """IVF top-k in the full-probe configuration (n_probe = n_lists): every
+    list is searched, so the assignment + probe machinery must reproduce
+    the brute-force top-k exactly — hash-verified against the same SQL
+    oracle as ann_cosine_topk. (Partial-probe recall is asserted vs the
+    exact twin in pytest; the fit is sample-capped and the returned
+    centroid index is reusable across calls.)"""
     from bistro_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, "embeddings", sf)
     queries_df = emb.filter("vec_id < 3").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out, _model = ivf_topk(emb, queries_df, k=5, n_lists=8, n_probe=4)
+    out, _centroids = ivf_topk(emb, queries_df, k=5, n_lists=8, n_probe=8)
     return out
 
 
@@ -464,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_bin_events": q_range_bin_events,
         "prod_where": q_prod_where,
         "formula_expr": q_formula_expr,
+        "formula_bracket": q_formula_bracket,
         "tokens_flagship": q_tokens_flagship,
         "tokens_rowlevel": q_tokens_rowlevel,
         "tumbling_window_events": q_tumbling_window_events,
@@ -475,14 +512,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": q_text_features,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,  # rows-only (no oracle)
-        "embedding_neardup": q_embedding_neardup,  # rows-only (no oracle)
+        "embedding_neardup": q_embedding_neardup,
+        "simhash_hamming": q_simhash_hamming,
         "text_winnow_fp": q_text_winnow_fp,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "tokens_minhash": q_tokens_minhash,
         "ewma_user_value": q_ewma_user_value,
-        "multimodal_features": q_multimodal_features,  # rows-only (stubbed decode)
+        "multimodal_features": q_multimodal_features,
         "partition_lineage": q_partition_lineage,  # rows-only (partition ids)
-        "ann_ivf_topk": q_ann_ivf_topk,  # rows-only (approximate probe)
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 
@@ -496,6 +534,27 @@ _DIM_CTE = """
 dim(source, weight, origin) AS (VALUES
   ('web',1.0,'crawl'), ('code',0.5,'github'), ('books',2.0,'scan'),
   ('wiki',1.5,'dump'), ('archive',9.9,'cold'))
+"""
+
+_COSINE_TOPK_SQL = """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+      FROM embeddings e CROSS JOIN q)
+    SELECT query_id,
+           CAST(row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank,
+           vec_id, cos_sim
+    FROM scored
+    QUALIFY rank <= 5
 """
 
 
@@ -635,27 +694,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {simhash_sql('text', 16)} AS simhash
             FROM documents
         """,
-        "text_features": _text_features_sql(),
-        "ann_cosine_topk": """
-            WITH q AS (
-              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-              FROM embeddings WHERE vec_id < 3),
-            scored AS (
-              SELECT q.query_id, e.vec_id,
-                     round(
-                       list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
-                       (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                              CAST(e.embedding AS DOUBLE[]))) *
-                        sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
-              FROM embeddings e CROSS JOIN q)
-            SELECT query_id,
-                   CAST(row_number() OVER (
-                     PARTITION BY query_id
-                     ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank,
-                   vec_id, cos_sim
-            FROM scored
-            QUALIFY rank <= 5
+        "simhash_hamming": f"""
+            WITH s AS (
+              SELECT doc_id, {simhash_sql('text', 16)} AS sh FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+            FROM s a JOIN s b ON b.doc_id > a.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 2
         """,
+        "embedding_neardup": """
+            WITH u AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+              FROM embeddings WHERE vec_id < 20),
+            scored AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_dot_product(a.v, b.v) /
+                           (sqrt(list_dot_product(a.v, a.v)) *
+                            sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+              FROM u a JOIN u b ON b.vec_id > a.vec_id)
+            SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.99
+        """,
+        "multimodal_features": """
+            WITH m AS (
+              SELECT i AS media_id,
+                     CASE WHEN i % 3 = 0 THEN 'image'
+                          WHEN i % 3 = 1 THEN 'audio'
+                          ELSE 'video' END AS kind,
+                     sha256(printf('%X', i)) AS h
+              FROM range(0, 200) t(i))
+            SELECT media_id, kind,
+                   CAST(32 AS INTEGER) AS n_bytes,
+                   list_sum(list_transform(range(0, 32),
+                     j -> CAST(concat('0x', substr(h, 2*j+1, 2)) AS INTEGER)
+                   )) / 32.0 AS mean_byte
+            FROM m
+        """,
+        "text_features": _text_features_sql(),
+        "ann_cosine_topk": _COSINE_TOPK_SQL,
+        # full-probe IVF (n_probe = n_lists) searches every list, so its
+        # contract is exactly the brute-force top-k
+        "ann_ivf_topk": _COSINE_TOPK_SQL,
         "calc_lineitem": """
             SELECT l_orderkey, l_linenumber,
                    l_extendedprice * (1 - l_discount) AS revenue,
@@ -719,6 +800,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey,
                    p_retailprice / (p_size + 1)      AS value_density,
                    concat(p_brand, '#', p_type)      AS brand_type
+            FROM part
+        """,
+        "formula_bracket": """
+            SELECT p_partkey,
+                   p_retailprice / (p_size + 1)            AS density,
+                   (p_retailprice / (p_size + 1)) * 2      AS double_density
             FROM part
         """,
         "tokens_flagship": f"""

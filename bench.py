@@ -96,7 +96,8 @@ def main() -> None:
             k: s[k]
             for k in (
                 "n_cores", "n4_cores", "n_seq_per_sec", "n4_seq_per_sec",
-                "scaling_efficiency", "sketch",
+                "pair_efficiencies", "scaling_efficiency",
+                "best_pair_efficiency", "requirement", "pass", "sketch",
             )
             if k in s
         }

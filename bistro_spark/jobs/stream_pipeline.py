@@ -61,23 +61,22 @@ def main() -> None:
         .option("maxFilesPerTrigger", args.files_per_trigger)
         .parquet(args.input)
     )
-    src = stamp_lineage(src).withWatermark("event_time", args.watermark)
-    prepared = prepare_facts(spark, src)
+    src = stamp_lineage(src)
+    # watermark applied AFTER prepare_facts: the sketch path rebuilds the
+    # row through mapInArrow, which would orphan an upstream watermark tag
+    prepared = prepare_facts(spark, src, sketch=args.sketch).withWatermark(
+        "event_time", args.watermark
+    )
     aggs = {
         "n_seq": "count(*)",
         "sum_tok": "sum(n_tok_calc)",
         "sum_weighted": "sum(weighted_tok)",
     }
     if args.sketch:
-        # streaming dedup statistics: full MinHash (k=16, every shingle)
-        # over token 3-gram shingles via the Arrow-vectorized numpy kernel
-        # (the input_hint calc shape) + per-window distinct content count
-        # off the exact fingerprint
-        from bistro_spark.operators.dedup import token_minhash_pandas
-
-        prepared = prepared.withColumn(
-            "tok_sig", token_minhash_pandas("tokens", k=16, stride=1)
-        )
+        # streaming dedup statistics: the fused Arrow sketch stage already
+        # computed the k=16 stride-1 MinHash signature and its fold as
+        # `fingerprint`; the window adds the distinct-content count (HLL)
+        # and a signature witness for parity checks
         aggs["n_distinct"] = "approx_count_distinct(fingerprint)"
         aggs["sig_min"] = "min(tok_sig[0])"
     prepared = observe_counts(prepared, "prepared")

@@ -221,7 +221,9 @@ def _minhash_flat(flat, lengths, k, shingle, stride, chunk_tokens=16384):
     Element-identical to ``token_minhash`` (asserted in tests). Chunks are
     sized to stay L2-resident with preallocated in-place buffers, so DRAM
     traffic ≈ one pass over the input — this is what lets the sketch scale
-    with cores instead of with memory bandwidth."""
+    with cores instead of with memory bandwidth. ``flat`` may be int32
+    (Arrow token ids as stored): each chunk is widened to int64 while
+    cache-hot, so the DRAM pass reads 4 bytes/token, not 8."""
     import numpy as np
 
     poly = [(A0 + 2 * j) % P for j in range(shingle)]
@@ -259,6 +261,8 @@ def _minhash_flat(flat, lengths, k, shingle, stride, chunk_tokens=16384):
             r1 += 1
         s, e = offsets[r0], offsets[r1]
         f = flat[s:e]
+        if f.dtype != np.int64:
+            f = f.astype(np.int64)  # chunk-local widen, L2-resident
         L = lengths[r0:r1]
         starts = offsets[r0:r1] - s
         m = len(f)
@@ -316,7 +320,9 @@ def token_minhash_pandas(
         lengths = s.map(len).to_numpy(dtype=np.int64)
         flat = (
             np.concatenate(s.to_numpy()) if lengths.sum() else np.empty(0)
-        ).astype(np.int64)
+        )
+        if flat.dtype not in (np.int32, np.int64):
+            flat = flat.astype(np.int64)
         out = _minhash_flat(flat, lengths, k, shingle, stride)
         return pd.Series(list(out))
 
@@ -350,7 +356,8 @@ def token_minhash_arrow(
         if n == 0:
             return pa.array([], type=pa.list_(pa.int64()))
         lengths = np.diff(offsets)
-        flat = lo.values.to_numpy()[offsets[0] : offsets[-1]].astype(np.int64)
+        # no batch-wide widen: the kernel converts int32 chunk-by-chunk
+        flat = lo.values.to_numpy()[offsets[0] : offsets[-1]]
         out = _minhash_flat(flat, lengths, k, shingle, stride)
         return pa.ListArray.from_arrays(
             np.arange(0, (n + 1) * k, k, dtype=np.int32),
@@ -359,6 +366,79 @@ def token_minhash_arrow(
 
     c = F.col(tokens) if isinstance(tokens, str) else tokens
     return mh(c)
+
+
+def sketch_calc_arrow(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    k: int = 16,
+    shingle: int = 3,
+    stride: int = 1,
+    sig_col: str = "tok_sig",
+    fp_col: str = "fingerprint",
+    n_col: str = "n_tok_calc",
+) -> DataFrame:
+    """Fused sketch calc stage over Arrow record batches (``mapInArrow``).
+
+    The streaming pipeline's token-heavy calcs — n_tok recompute, content
+    fingerprint, MinHash signature — fused into ONE pass over the Arrow
+    list buffers: lengths come free from the list offsets, the signature
+    runs the cache-blocked kernel on the int32 values buffer directly, and
+    the fingerprint is a polynomial fold of the k signature values (an
+    order-insensitive-collision-free-enough content id: two documents
+    collide only when all k stride-1 MinHashes agree, i.e. near-identical
+    shingle sets — the right identity notion for dedup statistics).
+
+    Crucially the ``tokens`` column is DROPPED inside the same node, so the
+    JVM materializes the arrays exactly once (parquet scan → Arrow); no
+    downstream projection, join, or shuffle ever copies them again. At
+    fixed memory bandwidth this is what keeps the calc stage scaling with
+    cores — UnsafeRow re-materialization of a 1-2 KB array per operator is
+    pure DRAM traffic.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    out_fields = [f for f in df.schema.fields if f.name != tokens_col]
+    out_schema_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields
+    ) + f", {n_col} int, {fp_col} long, {sig_col} array<long>"
+    keep_names = [f.name for f in out_fields]
+
+    def run(batches):
+        for b in batches:
+            idx = b.schema.get_field_index(tokens_col)
+            lo = b.column(idx)
+            n = len(lo)
+            offsets = lo.offsets.to_numpy().astype(np.int64)
+            lengths = np.diff(offsets)
+            flat = lo.values.to_numpy()[offsets[0] : offsets[-1]]
+            if n:
+                sig = _minhash_flat(flat, lengths, k, shingle, stride)
+                # polynomial fold of the signature rows → one int64 id
+                fp = sig[:, 0].astype(np.uint64).copy()
+                for j in range(1, k):
+                    fp *= np.uint64(1_099_511_628_211)  # FNV prime
+                    fp += sig[:, j].astype(np.uint64)
+                fp = fp.view(np.int64)
+                sig_arr = pa.ListArray.from_arrays(
+                    np.arange(0, (n + 1) * k, k, dtype=np.int32),
+                    pa.array(sig.ravel()),
+                )
+            else:
+                fp = np.empty(0, dtype=np.int64)
+                sig_arr = pa.array([], type=pa.list_(pa.int64()))
+            cols = [b.column(b.schema.get_field_index(c)) for c in keep_names]
+            cols += [
+                pa.array(lengths.astype(np.int32)),
+                pa.array(fp),
+                sig_arr,
+            ]
+            yield pa.RecordBatch.from_arrays(
+                cols, names=keep_names + [n_col, fp_col, sig_col]
+            )
+
+    return df.mapInArrow(run, out_schema_ddl)
 
 
 def token_minhash_sql(
@@ -407,6 +487,56 @@ def simhash(
     return base.withColumn(
         "simhash", sum(bit_cols, start=F.lit(0)).cast("long")
     ).drop("_hashes")
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """SimHash near-dup candidate pairs within Hamming distance ≤ d —
+    multi-probe bit-flip search (the candidate generation the sketch alone
+    doesn't give you).
+
+    One side of the join is exploded into all C(bits, ≤d) bit-flip
+    neighborhoods of its sketch (probe keys); the other side keeps the
+    exact sketch. Sharing any probe key ⟺ Hamming ≤ d, so an EQUI hash
+    join on the probed key finds exactly the qualifying pairs — never an
+    all-pairs compare. Probe multiplicity for bits=16, d=2 is 137; at
+    scale that multiplies only the narrow (id, sketch) stream, not the
+    documents. Output: (id_a, id_b, hamming) with id_a < id_b.
+    """
+    from itertools import combinations
+
+    sk = simhash(df, text_col, bits).select(
+        F.col(id_col).alias("id"), "simhash"
+    )
+    masks = [0]
+    for d in range(1, max_hamming + 1):
+        for combo in combinations(range(bits), d):
+            masks.append(sum(1 << b for b in combo))
+    probed = sk.select(
+        F.col("id"),
+        F.col("simhash").alias("sh_a"),
+        F.explode(
+            F.array(*[F.col("simhash").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("probe"),
+    )
+    exact = sk.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        probed.join(exact, F.col("probe") == F.col("sh_b"))
+        .filter(F.col("id") < F.col("id_b"))
+        .select(
+            F.col("id").alias("id_a"),
+            "id_b",
+            F.bit_count(
+                F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
 
 
 def simhash_sql(text_expr: str, bits: int = 16) -> str:
@@ -525,6 +655,28 @@ def _sign_bucket_np(vec_col: str, bits: int, dim_hint: int | None = None) -> Col
     return bucket(F.col(vec_col))
 
 
+def _banded_sign_buckets_np(vec_col: str, n_tables: int, bits: int) -> Column:
+    """One bucket id per LSH table (array<int>, length n_tables) in a single
+    GEMM against n_tables*bits Weyl hyperplanes — table t uses planes
+    [t*bits, (t+1)*bits). The banded analog of _sign_bucket_np."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def buckets(s):
+        import pandas as pd
+
+        if not len(s):
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in s])
+        h = _weyl_hyperplanes(n_tables * bits, m.shape[1])
+        signs = (m @ h.T > 0).reshape(len(s), n_tables, bits)
+        vals = signs @ (1 << np.arange(bits, dtype=np.int64))
+        return pd.Series(list(vals.astype(np.int32)))
+
+    return buckets(F.col(vec_col))
+
+
 def _pair_cosine_np(a_col: str, b_col: str) -> Column:
     """Row-wise cosine of two embedding columns via numpy (float64)."""
     import numpy as np
@@ -550,31 +702,65 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    sign_bits: int = 8,
+    n_tables: int = 4,
+    bits_per_table: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Embedding near-dup candidates at scale: random-hyperplane sign
-    bucket (deterministic pseudo-hyperplanes) → exact cosine only within
-    buckets. Avoids the quadratic all-pairs compare; cosine ≥ threshold
-    filter applied after the bucket-local join. Bucket bits and pair
-    cosines both run as Arrow-batched numpy (GEMM), not per-element
-    expression interpretation."""
-    bucketed = emb_df.withColumn("bucket", _sign_bucket_np(vec_col, sign_bits))
-    l, r = bucketed.alias("l"), bucketed.alias("r")
-    return (
+    """Embedding near-dup pairs at scale: banded multi-table hyperplane LSH.
+
+    Each vector gets one sign-bucket per LSH table (n_tables independent
+    bands of bits_per_table deterministic Weyl hyperplanes, one GEMM);
+    candidates are id pairs sharing a bucket in ≥1 table (OR-of-ANDs, the
+    same banding that lsh_candidate_pairs uses for MinHash). Exact cosine
+    (Arrow GEMM) is computed once per DISTINCT candidate pair, then the
+    ≥ threshold filter.
+
+    Scale shape: the bucket join is bucket-local — expected pairs per table
+    ≈ n²/2^bits_per_table, and the multiplicity is n_tables, never n².
+    Recall: identical vectors collide in EVERY table; a vector pair with
+    hyperplane-agreement p collides in ≥1 table w.p. 1-(1-p^bits)^tables.
+    ``max_bucket`` caps hot buckets: any (table, bucket) with more members
+    is excluded from candidacy (standard LSH overflow policy — trades
+    recall inside degenerate buckets for a hard bound on join fan-out; the
+    dropped-bucket count is observable via the `bucket` plan, and capped
+    data paths should log it).
+    """
+    bucketed = emb_df.select(
+        F.col(id_col), F.col(vec_col),
+        F.posexplode(
+            _banded_sign_buckets_np(vec_col, n_tables, bits_per_table)
+        ).alias("table_id", "bucket"),
+    )
+    if max_bucket is not None:
+        sizes = bucketed.groupBy("table_id", "bucket").count()
+        keep = sizes.filter(F.col("count") <= max_bucket).select(
+            "table_id", "bucket"
+        )
+        bucketed = bucketed.join(F.broadcast(keep), ["table_id", "bucket"])
+    ids = bucketed.select(F.col(id_col).alias("id"), "table_id", "bucket")
+    l, r = ids.alias("l"), ids.alias("r")
+    pairs = (
         l.join(
             r,
-            (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            (F.col("l.table_id") == F.col("r.table_id"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col(f"l.{vec_col}").alias("va"),
-            F.col(f"r.{vec_col}").alias("vb"),
-        )
-        .withColumn("cos_sim", _pair_cosine_np("va", "vb"))
-        .drop("va", "vb")
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    va = emb_df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    vb = emb_df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", F.round(_pair_cosine_np("va", "vb"), 6))
         .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
     )
 
 

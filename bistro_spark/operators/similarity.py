@@ -121,6 +121,35 @@ def cosine_topk_lsh(
     )
 
 
+def ivf_fit(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_cap: int = 100_000,
+):
+    """Train the IVF coarse quantizer: k-means over a bounded SAMPLE of the
+    corpus (never the full table — at 100 TB a full-corpus fit would be an
+    ML job inside every query). The returned centroid matrix (numpy,
+    (n_lists, dim)) IS the reusable index: fit once, pass to any number of
+    ivf_topk calls."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = corpus.count()
+    sampled = corpus
+    if n > sample_cap:
+        # oversample then hard-cap: sample() is fraction-based and can
+        # overshoot; limit() bounds the driver-side fit input exactly
+        sampled = corpus.sample(
+            fraction=min(1.0, 1.2 * sample_cap / n), seed=seed
+        ).limit(sample_cap)
+    train = sampled.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
+    return np.stack([np.asarray(c) for c in model.clusterCenters()])
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -132,6 +161,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     seed: int = 42,
+    centroids=None,
 ):
     """IVF (inverted-file) approximate top-k: coarse k-means quantizer over
     the corpus, each vector assigned to its nearest centroid's list; a
@@ -139,20 +169,25 @@ def ivf_topk(
 
     The second scale path next to LSH bucketing: candidate count is
     ~ n_probe/n_lists of the corpus, tunable recall/cost. Training is one
-    MLlib KMeans fit (sampled on a real cluster); assignment is a small
-    broadcast of centroids + a GEMM per partition, and the probe join is a
-    broadcast semi-filter on list id — the corpus never shuffles.
+    sample-capped KMeans fit (``ivf_fit``; pass ``centroids`` to reuse a
+    prebuilt index across calls); assignment is a small broadcast of
+    centroids + a GEMM per partition, and the probe join is a broadcast
+    semi-filter on list id — the corpus never shuffles.
 
-    Returns (result_df, model) — the model's centroids are reusable across
-    queries (the IVF index).
+    With ``n_probe == n_lists`` every list is searched, so the result is
+    exactly the brute-force top-k (the correctness-gate configuration);
+    smaller n_probe trades recall for cost (recall asserted vs the exact
+    twin in tests).
+
+    Returns (result_df, centroids) — the centroid matrix is the reusable
+    IVF index.
     """
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
-    centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    if centroids is None:
+        centroids = ivf_fit(
+            corpus, n_lists=n_lists, vec_col=vec_col, seed=seed
+        )
 
     def assign_expr(col_name: str) -> Column:
         """Nearest-centroid id via pandas UDF GEMM (no per-row Python)."""
@@ -173,8 +208,6 @@ def ivf_topk(
     c = corpus.withColumn("_list", assign_expr(vec_col))
 
     # query -> its n_probe nearest lists (tiny, computed driver-side)
-    import numpy as np  # noqa: F811
-
     qrows = queries.select(query_id_col, query_vec_col).collect()
     probe_rows = []
     for r in qrows:
@@ -205,4 +238,4 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "cos_sim")
     )
-    return result, model
+    return result, centroids

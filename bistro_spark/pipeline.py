@@ -59,16 +59,36 @@ def build_pipeline(
     return s, facts, dim
 
 
-def prepare_facts(spark: SparkSession, batch_df: DataFrame) -> DataFrame:
+def prepare_facts(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    sketch: bool = False,
+    sketch_k: int = 16,
+    sketch_stride: int = 1,
+) -> DataFrame:
     """The calc+link phase only (no accumulate) — the per-delta part of the
     pipeline, reused by the incremental runner and streaming mode. calc and
     link are per-row/broadcast ops, so applying them to just the delta is
-    exact (the reference evaluates them over only the added span)."""
+    exact (the reference evaluates them over only the added span).
+
+    ``sketch=True`` swaps the two JVM token calcs (size + xxhash64) for the
+    fused Arrow sketch stage (n_tok + MinHash signature + sketch-derived
+    fingerprint in one pass over the Arrow buffers, tokens dropped at the
+    source) — the representative training-data pipeline shape, and the
+    bandwidth-lean path: the token arrays cross the JVM boundary exactly
+    once and are never re-materialized by downstream operators."""
+    if sketch:
+        from bistro_spark.operators.dedup import sketch_calc_arrow
+
+        batch_df = sketch_calc_arrow(
+            batch_df, k=sketch_k, stride=sketch_stride
+        )
     s = Schema(spark, "prepare")
     dim = s.table("sources", sources_dim(spark), key=["source"])
     facts = s.table("tokens", batch_df)
-    facts.calc("n_tok_calc", n_tok_native("tokens"))
-    facts.calc("fingerprint", token_fingerprint("tokens"))
+    if not sketch:
+        facts.calc("n_tok_calc", n_tok_native("tokens"))
+        facts.calc("fingerprint", token_fingerprint("tokens"))
     facts.link("src", dim, on={"source": "source"}).bring("src", "weight")
     facts.calc("weighted_tok", "n_tok_calc * src__weight")
     return facts.df()

@@ -30,6 +30,7 @@ supports.
 
 from __future__ import annotations
 
+import re
 import typing
 from dataclasses import dataclass, field
 from typing import Any, Callable, Sequence
@@ -42,13 +43,33 @@ from pyspark.sql import functions as F
 # everywhere, so we avoid them.
 PATH_SEP = "__"
 
+# Bistro formula bracket reference: [Column A] (formula/.../FormulaExp4j.java
+# resolves bracketed names against the table's columns). Matches only where
+# a bracket CANNOT be a SQL subscript — i.e. not right after an identifier
+# char, ']' or ')' — so `sig[0]` / `m['k']` style accesses pass through.
+_BRACKET_REF = re.compile(r"(?<![\w\]\)'\"])\[([^\[\]]+)\]")
+
+
+def parse_formula(s: str) -> str:
+    """Bistro formula bracket syntax → Spark SQL identifiers.
+
+    ``[Column A] + [B]`` → ``\\`Column A\\` + \\`B\\``; dotted link paths
+    ``[link.attr]`` → ``\\`link__attr\\`` (the engine's ColumnPath
+    flattening). Everything outside brackets is passed through untouched,
+    so the full Spark SQL expression language remains available — a strict
+    superset of the reference's exp4j/EvalEx formula grammar."""
+    return _BRACKET_REF.sub(
+        lambda m: f"`{m.group(1).strip().replace('.', PATH_SEP)}`", s
+    )
+
 
 def _as_column(expr: Any, df_cols: Sequence[str] | None = None) -> Column:
-    """Accept a SQL expression string, a Column, or a literal."""
+    """Accept a SQL expression string (bracket formula references allowed),
+    a Column, or a literal."""
     if isinstance(expr, Column):
         return expr
     if isinstance(expr, str):
-        return F.expr(expr)
+        return F.expr(parse_formula(expr))
     return F.lit(expr)
 
 

@@ -43,12 +43,19 @@ class AggSpec:
     sum/count merge with sum; min/max with min/max. avg must be declared as
     (sum, count) pairs and finalized — the classic partial-aggregate trick
     Spark itself uses for partial+final aggregation.
+
+    ``invertible=True`` declares the merge additive (sum/count): eviction
+    can then be UN-folded by subtracting the evicted span's partial instead
+    of re-aggregating the whole retained buffer (the reference's accu
+    shrink-on-remove, ColumnDefinitionAccu over the removed span). min/max
+    have no inverse — leave False and the runner falls back to recompute.
     """
 
     name: str
     batch_expr: str  # aggregate over a batch, e.g. "sum(n_tok)"
     merge_expr: str  # merge partials, e.g. "sum" | "min" | "max"
     default: object = 0
+    invertible: bool = False
 
 
 class IncrementalRunner:
@@ -78,6 +85,7 @@ class IncrementalRunner:
         retention_age: str | None = None,  # SQL interval, e.g. "30 seconds"
         order_col: str = "batch_ofs",
         time_col: str = "event_time",
+        unfold: bool | None = None,  # None = auto (on iff all invertible)
     ):
         self.spark = spark
         self.prepare = prepare
@@ -89,7 +97,34 @@ class IncrementalRunner:
         self.time_col = time_col
         self._buffer: DataFrame | None = None  # retained window (retention mode)
         self._state: DataFrame | None = None  # merged aggregates (add-only mode)
+        # un-fold mode: retention active AND every fold is invertible →
+        # aggregate state is updated by (add delta partial, subtract evicted
+        # partial); per-batch AGGREGATION work ∝ |delta| + |evicted| instead
+        # of |window|. The buffer is still retained (eviction membership
+        # needs it), but it is only filtered, never re-aggregated. A hidden
+        # count column tracks live rows per group so fully-evicted groups
+        # drop out of the read-out exactly as they do under recompute.
+        auto = self._needs_buffer() and bool(aggs) and all(
+            a.invertible for a in aggs
+        )
+        if unfold and not auto:
+            raise ValueError(
+                "unfold=True requires retention and all-invertible aggs"
+            )
+        self._unfold = auto if unfold is None else unfold
         self.batches_seen = 0
+
+    _N = "__live_rows"
+
+    def _partial(self, df: DataFrame, negate: bool = False) -> DataFrame:
+        sign = -1 if negate else 1
+        return df.groupBy(*self.group_keys).agg(
+            *[
+                (F.expr(a.batch_expr) * sign).alias(a.name)
+                for a in self.aggs
+            ],
+            (F.count(F.lit(1)) * sign).alias(self._N),
+        )
 
     # -- ActionAdd + ActionEval --------------------------------------------
 
@@ -100,11 +135,32 @@ class IncrementalRunner:
 
         if self._needs_buffer():
             buf = prepared if self._buffer is None else self._buffer.unionByName(prepared)
-            buf = self._evict(buf)
+            keep = self._keep_predicate(buf)
+            retained = buf.filter(keep) if keep is not None else buf
             # localCheckpoint truncates the ever-growing union lineage —
             # without it plan depth grows per batch (the classic
             # iterative-union pitfall).
-            self._buffer = buf.localCheckpoint(eager=True)
+            self._buffer = retained.localCheckpoint(eager=True)
+            if self._unfold:
+                from functools import reduce
+
+                parts = [self._partial(prepared)]
+                if keep is not None:
+                    parts.append(self._partial(buf.filter(~keep), negate=True))
+                if self._state is not None:
+                    parts.append(self._state)
+                merged = (
+                    reduce(lambda a, b: a.unionByName(b), parts)
+                    .groupBy(*self.group_keys)
+                    .agg(
+                        *[
+                            F.expr(f"sum({a.name})").alias(a.name)
+                            for a in self.aggs
+                        ],
+                        F.expr(f"sum({self._N})").alias(self._N),
+                    )
+                )
+                self._state = merged.localCheckpoint(eager=True)
         else:
             partial = prepared.groupBy(*self.group_keys).agg(
                 *[F.expr(a.batch_expr).alias(a.name) for a in self.aggs]
@@ -127,10 +183,13 @@ class IncrementalRunner:
     def _needs_buffer(self) -> bool:
         return self.retention_count is not None or self.retention_age is not None
 
-    def _evict(self, buf: DataFrame) -> DataFrame:
-        """ActionRemove: FIFO count eviction / age eviction
+    def _keep_predicate(self, buf: DataFrame):
+        """ActionRemove as a predicate: FIFO count eviction / age eviction
         (server/.../actions/ActionRemove.java; age variant = the watermark
-        analog)."""
+        analog). Returns a Column (rows to KEEP) or None if nothing evicts;
+        the un-fold path negates it to aggregate exactly the evicted span.
+        """
+        preds = []
         if self.retention_count is not None:
             # keep the newest N by arrival order — the reference's
             # remove-oldest-beyond-max-length
@@ -142,24 +201,37 @@ class IncrementalRunner:
                 .collect()[0]["m"]
             )
             if cutoff_row is not None:
-                buf = buf.filter(F.col(self.order_col) >= cutoff_row)
+                preds.append(F.col(self.order_col) >= cutoff_row)
         if self.retention_age is not None:
             max_t = buf.agg(F.max(self.time_col).alias("m")).collect()[0]["m"]
             if max_t is not None:
-                buf = buf.filter(
+                preds.append(
                     F.col(self.time_col)
                     > F.lit(max_t) - F.expr(f"INTERVAL {self.retention_age}")
                 )
-        return buf
+        if not preds:
+            return None
+        pred = preds[0]
+        for p in preds[1:]:
+            pred = pred & p
+        return pred
 
     # -- read-out -----------------------------------------------------------
 
     def result(self) -> DataFrame:
         """Current accumulate values (the reference's getValue read-out
-        after evaluate)."""
+        after evaluate).
+
+        In un-fold mode this is a plain read of the maintained state —
+        groups whose rows were all evicted are dropped via the hidden
+        live-row count, and NO aggregation over the retained buffer appears
+        in the plan (asserted by tests); recompute mode re-aggregates the
+        buffer (the fallback for non-invertible folds)."""
         if self._needs_buffer():
             if self._buffer is None:
                 raise ValueError("no batches added")
+            if self._unfold:
+                return self._state.filter(F.col(self._N) > 0).drop(self._N)
             return self._buffer.groupBy(*self.group_keys).agg(
                 *[F.expr(a.batch_expr).alias(a.name) for a in self.aggs]
             )

@@ -111,6 +111,68 @@ def ewma_stream(
     )
 
 
+def fifo_window_stream(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    max_len: int,
+    order_col: str = "batch_ofs",
+) -> DataFrame:
+    """Streaming count-based FIFO retention — the ActionRemove max-length
+    eviction (``server/.../actions/ActionRemove.java``) as a TRUE streaming
+    operator, which Structured Streaming's windows cannot express (they are
+    time-based only).
+
+    Per group key, state = the last ``max_len`` values in arrival order
+    (``order_col``); each micro-batch appends its (sorted) rows, trims to
+    the newest ``max_len``, and emits the retained window's aggregates
+    (n / sum / min / max) in update mode. State is bounded by
+    groups × max_len.
+
+    The reference's max-length queue is per-table and single-threaded; a
+    keyed state is the distributed generalization — pass a constant key
+    column to reproduce the reference's exact per-table semantics (at the
+    cost of one state partition, the same serialization point the
+    reference's worker thread is)."""
+    in_types = dict(df.dtypes)
+    out_schema = (
+        ", ".join(f"{k} {in_types[k]}" for k in keys)
+        + ", n long, sum_val double, min_val double, max_val double"
+    )
+    state_schema = "ords array<long>, vals array<double>"
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ords, vals = state.get
+            ords = list(ords)
+            vals = list(vals)
+        else:
+            ords, vals = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            ords.extend(int(o) for o in pdf[order_col])
+            vals.extend(float(v) for v in pdf[value_col])
+        if len(vals) > max_len:
+            ords, vals = ords[-max_len:], vals[-max_len:]
+        state.update((ords, vals))
+        arr = np.asarray(vals, dtype=np.float64)
+        yield pd.DataFrame(
+            {
+                **{k: [key[i]] for i, k in enumerate(keys)},
+                "n": [len(arr)],
+                "sum_val": [float(arr.sum())],
+                "min_val": [float(arr.min())],
+                "max_val": [float(arr.max())],
+            }
+        )
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def accu_stream_tws(
     df: DataFrame,
     keys: list[str],

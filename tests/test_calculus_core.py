@@ -322,3 +322,38 @@ def test_accu_requires_key_error(spark):
     groups.accu("n", facts, "grp", "count(*)", default=0)
     with pytest.raises(ValueError, match="needs a key"):
         groups.df().collect()
+
+
+def test_formula_bracket_grammar(spark):
+    """F1 formula bracket surface (formula/.../FormulaExp4j.java): bracketed
+    column references — spaced names, chained formula columns, link-path
+    hops — evaluate like their plain-SQL twins, and SQL subscripts are
+    untouched by the shim."""
+    from bistro_spark.schema import Schema, parse_formula
+
+    assert parse_formula("[Column A] + [B]") == "`Column A` + `B`"
+    assert parse_formula("sig[0] + [A]") == "sig[0] + `A`"
+
+    base = spark.createDataFrame(
+        [(1, 10.0, 4, "web"), (2, 30.0, 2, "code")],
+        ["id", "unit price", "pack size", "source"],
+    )
+    s = Schema(spark, "formula")
+    dim = s.table(
+        "dim",
+        spark.createDataFrame(
+            [("web", 2.0), ("code", 0.5)], ["source", "weight"]
+        ),
+        key=["source"],
+    )
+    t = s.table("t", base)
+    t.calc("density", "[unit price] / ([pack size] + 1)")
+    t.calc("double_density", "[density] * 2")
+    t.link("src", dim, on={"source": "source"}).bring("src", "weight")
+    t.calc("weighted", "[density] * [src.weight]")
+    got = {r["id"]: r.asDict() for r in t.df().collect()}
+    assert got[1]["density"] == 2.0
+    assert got[1]["double_density"] == 4.0
+    assert got[1]["weighted"] == 4.0
+    assert got[2]["density"] == 10.0
+    assert got[2]["weighted"] == 5.0

@@ -199,3 +199,49 @@ def test_token_minhash_kernel_randomized_ragged(spark):
     assert len(got) == 120
     for r in got:
         assert r["a"] == r["b"], r["doc_id"]
+
+
+def test_simhash_hamming_pairs(spark):
+    """Multi-probe bit-flip search finds exactly the pairs within Hamming
+    distance <= d of their sketches (verified against direct enumeration)."""
+    from bistro_spark.operators.dedup import simhash, simhash_hamming_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta token{i % 7} end")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    sketches = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    for d in (0, 1, 2):
+        want = {
+            (a, b, bin(sketches[a] ^ sketches[b]).count("1"))
+            for a in sketches for b in sketches
+            if a < b and bin(sketches[a] ^ sketches[b]).count("1") <= d
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_hamming_pairs(docs, max_hamming=d).collect()
+        }
+        assert got == want, d
+    assert want, "fixture must produce at least one qualifying pair"
+
+
+def test_embedding_neardup_bucket_cap(spark):
+    """max_bucket drops degenerate hot buckets from candidacy (hard bound
+    on join fan-out); without the cap the same corpus pairs fully."""
+    from bistro_spark.operators.dedup import embedding_neardup_pairs
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(30)]  # one hot bucket
+    rows += [(100, [5.0, -1.0, 2.0, 0.5]), (101, [5.0, -1.0, 2.0, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    uncapped = embedding_neardup_pairs(df, threshold=0.99).count()
+    assert uncapped == 30 * 29 // 2 + 1
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            df, threshold=0.99, max_bucket=10
+        ).collect()
+    }
+    # the 30-member bucket exceeds the cap in every table -> dropped;
+    # the 2-member duplicate pair survives
+    assert capped == {(100, 101)}

@@ -160,3 +160,68 @@ def test_incremental_age_retention(spark, batches):
     }
     assert got == oracle
     assert runner.window().count() == 240
+
+
+UNFOLD_AGGS = [
+    AggSpec("n_seq", "count(*)", "sum", 0, invertible=True),
+    AggSpec("sum_tok", "sum(n_tok_calc)", "sum", 0, invertible=True),
+]
+
+
+@pytest.mark.parametrize(
+    "retention", [{"retention_count": 300}, {"retention_age": "60 seconds"}]
+)
+def test_incremental_unfold_equals_recompute(spark, batches, retention):
+    """Eviction un-fold (state += delta partial − evicted partial) must
+    match the recompute fallback after EVERY batch of the scripted
+    add/evict sequence — the reference's accu shrink-on-remove parity."""
+    full, parts = batches
+    unfolded = IncrementalRunner(
+        spark, lambda b: prepare_facts(spark, b), ["src"], UNFOLD_AGGS,
+        **retention,
+    )
+    recompute = IncrementalRunner(
+        spark, lambda b: prepare_facts(spark, b), ["src"], UNFOLD_AGGS,
+        unfold=False, **retention,
+    )
+    assert unfolded._unfold and not recompute._unfold
+    for b in parts:
+        unfolded.add_batch(b)
+        recompute.add_batch(b)
+        got = {r["src"]: r.asDict() for r in unfolded.result().collect()}
+        want = {r["src"]: r.asDict() for r in recompute.result().collect()}
+        assert got == want
+
+
+def test_incremental_unfold_readout_plan(spark, batches):
+    """Per-batch work ∝ delta: the un-fold read-out is a plain state read —
+    its physical plan contains NO aggregation over the retained buffer,
+    while the recompute fallback's read-out does."""
+    full, parts = batches
+    unfolded = IncrementalRunner(
+        spark, lambda b: prepare_facts(spark, b), ["src"], UNFOLD_AGGS,
+        retention_count=300,
+    )
+    recompute = IncrementalRunner(
+        spark, lambda b: prepare_facts(spark, b), ["src"], UNFOLD_AGGS,
+        unfold=False, retention_count=300,
+    )
+    unfolded.add_batch(parts[0])
+    recompute.add_batch(parts[0])
+    plan_u = unfolded.result()._jdf.queryExecution().executedPlan().toString()
+    plan_r = recompute.result()._jdf.queryExecution().executedPlan().toString()
+    assert "Aggregate" not in plan_u
+    assert "Aggregate" in plan_r
+
+
+def test_incremental_unfold_auto_fallback(spark):
+    """max() has no inverse → auto mode must fall back to recompute, and
+    forcing unfold=True must be rejected."""
+    r = IncrementalRunner(
+        spark, lambda b: b, ["src"], AGGS, retention_count=10
+    )
+    assert not r._unfold
+    with pytest.raises(ValueError):
+        IncrementalRunner(
+            spark, lambda b: b, ["src"], AGGS, retention_count=10, unfold=True
+        )

@@ -223,3 +223,64 @@ def test_accu_stream_tws_matches_ewma_stream(spark, tmp_path):
     a = run(ewma_stream, "ck_a")
     b = run(accu_stream_tws, "ck_b")
     assert a and a == b
+
+
+def test_fifo_window_stream_count_retention(spark, tmp_path):
+    """Streaming count-based FIFO retention (ActionRemove max-length as a
+    true stream): final per-key state equals recompute over the newest
+    max_len rows per key of the whole input."""
+    from bistro_spark.streaming.state import fifo_window_stream
+
+    max_len = 30
+    full = token_table_fast(spark, N).cache()
+    root = str(tmp_path / "in")
+    for k, (lo, hi) in enumerate([(0, 100), (100, 250), (250, 400)]):
+        full.filter(f"batch_ofs >= {lo} and batch_ofs < {hi}").coalesce(
+            1
+        ).write.parquet(f"{root}/b{k}")
+
+    results = {}
+
+    def fb(df, bid):
+        for r in df.collect():
+            results[r["source"]] = (
+                r["n"], r["sum_val"], r["min_val"], r["max_val"]
+            )
+
+    src = (
+        spark.readStream.schema(TOKEN_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(root)
+    )
+    q = (
+        fifo_window_stream(src, ["source"], "n_tok", max_len)
+        .writeStream.outputMode("update")
+        .foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "ck_fifo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.col("batch_ofs").desc())
+    want = {
+        r["source"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in full.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_len)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("n_tok").cast("double")).alias("s"),
+            F.min(F.col("n_tok").cast("double")).alias("mn"),
+            F.max(F.col("n_tok").cast("double")).alias("mx"),
+        )
+        .collect()
+    }
+    assert results.keys() == want.keys()
+    for k in want:
+        assert results[k][0] == want[k][0], k
+        assert abs(results[k][1] - want[k][1]) < 1e-6, k
+        assert results[k][2:] == want[k][2:], k

@@ -151,12 +151,38 @@ def test_ivf_topk_recall(spark):
         (r["query_id"], r["vec_id"])
         for r in cosine_topk(emb, queries, k=5).collect()
     }
-    approx_df, model = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=4)
+    approx_df, centroids = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=4)
     approx = {(r["query_id"], r["vec_id"]) for r in approx_df.collect()}
-    assert len(model.clusterCenters()) == 8
+    assert centroids.shape[0] == 8
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, recall
-    # full probe = exact
-    full_df, _ = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=8)
+    # full probe = exact, reusing the prebuilt index (no re-fit)
+    full_df, _ = ivf_topk(
+        emb, queries, k=5, n_lists=8, n_probe=8, centroids=centroids
+    )
     full = {(r["query_id"], r["vec_id"]) for r in full_df.collect()}
     assert full == exact
+
+
+def test_cosine_topk_lsh_recall(spark):
+    """Quantitative recall of the LSH-bucketed ANN path vs the exact twin:
+    fewer sign bits → bigger buckets → higher recall (tunable), and the
+    query's own vector (cos=1, identical sign pattern) is always found."""
+    from bistro_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_lsh(emb, queries, k=5, sign_bits=2).collect()
+    }
+    # self-match always collides (identical vector -> identical signs)
+    assert all((q, q) in approx for q in range(10))
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, recall

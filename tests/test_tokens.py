@@ -93,3 +93,43 @@ def test_pipeline_pandas_calc_parity(spark):
     a = {r["source"]: (r["n_seq"], r["sum_tok"]) for r in dim_native.df().collect()}
     b = {r["source"]: (r["n_seq"], r["sum_tok"]) for r in dim_pandas.df().collect()}
     assert a == b
+
+
+def test_sketch_calc_arrow_parity(spark):
+    """The fused mapInArrow sketch stage must agree with its unfused twins:
+    n_tok_calc == size(tokens), tok_sig == the Catalyst token_minhash, the
+    fingerprint is a deterministic pure function of the signature, and the
+    tokens column is gone from the output schema."""
+    from pyspark.sql import functions as F
+
+    from bistro_spark.operators.dedup import sketch_calc_arrow, token_minhash
+    from bistro_spark.sources.tokens import token_table_fast
+
+    df = token_table_fast(spark, 300, partitions=3)
+    want = {
+        r["doc_id"]: (r["n"], r["sig"])
+        for r in df.select(
+            "doc_id",
+            F.size("tokens").alias("n"),
+            token_minhash("tokens", k=16, stride=1).alias("sig"),
+        ).collect()
+    }
+    out = sketch_calc_arrow(df, k=16, stride=1)
+    assert "tokens" not in out.columns
+    got = {
+        r["doc_id"]: (r["n_tok_calc"], r["tok_sig"], r["fingerprint"])
+        for r in out.collect()
+    }
+    assert got.keys() == want.keys()
+    fps = {}
+    for k, (n, sig, fp) in got.items():
+        assert (n, sig) == want[k], k
+        fps.setdefault(tuple(sig), set()).add(fp)
+    # one fingerprint per distinct signature (pure function, no collisions
+    # among 300 distinct rows)
+    assert all(len(v) == 1 for v in fps.values())
+    assert len({next(iter(v)) for v in fps.values()}) == len(fps)
+    # second run bit-identical (deterministic)
+    again = {r["doc_id"]: r["fingerprint"] for r in
+             sketch_calc_arrow(df, k=16, stride=1).collect()}
+    assert again == {k: v[2] for k, v in got.items()}
