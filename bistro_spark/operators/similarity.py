@@ -121,6 +121,44 @@ def cosine_topk_lsh(
     )
 
 
+def _kmeans_np(X, k: int, seed: int = 42, iters: int = 15):
+    """Deterministic vectorized Lloyd k-means with k-means++ init over a
+    driver-resident sample (numpy float64). All distance work is GEMM
+    (||x||² − 2x·c + ||c||²); assignment sums via np.add.at — no Python
+    loops over points."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n, dim = X.shape
+    k = min(k, n)
+    xsq = (X * X).sum(axis=1)
+    # k-means++ seeding
+    first = int(rng.integers(n))
+    C = [X[first]]
+    d2 = np.maximum(xsq - 2.0 * (X @ X[first]) + xsq[first], 0.0)
+    for _ in range(1, k):
+        total = d2.sum()
+        i = (
+            int(rng.choice(n, p=d2 / total))
+            if total > 0
+            else int(rng.integers(n))
+        )
+        c = X[i]
+        C.append(c)
+        nd = np.maximum(xsq - 2.0 * (X @ c) + (c * c).sum(), 0.0)
+        np.minimum(d2, nd, out=d2)
+    C = np.stack(C)
+    for _ in range(iters):
+        D = xsq[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        a = D.argmin(axis=1)
+        sums = np.zeros_like(C)
+        np.add.at(sums, a, X)
+        counts = np.bincount(a, minlength=k).astype(np.float64)
+        live = counts > 0
+        C[live] = sums[live] / counts[live, None]
+    return C
+
+
 def ivf_fit(
     corpus: DataFrame,
     n_lists: int = 16,
@@ -128,14 +166,15 @@ def ivf_fit(
     seed: int = 42,
     sample_cap: int = 100_000,
 ):
-    """Train the IVF coarse quantizer: k-means over a bounded SAMPLE of the
-    corpus (never the full table — at 100 TB a full-corpus fit would be an
-    ML job inside every query). The returned centroid matrix (numpy,
-    (n_lists, dim)) IS the reusable index: fit once, pass to any number of
-    ivf_topk calls."""
+    """Train the IVF coarse quantizer: deterministic numpy k-means over a
+    bounded SAMPLE of the corpus (never the full table — at 100 TB a
+    full-corpus fit would be an ML job inside every query). The sample is
+    hard-capped at ``sample_cap`` rows (≤ ~50 MB at dim 64), so the fit is
+    a sub-second driver-side GEMM loop — the FAISS IVF training shape —
+    instead of a distributed ML job per call. The returned centroid matrix
+    (numpy, (n_lists, dim)) IS the reusable index: fit once, pass to any
+    number of ivf_topk calls."""
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     n = corpus.count()
     sampled = corpus
@@ -145,9 +184,13 @@ def ivf_fit(
         sampled = corpus.sample(
             fraction=min(1.0, 1.2 * sample_cap / n), seed=seed
         ).limit(sample_cap)
-    train = sampled.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
-    return np.stack([np.asarray(c) for c in model.clusterCenters()])
+    X = np.stack(
+        [
+            np.asarray(r[vec_col], dtype=np.float64)
+            for r in sampled.select(vec_col).collect()
+        ]
+    )
+    return _kmeans_np(X, n_lists, seed=seed)
 
 
 def ivf_topk(

@@ -37,10 +37,22 @@ def load_table(
     name: str,
     root: str | None = None,
     provider: str = "parquet_dir",
+    schema: str | None = None,
 ) -> DataFrame:
+    """provider: 'parquet_dir' (testdata), 'iceberg' (catalog table on a
+    real cluster), or 'csv_dir' (the reference's bundled-example format —
+    ``examples/.../ExUtils`` CSV readers; header row, explicit schema
+    preferred over inference so types are deterministic)."""
     if provider == "iceberg":
         return spark.read.table(name)
     root = root or os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if provider == "csv_dir":
+        reader = spark.read.option("header", "true")
+        if schema:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", "true")
+        return reader.csv(f"{root}/{name}.csv")
     return spark.read.parquet(f"{root}/{name}.parquet")
 
 

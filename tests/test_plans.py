@@ -134,3 +134,59 @@ def test_range_link_broadcasts_intervals(spark):
     plan = plan_of(ev.df().select("doc_id", "bin"))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_embedding_neardup_no_cartesian(spark):
+    """Banded embedding LSH compiles to equi hash joins on (table, bucket)
+    and id keys — never a CartesianProduct / BroadcastNestedLoopJoin (the
+    quadratic all-pairs shape the banding exists to avoid)."""
+    from bistro_spark.operators.dedup import embedding_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = plan_of(embedding_neardup_pairs(df, threshold=0.99))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_simhash_hamming_is_equi_join(spark):
+    """Multi-probe Hamming search joins on probe-key EQUALITY (hash join),
+    never an all-pairs bit-distance comparison."""
+    from bistro_spark.operators.dedup import simhash_hamming_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(simhash_hamming_pairs(df, max_hamming=1))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_sketch_calc_single_arrow_boundary_and_pruned_tokens(spark, token_parquet):
+    """The fused sketch path crosses the JVM/Arrow boundary exactly ONCE
+    (one ArrowEvalPython/mapInArrow node) and no operator above it carries
+    the tokens column; the parquet scan still reads only what the rollup
+    needs."""
+    from bistro_spark.pipeline import prepare_facts
+
+    out = prepare_facts(
+        spark, spark.read.parquet(token_parquet), sketch=True
+    ).groupBy("src").agg(
+        F.expr("count(*) as n"),
+        F.expr("sum(n_tok_calc) as s"),
+        F.expr("approx_count_distinct(fingerprint) as d"),
+    )
+    plan = plan_of(out)
+    arrow_nodes = [
+        ln for ln in plan.splitlines()
+        if "MapInArrow" in ln or "ArrowEvalPython" in ln
+    ]
+    assert len(arrow_nodes) == 1, plan
+    # tokens never re-materializes above the Arrow node: it appears in the
+    # scan/Arrow lines only
+    above = plan.split(arrow_nodes[0])[0]
+    assert "tokens" not in above, above
