@@ -309,6 +309,23 @@ def q_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup clustering: SimHash Hamming≤2 pairs as edges → connected
+    components via min-label propagation (every document labeled with the
+    smallest doc_id in its near-dup cluster). Oracle = recursive-CTE label
+    closure over the identical edge set."""
+    from bistro_spark.operators.dedup import (
+        connected_components,
+        simhash_hamming_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    edges = simhash_hamming_pairs(docs, bits=16, max_hamming=2)
+    return connected_components(
+        edges, docs.select(F.col("doc_id").alias("id")), max_iter=30
+    ).select("id", "component")
+
+
 def q_text_winnow_fp(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing rolling-hash document fingerprint (MOSS scheme) over
     documents — the array<long> of window-min gram hashes, serialized to a
@@ -514,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,  # rows-only (no oracle)
         "embedding_neardup": q_embedding_neardup,
         "simhash_hamming": q_simhash_hamming,
+        "dedup_clusters": q_dedup_clusters,
         "text_winnow_fp": q_text_winnow_fp,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "tokens_minhash": q_tokens_minhash,
@@ -701,6 +719,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
             FROM s a JOIN s b ON b.doc_id > a.doc_id
             WHERE bit_count(xor(a.sh, b.sh)) <= 2
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE
+            s AS (
+              SELECT doc_id, {simhash_sql('text', 16)} AS sh FROM documents),
+            e AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM s a JOIN s b
+                ON a.doc_id <> b.doc_id
+               AND bit_count(xor(a.sh, b.sh)) <= 2),
+            cc(id, lbl) AS (
+              SELECT doc_id, doc_id FROM s
+              UNION
+              SELECT e.dst, cc.lbl FROM cc JOIN e ON e.src = cc.id
+            )
+            SELECT id, CAST(min(lbl) AS BIGINT) AS component
+            FROM cc GROUP BY id
         """,
         "embedding_neardup": """
             WITH u AS (

@@ -97,7 +97,9 @@ def main() -> None:
             for k in (
                 "n_cores", "n4_cores", "n_seq_per_sec", "n4_seq_per_sec",
                 "pair_efficiencies", "scaling_efficiency",
-                "best_pair_efficiency", "requirement", "pass", "sketch",
+                "best_pair_efficiency", "pooled_pair_efficiencies",
+                "pooled_median", "pooled_pass", "requirement", "pass",
+                "sketch",
             )
             if k in s
         }

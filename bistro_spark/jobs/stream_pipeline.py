@@ -36,12 +36,26 @@ def main() -> None:
         "shingles) and per-window distinct-content count — the "
         "representative training-data pipeline shape",
     )
+    ap.add_argument(
+        "--state-store",
+        choices=["hdfs", "rocksdb"],
+        default="hdfs",
+        help="state store provider: 'hdfs' (in-memory map + DFS snapshots, "
+        "fine for small window state) or 'rocksdb' (off-heap, spill-free — "
+        "the 10^12-scale choice when state outgrows executor heaps)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("bistro_stream_pipeline").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if args.state_store == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
 
     from bistro_spark.pipeline import prepare_facts
     from bistro_spark.sources.tokens import TOKEN_SCHEMA

@@ -599,6 +599,91 @@ def ngram_jaccard_sql(a_expr: str, b_expr: str) -> str:
     )"""
 
 
+# ------------------------------------------------- dedup clustering (CC) --
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "id",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components over near-dup pair edges → (id, component),
+    component = the smallest node id reachable. The clustering step of a
+    dedup pipeline: candidate pairs (LSH / Hamming / Jaccard-verified)
+    become clusters, and keep-one-per-cluster follows.
+
+    Min-label propagation: each iteration joins labels across symmetrized
+    edges and takes the per-node min, localCheckpoint'ed to truncate
+    lineage; converges in iterations ∝ component DIAMETER, and near-dup
+    clusters are shallow (a dup of a dup of X is still ≈ X, diameter ≤ a
+    few hops), so the loop exits after 2-3 rounds in practice via the
+    no-change check. At 10^9-node scale swap the loop body for the
+    alternating large-star/small-star rounds (Kiveris et al. 2014,
+    "Connected Components in MapReduce") — O(log n) rounds of the same
+    join+min shape; the propagation loop here IS that shape with the
+    simpler schedule. Isolated nodes keep their own id."""
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(
+            edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("id"), F.col(node_col).alias("component")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .select(F.col("dst").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 10,
+):
+    """Full dedup clustering: pair edges → connected components → keep the
+    smallest id per cluster. Returns (assignments, survivors): assignments
+    = (id, component) for every input row; survivors = rows whose id IS
+    its component (one representative per cluster, isolated rows survive
+    as their own cluster)."""
+    assignments = connected_components(
+        edges, df.select(F.col(id_col).alias("id")), id_a, id_b,
+        max_iter=max_iter,
+    )
+    survivors = df.join(
+        assignments.filter(F.col("id") == F.col("component")).select("id"),
+        df[id_col] == F.col("id"),
+        "left_semi",
+    )
+    return assignments, survivors
+
+
 # --------------------------------------------- embedding cosine near-dup --
 
 

@@ -38,6 +38,9 @@ class StreamingProjector:
         self.order_col = order_col
         self.link_name = link_name
         self._dim: DataFrame | None = None
+        self._n = 0  # dim cardinality, tracked driver-side (no per-batch
+        # count() over the whole dim — only the small per-batch delta is
+        # ever counted)
 
     def dim(self) -> DataFrame:
         if self._dim is None:
@@ -54,9 +57,10 @@ class StreamingProjector:
             new_keys = new_keys.join(
                 F.broadcast(self._dim.select(*self.keys)), self.keys, "left_anti"
             )
-            base = self._dim.count()
-        else:
-            base = 0
+        base = self._n
+        # global sort, but over the per-batch DELTA of new keys only — a
+        # dimension grows by few keys per batch by definition, so this is
+        # a tiny single-task sort, not a stream-sized one
         w = Window.orderBy("_first_ofs")
         appended = new_keys.withColumn(
             self.link_name, F.row_number().over(w) + F.lit(base) - 1
@@ -67,6 +71,8 @@ class StreamingProjector:
             else self._dim.unionByName(appended)
         )
         self._dim = dim.localCheckpoint(eager=True)
+        # delta-sized count (the checkpoint materialized the rows already)
+        self._n = base + appended.count()
         return batch_df.join(
             F.broadcast(self._dim.select(*self.keys, self.link_name)),
             self.keys,

@@ -245,3 +245,39 @@ def test_embedding_neardup_bucket_cap(spark):
     # the 30-member bucket exceeds the cap in every table -> dropped;
     # the 2-member duplicate pair survives
     assert capped == {(100, 101)}
+
+
+def test_connected_components_and_survivors(spark):
+    """Min-label propagation: chain 1-2-3, pair 10-11, isolated 20 →
+    components {1,1,1,10,10,20}; survivors = the min id per cluster."""
+    from bistro_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 20)],
+        "doc_id long, text string",
+    )
+    edges = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    assignments, survivors = dedup_clusters(docs, edges)
+    got = {r["id"]: r["component"] for r in assignments.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+    assert {r["doc_id"] for r in survivors.collect()} == {1, 10, 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node path graph (diameter 11) still converges: min-label
+    propagation advances the min one hop per round, and the no-change
+    check exits exactly at fixpoint (within max_iter >= diameter)."""
+    from bistro_spark.operators.dedup import connected_components
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, nodes, max_iter=20).collect()
+    }
+    assert got == {i: 0 for i in range(n)}

@@ -454,3 +454,66 @@ def test_simulator_connector_paced_replay(spark, tmp_path):
     g = got.agg(F.sum("n_tok_calc").alias("s"), F.sum("weighted_tok").alias("w")).collect()[0]
     w = want.agg(F.sum("n_tok_calc").alias("s"), F.sum("weighted_tok").alias("w")).collect()[0]
     assert g["s"] == w["s"] and abs(g["w"] - w["w"]) < 1e-6
+
+
+def test_streaming_rocksdb_state_store(spark, stream_dir, tmp_path):
+    """The windowed accumulate runs (and checkpoints) identically on the
+    RocksDB state store — the provider for state that outgrows executor
+    heaps at 10^12-sequence scale (off-heap, no spill cliff)."""
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(provider_conf, None)
+    spark.conf.set(provider_conf, rocks)
+    try:
+        src = _stream(spark, stream_dir).withWatermark(
+            "event_time", "30 seconds"
+        )
+        prepared = prepare_facts(spark, src)
+        windowed = tumbling_window_accu(
+            prepared, "event_time", "60 seconds", ["src"],
+            {"n_seq": "count(*)", "sum_tok": "sum(n_tok_calc)"},
+        )
+        q = (
+            windowed.writeStream.format("memory")
+            .queryName("rocks_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_rocks"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {
+            (r["window_start"], r["src"]): (r["n_seq"], r["sum_tok"])
+            for r in spark.sql("select * from rocks_out").collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_conf)
+        else:
+            spark.conf.set(provider_conf, prev)
+    full = token_table_fast(spark, N)
+    want = {
+        (r["ws"], r["src"]): (r["n"], r["s"])
+        for r in prepare_facts(spark, full)
+        .groupBy(
+            F.window("event_time", "60 seconds").alias("w"), "src"
+        )
+        .agg(F.count("*").alias("n"), F.sum("n_tok_calc").alias("s"))
+        .select(F.col("w.start").alias("ws"), "src", "n", "s")
+        .collect()
+    }
+    # append mode emits exactly the watermark-closed windows (window_end <=
+    # final watermark = max event time - 30s), value-identical to batch
+    import datetime
+
+    max_t = full.agg(F.max("event_time")).collect()[0][0]
+    wm = max_t - datetime.timedelta(seconds=30)
+    closed = {
+        k: v
+        for k, v in want.items()
+        if k[0] + datetime.timedelta(seconds=60) <= wm
+    }
+    assert got == closed and len(got) > 0
