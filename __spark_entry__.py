@@ -146,6 +146,54 @@ def q_range_bin_events(spark: SparkSession, sf: str) -> DataFrame:
     return bins.df().select("bin_start", "n_events", "sum_value")
 
 
+def q_range_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    """T4 range table + C4 project-to-range via the ACTUAL interval-link
+    path (broadcast interval join against a Schema.range population — not
+    the closed-form bin calc of range_bin_events): events binned into 20
+    fixed value intervals of width 50 from origin 0, then accumulated per
+    interval."""
+    s = Schema(spark)
+    ev = s.table("events", load_table(spark, "events", sf))
+    rng = s.range("VBINS", 0.0, 50.0, 20)
+    s.project_to_range(ev, "vbin", rng, "value")
+    bins = s.table("VBINS")
+    bins.accu("n_events", ev, "vbin", "count(*)", default=0)
+    bins.accu(
+        "sum_value",
+        ev,
+        "vbin",
+        "cast(sum(cast(value as decimal(20,6))) as double)",
+        default=0.0,
+    )
+    return bins.df().select(
+        F.col("interval_start").alias("lo"),
+        F.col("interval_end").alias("hi"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_link_two_hop(spark: SparkSession, sf: str) -> DataFrame:
+    """C3 link + ColumnPath two-hop (ColumnPath.java#getValue): orders →
+    customer → nation, bringing a second-hop attribute through the first
+    link (orders.cust.nat.n_name materialized as cust__nat__n_name)."""
+    s = Schema(spark)
+    nation = s.table("nation", load_table(spark, "nation", sf), key=["n_nationkey"])
+    cust = s.table("customer", load_table(spark, "customer", sf), key=["c_custkey"])
+    cust.link("nat", nation, on={"c_nationkey": "n_nationkey"}).bring(
+        "nat", "n_name"
+    )
+    orders = s.table("orders", load_table(spark, "orders", sf))
+    orders.link("cust", cust, on={"o_custkey": "c_custkey"}).bring(
+        "cust", "nat__n_name"
+    )
+    return orders.df().select(
+        "o_orderkey",
+        F.col("cust").alias("cust_key"),
+        F.col("cust__nat__n_name").alias("nation_name"),
+    )
+
+
 def q_prod_where(spark: SparkSession, sf: str) -> DataFrame:
     """T2 prod + T3 where: nation × region product table filtered by a
     predicate (the reference's product-table population)."""
@@ -251,6 +299,50 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_candidate_pairs(_dup_corpus(spark, sf), k=16, bands=4)
 
 
+def q_dedup_verified_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """The canonical near-dup flow end-to-end: MinHash+LSH candidate pairs
+    (bucket-local join) → exact n-gram Jaccard verification ≥ 0.5 — the
+    LSH narrows, the exact measure decides. Candidates that fail
+    verification are dropped; at 100 TB the expensive exact compare runs
+    only on the ~linear candidate set, never all pairs."""
+    from bistro_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard,
+        ngram_set,
+    )
+
+    corpus = _dup_corpus(spark, sf)
+    # 2 bands × 8 rows: the driver documents are template-similar, so the
+    # permissive 4×4 banding floods the candidate set (6.8M pairs at
+    # sf0.1); a sharper AND keeps candidates ∝ true near-dups. Materialize
+    # once — the signature/band plan feeds three downstream consumers.
+    pairs = lsh_candidate_pairs(corpus, k=16, bands=2).localCheckpoint(
+        eager=True
+    )
+    # exact-verification cost ∝ candidate members, not corpus: n-gram sets
+    # are computed only for docs that appear in some candidate pair
+    members = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    ng = corpus.join(members, "doc_id", "left_semi").select(
+        "doc_id", ngram_set(F.col("text")).alias("ng")
+    )
+    a = ng.select(F.col("doc_id").alias("id_a"), F.col("ng").alias("ng_a"))
+    b = ng.select(F.col("doc_id").alias("id_b"), F.col("ng").alias("ng_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(ngram_jaccard(F.col("ng_a"), F.col("ng_b")), 6),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash 16-bit sketch per document."""
     from bistro_spark.operators.dedup import simhash
@@ -264,6 +356,27 @@ def q_text_features(spark: SparkSession, sf: str) -> DataFrame:
 
     return add_text_features(load_table(spark, "documents", sf)).select(
         "doc_id", "n_words", "n_stop", "quality", "lang_pred", "fp_md5"
+    )
+
+
+def q_quality_filter_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-filtering pipeline composition: score documents, keep those
+    over the quality bar, report per-predicted-language corpus stats —
+    the filter+stats step of a training-data curation run."""
+    from bistro_spark.operators.text import add_text_features
+
+    scored = add_text_features(load_table(spark, "documents", sf))
+    kept = scored.filter((F.col("quality") >= 1.0) & (F.col("n_words") >= 30))
+    return kept.groupBy("lang_pred", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.round(
+            (
+                F.sum(F.col("quality").cast("decimal(20,10)"))
+                / F.count("*")
+            ).cast("double"),
+            6,
+        ).alias("avg_quality"),
     )
 
 
@@ -515,6 +628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roll_events_moving": q_roll_events_moving,
         "roll_range_events": q_roll_range_events,
         "range_bin_events": q_range_bin_events,
+        "range_interval_join": q_range_interval_join,
+        "link_two_hop": q_link_two_hop,
         "prod_where": q_prod_where,
         "formula_expr": q_formula_expr,
         "formula_bracket": q_formula_bracket,
@@ -525,8 +640,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_events": q_session_window_events,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_verified_pairs": q_dedup_verified_pairs,
         "simhash": q_simhash,
         "text_features": q_text_features,
+        "quality_filter_stats": q_quality_filter_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,  # rows-only (no oracle)
         "embedding_neardup": q_embedding_neardup,
@@ -576,19 +693,20 @@ _COSINE_TOPK_SQL = """
 """
 
 
-def _minhash_lsh_sql() -> str:
+def _minhash_lsh_sql(bands: int = 4, rows: int = 4) -> str:
     from bistro_spark.operators.dedup import minhash_sig_sql
 
     band_key_cols = ", ".join(
-        f"CAST(sig[b.band_id*4+{r}] AS VARCHAR)" for r in range(1, 5)
+        f"CAST(sig[b.band_id*{rows}+{r}] AS VARCHAR)"
+        for r in range(1, rows + 1)
     )
     return f"""
         WITH {_DUP_CTE},
-        sigs AS (SELECT doc_id, {minhash_sig_sql('text', 16)} AS sig FROM u),
+        sigs AS (SELECT doc_id, {minhash_sig_sql('text', bands * rows)} AS sig FROM u),
         bands AS (
           SELECT doc_id, b.band_id,
                  md5(concat_ws(',', {band_key_cols})) AS band_key
-          FROM sigs, (SELECT unnest(range(4)) AS band_id) b
+          FROM sigs, (SELECT unnest(range({bands})) AS band_id) b
         )
         SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
         FROM bands l JOIN bands r
@@ -622,7 +740,11 @@ def oracle_sql() -> dict[str, str]:
         simhash_sql,
         token_minhash_sql,
     )
-    from bistro_spark.operators.text import winnow_fingerprint_sql
+    from bistro_spark.operators.text import (
+        lang_pred_sql,
+        quality_score_sql,
+        winnow_fingerprint_sql,
+    )
 
     return {
         "text_winnow_fp": f"""
@@ -708,6 +830,18 @@ def oracle_sql() -> dict[str, str]:
             FROM u GROUP BY 1
         """,
         "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "dedup_verified_pairs": f"""
+            WITH cand AS ({_minhash_lsh_sql(bands=2, rows=8)}),
+            {_DUP_CTE},
+            ng AS (
+              SELECT doc_id, {ngram_set_sql('text')} AS ng FROM u)
+            SELECT c.id_a, c.id_b,
+                   round({ngram_jaccard_sql('a.ng', 'b.ng')}, 6) AS jaccard
+            FROM cand c
+            JOIN ng a ON a.doc_id = c.id_a
+            JOIN ng b ON b.doc_id = c.id_b
+            WHERE round({ngram_jaccard_sql('a.ng', 'b.ng')}, 6) >= 0.5
+        """,
         "simhash": f"""
             SELECT doc_id, {simhash_sql('text', 16)} AS simhash
             FROM documents
@@ -768,6 +902,22 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "text_features": _text_features_sql(),
+        "quality_filter_stats": f"""
+            WITH scored AS (
+              SELECT n_chars, source,
+                     CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+                     CAST({quality_score_sql('text')} AS DOUBLE)   AS quality,
+                     {lang_pred_sql('text')}                       AS lang_pred
+              FROM documents)
+            SELECT lang_pred, source,
+                   count(*)                                        AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT)                    AS sum_chars,
+                   round(CAST(sum(CAST(quality AS DECIMAL(20,10)))
+                              AS DOUBLE) / count(*), 6)            AS avg_quality
+            FROM scored
+            WHERE quality >= 1.0 AND n_words >= 30
+            GROUP BY lang_pred, source
+        """,
         "ann_cosine_topk": _COSINE_TOPK_SQL,
         # full-probe IVF (n_probe = n_lists) searches every list, so its
         # contract is exactly the brute-force top-k
@@ -830,6 +980,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_nationkey, n_name, r_name
             FROM nation CROSS JOIN region
             WHERE n_regionkey = r_regionkey
+        """,
+        "range_interval_join": """
+            WITH b AS (SELECT unnest(range(20)) AS k),
+            e AS (
+              SELECT CAST(floor(value / 50) AS BIGINT) AS k,
+                     count(*) AS n,
+                     CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS s
+              FROM events
+              WHERE value >= 0 AND value < 1000
+              GROUP BY 1)
+            SELECT CAST(b.k AS DOUBLE) * 50       AS lo,
+                   CAST(b.k + 1 AS DOUBLE) * 50   AS hi,
+                   coalesce(e.n, 0)               AS n_events,
+                   coalesce(e.s, 0.0)             AS sum_value
+            FROM b LEFT JOIN e ON e.k = b.k
+        """,
+        "link_two_hop": """
+            SELECT o.o_orderkey,
+                   c.c_custkey AS cust_key,
+                   n.n_name    AS nation_name
+            FROM orders o
+            LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
         """,
         "formula_expr": """
             SELECT p_partkey,

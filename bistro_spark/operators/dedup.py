@@ -625,11 +625,14 @@ def connected_components(
     "Connected Components in MapReduce") — O(log n) rounds of the same
     join+min shape; the propagation loop here IS that shape with the
     simpler schedule. Isolated nodes keep their own id."""
+    # materialize the edge list FIRST: the pair-generation plan upstream
+    # (LSH probes, sketches) is expensive and would otherwise execute once
+    # per direction of the symmetrize union
+    e = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=True)
     sym = (
-        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(
-            edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-        )
+        e.union(e.select(F.col("dst"), F.col("src")))
         .distinct()
         .localCheckpoint(eager=True)
     )
