@@ -133,3 +133,31 @@ def test_sketch_calc_arrow_parity(spark):
     again = {r["doc_id"]: r["fingerprint"] for r in
              sketch_calc_arrow(df, k=16, stride=1).collect()}
     assert again == {k: v[2] for k, v in got.items()}
+
+
+def test_empty_input_paths(spark):
+    """Degenerate inputs: a 0-row token table flows through the flagship
+    (accu defaults populate every dim row), the fused Arrow sketch stage
+    (empty batches yield empty typed output), and the kernel-backed
+    minhash (no rows, no crash)."""
+    from pyspark.sql import functions as F
+
+    from bistro_spark.operators.dedup import (
+        sketch_calc_arrow,
+        token_minhash_arrow,
+    )
+    from bistro_spark.pipeline import flagship
+    from bistro_spark.sources.tokens import token_table_fast
+
+    empty = token_table_fast(spark, 0, partitions=2)
+    assert empty.count() == 0
+
+    rollup = flagship(spark, empty).collect()
+    assert len(rollup) == 5  # every dim row survives with defaults
+    assert all(r["n_seq"] == 0 and r["sum_tok"] == 0 for r in rollup)
+
+    sk = sketch_calc_arrow(empty)
+    assert sk.count() == 0 and "tok_sig" in sk.columns
+
+    mh = empty.select(token_minhash_arrow("tokens", k=4).alias("sig"))
+    assert mh.count() == 0
