@@ -439,6 +439,22 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     ).select("id", "component")
 
 
+def q_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """End of the dedup pipeline: keep ONE representative per near-dup
+    cluster (smallest doc_id) — the rows a training run would actually
+    consume. Clusters = SimHash Hamming≤2 components (same edges as
+    dedup_clusters)."""
+    from bistro_spark.operators.dedup import (
+        dedup_clusters,
+        simhash_hamming_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf)
+    edges = simhash_hamming_pairs(docs, bits=16, max_hamming=2)
+    _, survivors = dedup_clusters(docs, edges, max_iter=30)
+    return survivors.select("doc_id", "source", "n_chars")
+
+
 def q_text_winnow_fp(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing rolling-hash document fingerprint (MOSS scheme) over
     documents — the array<long> of window-min gram hashes, serialized to a
@@ -649,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "simhash_hamming": q_simhash_hamming,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_survivors": q_dedup_survivors,
         "text_winnow_fp": q_text_winnow_fp,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "tokens_minhash": q_tokens_minhash,
@@ -870,6 +887,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, CAST(min(lbl) AS BIGINT) AS component
             FROM cc GROUP BY id
+        """,
+        "dedup_survivors": f"""
+            WITH RECURSIVE
+            s AS (
+              SELECT doc_id, {simhash_sql('text', 16)} AS sh FROM documents),
+            e AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM s a JOIN s b
+                ON a.doc_id <> b.doc_id
+               AND bit_count(xor(a.sh, b.sh)) <= 2),
+            cc(id, lbl) AS (
+              SELECT doc_id, doc_id FROM s
+              UNION
+              SELECT e.dst, cc.lbl FROM cc JOIN e ON e.src = cc.id
+            ),
+            comp AS (SELECT id, min(lbl) AS component FROM cc GROUP BY id)
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN comp ON comp.id = d.doc_id
+            WHERE comp.id = comp.component
         """,
         "embedding_neardup": """
             WITH u AS (
