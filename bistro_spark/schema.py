@@ -49,18 +49,42 @@ PATH_SEP = "__"
 # char, ']' or ')' — so `sig[0]` / `m['k']` style accesses pass through.
 _BRACKET_REF = re.compile(r"(?<![\w\]\)'\"])\[([^\[\]]+)\]")
 
+# Spans the substitution must never touch: single-/double-quoted SQL string
+# literals (backslash escapes and '' doubling honored) and backtick-quoted
+# identifiers.  Without this, a '[' inside a string literal that follows a
+# space/comma/paren — e.g. regexp_replace(text, ' [a-z]+', '') — would be
+# rewritten into a backticked identifier, corrupting the expression.
+_QUOTED_SPAN = re.compile(
+    r"'(?:[^'\\]|\\.|'')*'"  # single-quoted literal
+    r"|\"(?:[^\"\\]|\\.)*\""  # double-quoted literal
+    r"|`(?:[^`]|``)*`"  # backtick identifier
+)
+
 
 def parse_formula(s: str) -> str:
     """Bistro formula bracket syntax → Spark SQL identifiers.
 
     ``[Column A] + [B]`` → ``\\`Column A\\` + \\`B\\``; dotted link paths
     ``[link.attr]`` → ``\\`link__attr\\`` (the engine's ColumnPath
-    flattening). Everything outside brackets is passed through untouched,
-    so the full Spark SQL expression language remains available — a strict
-    superset of the reference's exp4j/EvalEx formula grammar."""
-    return _BRACKET_REF.sub(
-        lambda m: f"`{m.group(1).strip().replace('.', PATH_SEP)}`", s
-    )
+    flattening). Everything outside brackets is passed through untouched —
+    including the inside of quoted string literals and backticked
+    identifiers, which are never rewritten — so the full Spark SQL
+    expression language remains available: a strict superset of the
+    reference's exp4j/EvalEx formula grammar."""
+
+    def _sub_unquoted(chunk: str) -> str:
+        return _BRACKET_REF.sub(
+            lambda m: f"`{m.group(1).strip().replace('.', PATH_SEP)}`", chunk
+        )
+
+    out: list[str] = []
+    pos = 0
+    for lit in _QUOTED_SPAN.finditer(s):
+        out.append(_sub_unquoted(s[pos : lit.start()]))
+        out.append(lit.group(0))
+        pos = lit.end()
+    out.append(_sub_unquoted(s[pos:]))
+    return "".join(out)
 
 
 def _as_column(expr: Any, df_cols: Sequence[str] | None = None) -> Column:

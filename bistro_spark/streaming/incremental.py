@@ -159,6 +159,15 @@ class IncrementalRunner:
                         ],
                         F.expr(f"sum({self._N})").alias(self._N),
                     )
+                    # prune fully-evicted groups from STATE, not just from
+                    # read-out: otherwise state grows with all-time
+                    # distinct keys instead of live keys. Safe — a
+                    # reappearing key re-enters via its next delta partial.
+                    # Caveat (documented, inherent to un-fold): double
+                    # add/subtract partials accumulate FP drift vs
+                    # recompute over very long runs; re-anchor periodically
+                    # from the retained buffer if bit-parity matters.
+                    .filter(F.col(self._N) != 0)
                 )
                 self._state = merged.localCheckpoint(eager=True)
         else:

@@ -333,6 +333,17 @@ def test_formula_bracket_grammar(spark):
 
     assert parse_formula("[Column A] + [B]") == "`Column A` + `B`"
     assert parse_formula("sig[0] + [A]") == "sig[0] + `A`"
+    # Quoted spans are never rewritten: a '[' inside a string literal after
+    # a space/comma/paren must survive (regex char-classes), as must
+    # brackets inside backticked identifiers and ''-escaped literals.
+    assert (
+        parse_formula("regexp_replace(text, ' [a-z]+', '')")
+        == "regexp_replace(text, ' [a-z]+', '')"
+    )
+    assert parse_formula("concat('[x]', [y])") == "concat('[x]', `y`)"
+    assert parse_formula('concat("[x]", [y])') == 'concat("[x]", `y`)'
+    assert parse_formula("`weird [name]` + [a]") == "`weird [name]` + `a`"
+    assert parse_formula("'it''s [ok]' || [b]") == "'it''s [ok]' || `b`"
 
     base = spark.createDataFrame(
         [(1, 10.0, 4, "web"), (2, 30.0, 2, "code")],
@@ -351,7 +362,10 @@ def test_formula_bracket_grammar(spark):
     t.calc("double_density", "[density] * 2")
     t.link("src", dim, on={"source": "source"}).bring("src", "weight")
     t.calc("weighted", "[density] * [src.weight]")
+    t.calc("consonants", "regexp_replace(source, '[aeiou]', '')")
     got = {r["id"]: r.asDict() for r in t.df().collect()}
+    assert got[1]["consonants"] == "wb"
+    assert got[2]["consonants"] == "cd"
     assert got[1]["density"] == 2.0
     assert got[1]["double_density"] == 4.0
     assert got[1]["weighted"] == 4.0

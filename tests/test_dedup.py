@@ -265,19 +265,46 @@ def test_connected_components_and_survivors(spark):
     assert {r["doc_id"] for r in survivors.collect()} == {1, 10, 20}
 
 
-def test_connected_components_long_chain_converges(spark):
-    """A 12-node path graph (diameter 11) still converges: min-label
-    propagation advances the min one hop per round, and the no-change
-    check exits exactly at fixpoint (within max_iter >= diameter)."""
+def test_connected_components_long_chain_converges_log_rounds(spark):
+    """A 64-node path graph (diameter 63, ≫ any sane round budget for
+    min-label propagation) converges under the alternating
+    large-star/small-star schedule in ≤ 2·log₂(n) = 12 rounds — the
+    O(log n)-regardless-of-diameter property the 10^9-node crawl-chain
+    case needs."""
     from bistro_spark.operators.dedup import connected_components
 
-    n = 12
+    n = 64
     nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
+    stats: dict = {}
     got = {
         r["id"]: r["component"]
-        for r in connected_components(edges, nodes, max_iter=20).collect()
+        for r in connected_components(
+            edges, nodes, max_iter=12, _stats=stats
+        ).collect()
     }
     assert got == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 12
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Exhausting max_iter with the edge set still in flux must RAISE
+    (silent partial labels were the round-2 wrong-answer-at-scale
+    hazard); on_nonconvergence='warn' downgrades to a RuntimeWarning."""
+    import pytest
+
+    from bistro_spark.operators.dedup import connected_components
+
+    n = 16
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, max_iter=1)
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(
+            edges, nodes, max_iter=1, on_nonconvergence="warn"
+        )

@@ -214,6 +214,26 @@ def test_incremental_unfold_readout_plan(spark, batches):
     assert "Aggregate" in plan_r
 
 
+def test_incremental_unfold_prunes_dead_groups(spark):
+    """A group whose rows are ALL evicted must leave the un-fold state
+    entirely (not persist as a __live_rows == 0 tombstone through every
+    merge): state size tracks LIVE keys, not all-time distinct keys."""
+    mk = lambda src, lo, n: spark.createDataFrame(
+        [(src, 10, i) for i in range(lo, lo + n)],
+        "src string, n_tok_calc long, batch_ofs long",
+    )
+    runner = IncrementalRunner(
+        spark, lambda b: b, ["src"], UNFOLD_AGGS, retention_count=10
+    )
+    assert runner._unfold
+    runner.add_batch(mk("a", 0, 5))
+    runner.add_batch(mk("b", 5, 5))
+    runner.add_batch(mk("b", 10, 5))  # evicts ofs 0-4 → group 'a' dead
+    assert {r["src"] for r in runner.result().collect()} == {"b"}
+    state_keys = {r["src"] for r in runner._state.collect()}
+    assert state_keys == {"b"}, state_keys
+
+
 def test_incremental_unfold_auto_fallback(spark):
     """max() has no inverse → auto mode must fall back to recompute, and
     forcing unfold=True must be rejected."""

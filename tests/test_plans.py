@@ -166,6 +166,19 @@ def test_simhash_hamming_is_equi_join(spark):
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
 
 
+def test_simhash_hamming_split_probe_multiplicity():
+    """Split-probe (meet-in-the-middle) Hamming search explodes only the
+    ≤⌈d/2⌉-flip neighborhood on EACH side: 17 probes/side at
+    (bits=16, d=2) instead of the naive one-sided 137 — the 8× explode
+    reduction that matters at 100 TB."""
+    from bistro_spark.operators.dedup import _flip_masks
+
+    assert len(_flip_masks(16, 1)) == 1 + 16  # d=2 → ⌈d/2⌉=1 flip/side
+    assert len(_flip_masks(16, 2)) == 1 + 16 + 120  # the naive d=2 count
+    assert _flip_masks(16, 0) == [0]
+    assert len(set(_flip_masks(16, 2))) == 137  # masks are distinct
+
+
 def test_sketch_calc_single_arrow_boundary_and_pruned_tokens(spark, token_parquet):
     """The fused sketch path crosses the JVM/Arrow boundary exactly ONCE
     (one ArrowEvalPython/mapInArrow node) and no operator above it carries

@@ -234,9 +234,14 @@ def main() -> None:
     with open(hist_path) as f:
         for line in f:
             r = json.loads(line)
-            if (r["n_cores"], r["n4_cores"], r["n_rows"]) == (
-                n_cores, n4_cores, n_rows
-            ):
+            # pool ONLY identical protocol configurations — pipeline
+            # variant (sketch) and batch geometry (fpt) included, else a
+            # future base-pipeline or different-fpt run at the same core
+            # geometry would silently corrupt the PASS estimator
+            if (
+                r["n_cores"], r["n4_cores"], r["n_rows"],
+                r.get("sketch"), r.get("files_per_trigger"),
+            ) == (n_cores, n4_cores, n_rows, args.sketch, fpt):
                 pooled.extend(r["pair_efficiencies"])
     pooled.sort()
     pm = len(pooled) // 2
