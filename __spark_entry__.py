@@ -519,9 +519,10 @@ def q_tokens_minhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ann_cosine_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only check: recall < 1 by
-    construction, so no SQL oracle — the exact variant above is the
-    verified twin)."""
+    """LSH-bucketed approximate top-k. The hyperplane buckets are
+    closed-form (deterministic Weyl matrix), so the oracle recomputes the
+    identical buckets in DuckDB and verifies the bucket-restricted top-k
+    exactly; recall vs the exact twin is asserted separately in tests."""
     from bistro_spark.operators.similarity import cosine_topk_lsh
 
     emb = load_table(spark, "embeddings", sf)
@@ -676,7 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_features": q_text_features,
         "quality_filter_stats": q_quality_filter_stats,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,  # rows-only (no oracle)
+        "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
         "embedding_neardup": q_embedding_neardup,
         "simhash_hamming": q_simhash_hamming,
         "dedup_clusters": q_dedup_clusters,
@@ -715,6 +716,52 @@ _COSINE_TOPK_SQL = """
                                       CAST(e.embedding AS DOUBLE[]))) *
                 sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
       FROM embeddings e CROSS JOIN q)
+    SELECT query_id,
+           CAST(row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank,
+           vec_id, cos_sim
+    FROM scored
+    QUALIFY rank <= 5
+"""
+
+# The LSH variant IS oracle-checkable: the hyperplanes are the closed-form
+# deterministic Weyl matrix h[j][i] = frac((j*10007 + i)*phi) - 0.5
+# (dedup._weyl_hyperplanes), so DuckDB can recompute the exact same
+# buckets and reproduce the bucket-restricted top-k verbatim (verified:
+# 0/500 bucket mismatches vs the numpy GEMM at sf0.01). This converts the
+# approximate query from a rows-only check into a full hash contract —
+# what is verified is "exactly the candidates the 6-bit sign buckets
+# admit", not recall vs the exact top-k (that is asserted separately in
+# tests/test_similarity.py::test_cosine_topk_lsh_recall).
+_COSINE_TOPK_LSH_SQL = """
+    WITH planes AS (
+      SELECT j, list_transform(
+               range((SELECT len(embedding) FROM embeddings LIMIT 1)),
+               i -> fmod((j*10007.0 + i) * 0.6180339887, 1.0) - 0.5) AS h
+      FROM (SELECT unnest(range(6)) AS j)),
+    buckets AS (
+      SELECT e.vec_id,
+             CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                 p.h) > 0
+                           THEN 2 ** p.j ELSE 0 END) AS INTEGER) AS bucket
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id),
+    q AS (
+      SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv,
+             b.bucket
+      FROM embeddings e JOIN buckets b USING (vec_id)
+      WHERE e.vec_id < 3),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round(
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) /
+               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+      FROM embeddings e
+      JOIN buckets b ON e.vec_id = b.vec_id
+      JOIN q ON q.bucket = b.bucket)
     SELECT query_id,
            CAST(row_number() OVER (
              PARTITION BY query_id
@@ -970,6 +1017,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY lang_pred, source
         """,
         "ann_cosine_topk": _COSINE_TOPK_SQL,
+        "ann_cosine_topk_lsh": _COSINE_TOPK_LSH_SQL,
         # full-probe IVF (n_probe = n_lists) searches every list, so its
         # contract is exactly the brute-force top-k
         "ann_ivf_topk": _COSINE_TOPK_SQL,

@@ -50,10 +50,31 @@ def main() -> None:
     _run(token_table(spark, 10_000))
 
     timings: dict[str, float] = {}
+    # Per-query timing = best of 2 back-to-back runs (steady state), with
+    # the first (cold) run disclosed alongside. Rationale — measured, not
+    # guessed (BENCH/REGRESSION_r3.md): the first execution of each query
+    # carries 0.5-1.5 s of plan compile + codegen + parquet footer reads,
+    # and THAT component swings 2-3x with host-neighbor noise (the round-2
+    # "unexplained regression" reproduced as purely environmental: warm
+    # times of round-1 vs round-3 code are identical back-to-back on the
+    # same host). Steady-state is also the number that transfers to a
+    # cluster, same argument as tokens_pipeline below.
+    # dedup_clusters/dedup_survivors share a module-level cached cluster
+    # assignment (__spark_entry__._dedup_assignments) — a re-run would
+    # measure the cache hit, not the pipeline, so they are timed once:
+    # clusters pays the full SimHash→CC compute, survivors the semi-join.
+    single_run = {"dedup_clusters", "dedup_survivors"}
+    cold: dict[str, float] = {}
     for name, fn in ent.queries().items():
         t0 = time.time()
         _run(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        cold[name] = round(time.time() - t0, 3)
+        if name in single_run:
+            timings[name] = cold[name]
+            continue
+        t0 = time.time()
+        _run(fn(spark, sf_dir))
+        timings[name] = round(min(cold[name], time.time() - t0), 3)
 
     # north-rule headline: flagship pipeline throughput on N sequences.
     # One warm-up run (JIT + parquet footer cache), then best-of-2: the
@@ -76,6 +97,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold_first_run": cold,
+        "timing_note": "queries = best-of-2 (steady state); "
+        "queries_cold_first_run = first execution incl. plan compile + "
+        "codegen + footer reads (see BENCH/REGRESSION_r3.md)",
         "sf": sf_dir,
         "tokens_pipeline": {
             "n_seq": TOKEN_BENCH_N,

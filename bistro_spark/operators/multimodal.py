@@ -54,13 +54,27 @@ def synthetic_media(spark: SparkSession, n: int) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an image payload to an HxWx3 array.
+try:  # optional dependency — absent in the offline container
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - environment-dependent
+    _PILImage = None
 
-    STUB: real decoding requires PIL/libjpeg, absent in this container.
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an image payload to an HxWx3 uint8 array.
+
+    Real path: PIL (when installed) decodes the payload and converts to
+    RGB. Offline (no PIL) and ``fake=False`` raises NotImplementedError;
     ``fake=True`` returns a deterministic pseudo-image derived from the
-    payload bytes (for plumbing tests)."""
+    payload bytes (for plumbing tests), PIL or not."""
     if not fake:
+        if _PILImage is not None:
+            import io
+
+            return np.asarray(
+                _PILImage.open(io.BytesIO(payload)).convert("RGB"),
+                dtype=np.uint8,
+            )
         raise NotImplementedError(
             "image decoding requires PIL/libjpeg — not available offline; "
             "pass fake=True for the deterministic stand-in"

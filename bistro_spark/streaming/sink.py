@@ -73,3 +73,42 @@ class IdempotentParquetSink:
             if os.path.exists(os.path.join(self.root, f"batch_id={i}"))
         ]
         return spark.read.parquet(*paths)
+
+
+class IcebergMergeSink:
+    """Exactly-once sink for a catalog (Iceberg) table: the foreachBatch
+    body stages the micro-batch as a temp view and runs one ``MERGE INTO``
+    keyed on ``key_cols`` — upsert semantics make a post-recovery replay
+    of the last uncommitted batch a no-op (same keys upsert to the same
+    values), and Iceberg's snapshot commit makes each MERGE atomic. This
+    is the cluster-side twin of IdempotentParquetSink: the parquet sink
+    earns idempotence from a batch-id marker, this one from key-upsert +
+    snapshot atomicity.
+
+    Requires a MERGE-capable catalog table (Iceberg/Delta); plain parquet
+    session-catalog tables cannot MERGE, so offline coverage is the SQL
+    contract + routing (tests/test_iceberg_provider.py) and the full
+    round-trip is the jar-gated integration test.
+    """
+
+    def __init__(self, table: str, key_cols: list[str]):
+        if not key_cols:
+            raise ValueError("IcebergMergeSink needs at least one key column")
+        self.table = table
+        self.key_cols = list(key_cols)
+
+    def merge_sql(self, staging_view: str) -> str:
+        on = " AND ".join(
+            f"t.`{k}` = s.`{k}`" for k in self.key_cols
+        )
+        return (
+            f"MERGE INTO {self.table} t USING {staging_view} s ON {on} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+
+    def write(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch body: stage + MERGE (atomic per Iceberg snapshot)."""
+        view = f"_bistro_merge_staging_{batch_id}"
+        batch_df.createOrReplaceTempView(view)
+        batch_df.sparkSession.sql(self.merge_sql(view))

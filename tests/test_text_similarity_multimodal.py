@@ -103,8 +103,31 @@ def test_cosine_topk_lsh_subset_of_bruteforce(spark, emb):
 
 
 def test_decode_stub_raises_without_fake():
+    from bistro_spark.operators import multimodal
+
+    if multimodal._PILImage is not None:
+        pytest.skip("PIL installed — real decode path active")
     with pytest.raises(NotImplementedError):
         decode_image(b"\x00" * 32)
+
+
+def test_decode_real_image_when_pil_present():
+    """Real decode path (auto-skips offline): a PNG round-trips through
+    decode_image to an HxWx3 uint8 array with the encoded pixel values."""
+    from bistro_spark.operators import multimodal
+
+    if multimodal._PILImage is None:
+        pytest.skip("PIL not installed in this container")
+    import io
+
+    import numpy as np
+
+    img = multimodal._PILImage.new("RGB", (4, 2), color=(10, 20, 30))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    arr = decode_image(buf.getvalue())
+    assert arr.shape == (2, 4, 3) and arr.dtype == np.uint8
+    assert (arr == [10, 20, 30]).all()
 
 
 def test_multimodal_features(spark):
