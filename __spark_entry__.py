@@ -394,10 +394,18 @@ def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """Banded multi-table hyperplane-LSH embedding near-dup pairs. Corpus =
-    embeddings ∪ exact copies of the first 20 vectors (the driver
-    embeddings carry no natural pairs above 0.99 — verified max natural
-    cosine 0.51 at sf0.01 — so LSH recall on the qualifying pairs is
-    exactly 1 and the all-pairs SQL oracle is a complete twin)."""
+    embeddings ∪ exact copies of the first 20 vectors.
+
+    Contract premise (what makes banded LSH ≡ the all-pairs oracle): the
+    driver embeddings carry NO natural pairs ≥ 0.99 — every qualifying
+    pair is an injected exact copy, which collides in every LSH table, so
+    recall on qualifying pairs is exactly 1. PREMISE VERIFIED at sf0.001
+    (max natural cosine 0.565) and sf0.01 (0.51) by
+    tests/test_dedup.py::test_embedding_neardup_contract_premise, which
+    recomputes the all-pairs max at the test sf — bump the contract sf
+    and that test re-checks it (a natural ≥0.99 pair that misses all 4
+    tables would break the hash contract; the premise holds only
+    probabilistically beyond the verified range)."""
     from bistro_spark.operators.dedup import embedding_neardup_pairs
 
     emb = load_table(spark, "embeddings", sf).select("vec_id", "embedding")

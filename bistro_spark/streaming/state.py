@@ -111,6 +111,58 @@ def ewma_stream(
     )
 
 
+def _mono_push(ords: list, vals: list, o: int, v: float, is_min: bool) -> int:
+    """Push (o, v) onto a monotonic deque tail, popping dominated entries
+    (for a min-deque: any tail value ≥ v can never be the window minimum
+    once v is present and younger). Returns the number of pops — each
+    element is pushed once and popped at most once over its lifetime, so
+    total work is O(elements seen), i.e. O(delta) amortized per batch."""
+    pops = 0
+    while vals and (vals[-1] >= v if is_min else vals[-1] <= v):
+        vals.pop()
+        ords.pop()
+        pops += 1
+    ords.append(o)
+    vals.append(v)
+    return pops
+
+
+def _mono_evict(ords: list, vals: list, cutoff: int) -> int:
+    """Drop deque-front entries older than the retention cutoff (their
+    elements left the FIFO window). Returns the number of drops."""
+    i = 0
+    while i < len(ords) and ords[i] < cutoff:
+        i += 1
+    del ords[:i]
+    del vals[:i]
+    return i
+
+
+def _mono_merge_batch(dq_ords, dq_vals, b_ords, b_vals, is_min: bool):
+    """Vectorized equivalent of _mono_push-ing every batch element in
+    order (no per-row Python, per the input_hint): a batch element
+    survives in the deque iff it is a STRICT running extremum from the
+    batch's right edge (ties lose to the later element — same semantics
+    as _mono_push's >= / <= tail pop), and the old deque keeps only its
+    prefix strictly beyond the batch's own extremum."""
+    if len(b_vals) == 0:
+        return dq_ords, dq_vals
+    if is_min:
+        later = np.concatenate(
+            [np.minimum.accumulate(b_vals[::-1])[::-1][1:], [np.inf]]
+        )
+        keep, old_keep = b_vals < later, dq_vals < b_vals.min()
+    else:
+        later = np.concatenate(
+            [np.maximum.accumulate(b_vals[::-1])[::-1][1:], [-np.inf]]
+        )
+        keep, old_keep = b_vals > later, dq_vals > b_vals.max()
+    return (
+        np.concatenate([dq_ords[old_keep], b_ords[keep]]),
+        np.concatenate([dq_vals[old_keep], b_vals[keep]]),
+    )
+
+
 def fifo_window_stream(
     df: DataFrame,
     keys: list[str],
@@ -124,10 +176,17 @@ def fifo_window_stream(
     time-based only).
 
     Per group key, state = the last ``max_len`` values in arrival order
-    (``order_col``); each micro-batch appends its (sorted) rows, trims to
-    the newest ``max_len``, and emits the retained window's aggregates
-    (n / sum / min / max) in update mode. State is bounded by
-    groups × max_len.
+    (``order_col``) PLUS running aggregates: sum maintained by
+    add-delta/subtract-evicted, min/max by monotonic deques (front = the
+    window extremum; push pops dominated tails, evict pops expired
+    fronts — amortized O(1) per element, so per-batch AGGREGATION work is
+    ∝ |delta| + |evicted|, never a scan of the retained window — the
+    eviction un-fold for the non-invertible folds that
+    IncrementalRunner's subtract trick cannot cover). The value buffer is
+    still retained (eviction membership needs it), bounding state by
+    groups × max_len. Caveat: the running sum accumulates float drift vs
+    recompute over very long runs (same caveat as un-fold; parity is
+    asserted to 1e-6).
 
     The reference's max-length queue is per-table and single-threaded; a
     keyed state is the distributed generalization — pass a constant key
@@ -139,32 +198,68 @@ def fifo_window_stream(
         ", ".join(f"{k} {in_types[k]}" for k in keys)
         + ", n long, sum_val double, min_val double, max_val double"
     )
-    state_schema = "ords array<long>, vals array<double>"
+    state_schema = (
+        "ords array<long>, vals array<double>, run_sum double, "
+        "mn_ords array<long>, mn_vals array<double>, "
+        "mx_ords array<long>, mx_vals array<double>"
+    )
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            ords, vals = state.get
-            ords = list(ords)
-            vals = list(vals)
+            s_ords, s_vals, run_sum, mn_o, mn_v, mx_o, mx_v = state.get
+            ords = np.asarray(s_ords, dtype=np.int64)
+            vals = np.asarray(s_vals, dtype=np.float64)
+            mn_o, mn_v = (
+                np.asarray(mn_o, dtype=np.int64),
+                np.asarray(mn_v, dtype=np.float64),
+            )
+            mx_o, mx_v = (
+                np.asarray(mx_o, dtype=np.int64),
+                np.asarray(mx_v, dtype=np.float64),
+            )
         else:
-            ords, vals = [], []
+            ords = np.empty(0, dtype=np.int64)
+            vals = np.empty(0, dtype=np.float64)
+            run_sum = 0.0
+            mn_o = mx_o = np.empty(0, dtype=np.int64)
+            mn_v = mx_v = np.empty(0, dtype=np.float64)
         for pdf in pdfs:
             pdf = pdf.sort_values(order_col)
-            ords.extend(int(o) for o in pdf[order_col])
-            vals.extend(float(v) for v in pdf[value_col])
+            b_ords = pdf[order_col].to_numpy(dtype=np.int64)
+            b_vals = pdf[value_col].to_numpy(dtype=np.float64)
+            ords = np.concatenate([ords, b_ords])
+            vals = np.concatenate([vals, b_vals])
+            run_sum += float(b_vals.sum())
+            mn_o, mn_v = _mono_merge_batch(mn_o, mn_v, b_ords, b_vals, True)
+            mx_o, mx_v = _mono_merge_batch(mx_o, mx_v, b_ords, b_vals, False)
         if len(vals) > max_len:
+            run_sum -= float(vals[: len(vals) - max_len].sum())
             ords, vals = ords[-max_len:], vals[-max_len:]
-        state.update((ords, vals))
-        arr = np.asarray(vals, dtype=np.float64)
+            # deque ords are increasing → expired front = one searchsorted
+            cut_mn = np.searchsorted(mn_o, ords[0], side="left")
+            cut_mx = np.searchsorted(mx_o, ords[0], side="left")
+            mn_o, mn_v = mn_o[cut_mn:], mn_v[cut_mn:]
+            mx_o, mx_v = mx_o[cut_mx:], mx_v[cut_mx:]
+        state.update(
+            (
+                [int(o) for o in ords],
+                [float(v) for v in vals],
+                run_sum,
+                [int(o) for o in mn_o],
+                [float(v) for v in mn_v],
+                [int(o) for o in mx_o],
+                [float(v) for v in mx_v],
+            )
+        )
         yield pd.DataFrame(
             {
                 **{k: [key[i]] for i, k in enumerate(keys)},
-                "n": [len(arr)],
-                "sum_val": [float(arr.sum())],
-                "min_val": [float(arr.min())],
-                "max_val": [float(arr.max())],
+                "n": [len(vals)],
+                "sum_val": [run_sum],
+                "min_val": [float(mn_v[0])],
+                "max_val": [float(mx_v[0])],
             }
         )
 

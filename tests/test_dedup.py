@@ -226,6 +226,35 @@ def test_simhash_hamming_pairs(spark):
     assert want, "fixture must produce at least one qualifying pair"
 
 
+def test_embedding_neardup_contract_premise(spark, sf_dir):
+    """The q_embedding_neardup hash contract equates banded LSH output
+    with the all-pairs ≥0.99 oracle — valid ONLY while the corpus has no
+    NATURAL pair ≥ 0.99 (injected exact copies collide in every table;
+    natural near-pairs could miss all 4). Recompute the premise at the
+    test sf directly (numpy all-pairs max cosine off the diagonal), and
+    at the driver's contract sf when present."""
+    import glob
+
+    import numpy as np
+
+    for root in {sf_dir, "/root/testdata/sf0.01"}:
+        if not glob.glob(f"{root}/embeddings.parquet"):
+            continue
+        rows = (
+            spark.read.parquet(f"{root}/embeddings.parquet")
+            .select("embedding")
+            .collect()
+        )
+        m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        np.fill_diagonal(sims, -1.0)
+        assert sims.max() < 0.99, (
+            f"{root}: natural pair at cosine {sims.max():.4f} breaks the "
+            "embedding_neardup contract premise — re-derive the banding"
+        )
+
+
 def test_embedding_neardup_bucket_cap(spark):
     """max_bucket drops degenerate hot buckets from candidacy (hard bound
     on join fan-out); without the cap the same corpus pairs fully."""
