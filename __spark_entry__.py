@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from bistro_spark.pipeline import flagship
 from bistro_spark.schema import Schema
 from bistro_spark.sources.io import load_table
+from bistro_spark.operators import curation as _curation
 from bistro_spark.sources.tokens import (
     token_table_duckdb_sql,
     token_table_fast,
@@ -380,6 +381,59 @@ def q_quality_filter_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified hash-sampling (curation step): downsample
+    the dominant language to 25%, keep 75% of the rest — a pure md5-prefix
+    codegen filter, no shuffle/RNG, reproducible on any cluster shape."""
+    from bistro_spark.operators.curation import hash_sample
+
+    docs = load_table(spark, "documents", sf)
+    return hash_sample(
+        docs, "doc_id", rates={"en": 0.25}, strata_col="lang",
+        default_rate=0.75,
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-set decontamination: docs with doc_id % 101 == 0 act as the
+    held-out benchmark; report every train doc sharing >= 1 distinct word
+    n-gram with it. Eval grams broadcast; train side never shuffles.
+
+    The canonical scan uses 13-grams; the synthetic corpus' template
+    language shares only short spans verbatim (no 5-gram collisions even
+    at sf0.01), so the contract pins n=4 — the largest n with a nonzero
+    collision set — to keep the hash check non-trivial. ``n`` is a plain
+    passthrough parameter of the operator."""
+    from bistro_spark.operators.curation import contamination
+
+    docs = load_table(spark, "documents", sf)
+    return contamination(
+        docs.filter("doc_id % 101 != 0"),
+        docs.filter("doc_id % 101 = 0"),
+        n=4,
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-10 terms per language by corpus term frequency, with doc
+    frequency and smoothed tf-idf. Rank order is (tf DESC, term ASC) —
+    integers/strings only, so the frontier is oracle-deterministic."""
+    from bistro_spark.operators.curation import top_terms
+
+    return top_terms(load_table(spark, "documents", sf), "lang", k=10)
+
+
+def q_corpus_length_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language corpus length report: doc count, total words, exact
+    p50/p90/p99 words-per-doc (exact percentile == DuckDB quantile_cont;
+    the approx_percentile sketch variant is the 100 TB path, pinned within
+    tolerance by tests)."""
+    from bistro_spark.operators.curation import length_stats
+
+    return length_stats(load_table(spark, "documents", sf), "lang",
+                        exact=True)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-5 for the 3 lowest vec_ids (exact ANN
     baseline; broadcast queries, no corpus shuffle)."""
@@ -697,6 +751,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "partition_lineage": q_partition_lineage,  # rows-only (partition ids)
         "ann_ivf_topk": q_ann_ivf_topk,
+        "sample_stratified": q_sample_stratified,
+        "decontaminate": q_decontaminate,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "corpus_length_stats": q_corpus_length_stats,
     }
 
 
@@ -1144,4 +1202,15 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(tokens[1:5], ',') AS head5
             FROM t
         """,
+        "sample_stratified": (
+            "SELECT doc_id, lang, source, n_chars FROM documents WHERE "
+            + _curation.hash_sample_sql(
+                "doc_id", {"en": 0.25}, "lang", default_rate=0.75
+            )
+        ),
+        "decontaminate": _curation.contamination_sql(
+            "doc_id % 101 != 0", "doc_id % 101 = 0", n=4
+        ),
+        "tfidf_top_terms": _curation.top_terms_sql("lang", k=10),
+        "corpus_length_stats": _curation.length_stats_sql("lang"),
     }

@@ -570,12 +570,19 @@ def simhash_sql(text_expr: str, bits: int = 16) -> str:
 
 
 def ngram_set(text: Column, n: int = 3) -> Column:
-    """Distinct hashed word n-grams (sorted, so set ops are portable)."""
+    """Distinct hashed word n-grams (sorted, so set ops are portable).
+
+    A document with fewer than ``n`` words contains no n-gram: the set is
+    empty (guarded — ``sequence(1, size-(n-1))`` would descend through 0
+    for short docs and ``slice(words, 0, n)`` errors)."""
     words = F.split(text, " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
-        lambda i: word_hash(F.concat_ws(" ", F.slice(words, i, n))),
-    )
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: word_hash(F.concat_ws(" ", F.slice(words, i, n))),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
     return F.array_sort(F.array_distinct(grams))
 
 
@@ -596,7 +603,7 @@ def ngram_set_sql(text_expr: str, n: int = 3) -> str:
     )
     return f"""(
       SELECT list_sort(list_distinct(list_transform(
-               range(1, greatest(len(wrd) - {n - 1}, 1) + 1),
+               range(1, len(wrd) - {n - 1} + 1),
                i -> {gram_hash})))
       FROM (SELECT string_split({text_expr}, ' ') AS wrd)
     )"""

@@ -203,3 +203,42 @@ def test_sketch_calc_single_arrow_boundary_and_pruned_tokens(spark, token_parque
     # scan/Arrow lines only
     above = plan.split(arrow_nodes[0])[0]
     assert "tokens" not in above, above
+
+
+def test_hash_sample_is_pure_filter_no_exchange(spark):
+    """Stratified hash-sampling is a narrow codegen filter: no Exchange,
+    no Python node — at 100 TB it runs entirely map-side on the scan."""
+    from bistro_spark.operators.curation import hash_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(
+        hash_sample(docs, "doc_id", {"en": 0.25}, "lang", 0.75)
+        .select("doc_id", "lang")
+    )
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "MapInArrow" not in plan, plan
+    assert "Filter" in plan, plan
+
+
+def test_contamination_broadcasts_eval_grams(spark):
+    """Decontamination joins the exploded train grams against a BROADCAST
+    eval-gram set — the 100 TB train side never shuffles on gram."""
+    from bistro_spark.operators.curation import contamination
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(
+        contamination(
+            docs.filter("doc_id % 7 != 0"), docs.filter("doc_id % 7 = 0"),
+            n=4,
+        )
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the exploded TRAIN grams never shuffle: every hash exchange is either
+    # the final groupBy(doc_id) aggregation or the gram-distinct inside the
+    # tiny eval subtree that feeds the broadcast
+    shuffles = [ln for ln in plan.splitlines()
+                if "Exchange hashpartitioning" in ln]
+    assert all("doc_id" in ln or "gram" in ln for ln in shuffles), plan
+    assert sum("doc_id" in ln for ln in shuffles) == 1, plan
+    assert sum("gram" in ln for ln in shuffles) <= 1, plan
