@@ -18,6 +18,7 @@ from bistro_spark.pipeline import flagship
 from bistro_spark.schema import Schema
 from bistro_spark.sources.io import load_table
 from bistro_spark.operators import curation as _curation
+from bistro_spark.operators import text as _text
 from bistro_spark.sources.tokens import (
     token_table_duckdb_sql,
     token_table_fast,
@@ -434,6 +435,19 @@ def q_corpus_length_stats(spark: SparkSession, sf: str) -> DataFrame:
                         exact=True)
 
 
+def q_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate signals per document:
+    duplicate-word fraction and top-bigram coverage (one codegen
+    projection, HOF variant; the explode variant for unbounded docs is
+    parity-tested)."""
+    from bistro_spark.operators.text import repetition_signals
+
+    return repetition_signals(load_table(spark, "documents", sf)).select(
+        "doc_id", "n_words", "n_distinct_words", "dup_word_fraction",
+        "top_bigram_count", "top_bigram_fraction",
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-5 for the 3 lowest vec_ids (exact ANN
     baseline; broadcast queries, no corpus shuffle)."""
@@ -755,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "tfidf_top_terms": q_tfidf_top_terms,
         "corpus_length_stats": q_corpus_length_stats,
+        "repetition_signals": q_repetition_signals,
     }
 
 
@@ -1213,4 +1228,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tfidf_top_terms": _curation.top_terms_sql("lang", k=10),
         "corpus_length_stats": _curation.length_stats_sql("lang"),
+        "repetition_signals": (
+            "SELECT doc_id, n_words, n_distinct_words, dup_word_fraction, "
+            "top_bigram_count, top_bigram_fraction FROM ("
+            + _text.repetition_signals_sql("documents")
+            + ")"
+        ),
     }

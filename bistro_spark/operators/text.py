@@ -196,3 +196,169 @@ def quality_score_sql(text_expr: str = "text") -> str:
         f"CASE WHEN ({mean_wlen}) >= 3.0 AND ({mean_wlen}) <= 8.0 "
         f"THEN 1.0 ELSE 0.0 END"
     )
+
+
+# ------------------------------------------------ repetition signals ----
+# Gopher-style (Rae et al. 2021, §A1.1) repetition/boilerplate measures:
+# heavily repetitive documents are low-value training data. Both measures
+# are engine-portable (array ops over the single-space word split, no
+# regex, no hash drift).
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", via: str = "hof"
+) -> DataFrame:
+    """Per-document repetition report: word counts, duplicate-word
+    fraction (1 - distinct/total), and the coverage of the most frequent
+    word bigram.
+
+    ``via='hof'`` computes the top-bigram count with higher-order array
+    functions in one codegen projection — O(distinct x total) per doc,
+    ideal for web-scale corpora of bounded-length documents (truncate
+    pathological docs first). ``via='explode'`` is the unbounded-doc
+    variant: explode bigrams, two aggregations, linear work per doc at
+    the price of a shuffle on (id, gram). Identical output
+    (parity-tested); the contract pins 'hof'.
+    """
+    t = F.col(text_col)
+    words = F.split(t, " ")
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    base = df.select(
+        "*",
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        F.round(
+            F.lit(1.0) - n_distinct / n_words, 6
+        ).alias("dup_word_fraction"),
+    )
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    if via == "hof":
+        g = bigrams
+        top = F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(g),
+                    lambda x: F.size(F.filter(g, lambda y: y == x)),
+                )
+            ),
+            F.lit(0),
+        )
+        return base.withColumn("top_bigram_count", top).withColumn(
+            "top_bigram_fraction",
+            F.round(
+                F.when(F.size(bigrams) > 0,
+                       F.col("top_bigram_count") / F.size(bigrams))
+                .otherwise(0.0),
+                6,
+            ),
+        )
+    if via != "explode":
+        raise ValueError(f"via must be 'hof' or 'explode', got {via!r}")
+    # explode variant: count per (row, gram), then max per row. The row key
+    # is the full base projection (doc ids are unique in practice; using
+    # all columns keeps the op generic without requiring an id column).
+    gram_rows = base.select("*", F.explode(bigrams).alias("_gram"))
+    per_gram = gram_rows.groupBy(*base.columns, "_gram").agg(
+        F.count("*").alias("_cnt")
+    )
+    agg = per_gram.groupBy(*base.columns).agg(
+        F.max("_cnt").cast("int").alias("top_bigram_count")
+    )
+    out = base.join(agg, on=base.columns, how="left").withColumn(
+        "top_bigram_count", F.coalesce("top_bigram_count", F.lit(0))
+    )
+    return out.withColumn(
+        "top_bigram_fraction",
+        F.round(
+            F.when(F.col("n_words") >= 2,
+                   F.col("top_bigram_count") / (F.col("n_words") - 1))
+            .otherwise(0.0),
+            6,
+        ),
+    )
+
+
+def repetition_signals_sql(
+    table: str = "documents", text_expr: str = "text"
+) -> str:
+    """DuckDB twin of repetition_signals (the 'hof' shape)."""
+    return f"""
+      WITH w AS (
+        SELECT *, string_split({text_expr}, ' ') AS wrd FROM {table}
+      ),
+      g AS (
+        SELECT *,
+               CASE WHEN len(wrd) >= 2
+                    THEN list_transform(range(1, len(wrd)),
+                                        i -> array_to_string(wrd[i:i+1], ' '))
+                    ELSE [] END AS grm
+        FROM w
+      )
+      SELECT * EXCLUDE (wrd, grm),
+             CAST(len(wrd) AS INTEGER) AS n_words,
+             CAST(len(list_distinct(wrd)) AS INTEGER) AS n_distinct_words,
+             round(1.0 - CAST(len(list_distinct(wrd)) AS DOUBLE)
+                       / len(wrd), 6) AS dup_word_fraction,
+             CAST(coalesce(list_max(list_transform(list_distinct(grm),
+                    x -> len(list_filter(grm, y -> y = x)))), 0)
+                  AS INTEGER) AS top_bigram_count,
+             round(CASE WHEN len(grm) > 0
+                        THEN CAST(coalesce(list_max(list_transform(
+                               list_distinct(grm),
+                               x -> len(list_filter(grm, y -> y = x)))), 0)
+                             AS DOUBLE) / len(grm)
+                        ELSE 0.0 END, 6) AS top_bigram_fraction
+      FROM g
+    """
+
+
+# ------------------------------------------------------ PII redaction ----
+# Regex subset chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, no backreferences
+# or lookaround.
+
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(?:\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Replace email / phone / IPv4 literals with ``[KIND]`` tokens and
+    count the redactions per kind — pure ``regexp_replace`` chain, fully
+    codegen (no Python in the hot path at any scale).
+
+    Adds ``n_redact_<kind>`` count columns and writes the scrubbed text to
+    ``out_col`` (default: overwrite ``text_col``).
+    """
+    kinds = kinds or list(PII_PATTERNS)
+    out_col = out_col or text_col
+    scrubbed = F.col(text_col)
+    counts = []
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        token = f"[{kind.upper()}]"
+        counts.append(
+            F.coalesce(
+                F.size(F.split(scrubbed, pat)) - 1, F.lit(0)
+            ).alias(f"n_redact_{kind}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.select(
+        *[c for c in df.columns if c != out_col],
+        *counts,
+        scrubbed.alias(out_col),
+    )

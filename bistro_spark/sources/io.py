@@ -56,6 +56,34 @@ def load_table(
     return spark.read.parquet(f"{root}/{name}.parquet")
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+) -> DataFrame:
+    """JSON-Lines reader — the interchange format of LLM data pipelines
+    (one JSON object per line, newline-delimited, gzip-splittable when
+    chunked). ALWAYS pass an explicit ``schema`` at scale: schema
+    inference is a full extra pass over 100 TB; an explicit schema makes
+    the read single-pass and gives Catalyst exact types for pruning.
+    Corrupt lines land in ``_corrupt_record`` (PERMISSIVE mode) instead of
+    failing the job — a real crawl dump always has a few."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(f"{schema}, _corrupt_record string")
+    return reader.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """JSON-Lines writer (one object per line per partition file)."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
 def register_views(spark: SparkSession, root: str) -> None:
     """Register every testdata table as a temp view (SQL surface)."""
     for t in TESTDATA_TABLES:

@@ -172,3 +172,124 @@ def test_length_stats_approx_close_to_exact(docs):
         # words-per-doc spans ~10-100; sketch should land within 20%
         for c in ("p50_words", "p90_words", "p99_words"):
             assert abs(getattr(a, c) - getattr(e, c)) <= 0.2 * getattr(e, c)
+
+
+# ------------------------------------------------ repetition signals ----
+
+
+def test_repetition_signals_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a"),        # bigrams: ab,ba,ab,ba -> top 2/4
+         (2, "x y z"),            # all distinct words, top bigram 1/2
+         (3, "solo")],            # 1 word: no bigram
+        ["doc_id", "text"],
+    )
+    from bistro_spark.operators.text import repetition_signals
+
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert out[1].n_words == 5 and out[1].n_distinct_words == 2
+    assert out[1].dup_word_fraction == 0.6
+    assert out[1].top_bigram_count == 2
+    assert out[1].top_bigram_fraction == 0.5
+    assert out[2].dup_word_fraction == 0.0
+    assert out[2].top_bigram_count == 1
+    assert out[3].top_bigram_count == 0
+    assert out[3].top_bigram_fraction == 0.0
+
+
+def test_repetition_signals_hof_explode_parity(docs):
+    from bistro_spark.operators.text import repetition_signals
+
+    cols = ["doc_id", "n_words", "n_distinct_words", "dup_word_fraction",
+            "top_bigram_count", "top_bigram_fraction"]
+    hof = sorted(
+        tuple(r) for r in repetition_signals(docs, via="hof")
+        .select(*cols).collect()
+    )
+    exp = sorted(
+        tuple(r) for r in repetition_signals(docs, via="explode")
+        .select(*cols).collect()
+    )
+    assert hof == exp
+
+
+# ------------------------------------------------------ PII redaction ----
+
+
+def test_redact_pii_counts_and_scrubs(spark):
+    from bistro_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail bob@example.com and alice@test.org ok"),
+         (2, "call +1-555-123-4567 or 555 987 6543 now"),
+         (3, "host 192.168.0.1 clean text")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].n_redact_email == 2
+    assert "[EMAIL]" in out[1].text and "@" not in out[1].text
+    assert out[2].n_redact_phone == 2
+    assert "[PHONE]" in out[2].text
+    assert out[3].n_redact_ipv4 == 1
+    assert "[IPV4]" in out[3].text and "192.168" not in out[3].text
+    # clean text untouched
+    assert out[3].text.endswith("clean text")
+
+
+def test_redact_pii_java_re2_portability(spark):
+    """The PII regex subset must mean the same thing to DuckDB's RE2 —
+    same match count on the same rows."""
+    rows = [
+        "mail bob@example.com and alice@test.org ok",
+        "call +1-555-123-4567 now",
+        "host 192.168.0.1 here",
+        "no pii at all",
+    ]
+    from bistro_spark.operators.text import PII_PATTERNS, redact_pii
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(rows)],
+                               ["doc_id", "text"])
+    spark_counts = {
+        r.doc_id: (r.n_redact_email, r.n_redact_phone, r.n_redact_ipv4)
+        for r in redact_pii(df).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(rows):
+        duck = tuple(
+            con.execute(
+                "SELECT len(regexp_extract_all(?, ?))",
+                [t, PII_PATTERNS[k]],
+            ).fetchone()[0]
+            for k in ("email", "phone", "ipv4")
+        )
+        assert spark_counts[i] == duck, (i, t, spark_counts[i], duck)
+
+
+# ------------------------------------------------------------- JSONL ----
+
+
+def test_jsonl_roundtrip_and_corrupt_record(spark, tmp_path, docs):
+    from bistro_spark.sources.io import read_jsonl, write_jsonl
+
+    p = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs.select("doc_id", "text", "lang"), p)
+    back = read_jsonl(spark, p,
+                      schema="doc_id bigint, text string, lang string")
+    a = sorted(tuple(r) for r in
+               docs.select("doc_id", "text", "lang").collect())
+    b = sorted(tuple(r) for r in
+               back.select("doc_id", "text", "lang").collect())
+    assert a == b
+    # corrupt line lands in _corrupt_record, not a job failure
+    bad = str(tmp_path / "bad.jsonl")
+    with open(bad, "w") as f:
+        f.write('{"doc_id": 1, "text": "ok", "lang": "en"}\n')
+        f.write("{this is not json\n")
+    rows = read_jsonl(spark, bad,
+                      schema="doc_id bigint, text string, lang string")
+    # Spark disallows a query whose only referenced column is the internal
+    # corrupt-record column — project a data column alongside it
+    got = rows.select("doc_id", "_corrupt_record").collect()
+    good = sum(1 for r in got if r._corrupt_record is None)
+    corrupt = sum(1 for r in got if r._corrupt_record is not None)
+    assert (good, corrupt) == (1, 1)
