@@ -448,6 +448,37 @@ def q_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end curation pass as ONE declarative plan: stratified
+    hash-sample (en 25% / rest 75%) → repetition gate (duplicate-word
+    fraction ≤ 0.6) → quality gate (score ≥ 1.0) → per-language corpus
+    report. Catalyst fuses the three row-level stages into a single
+    scan+filter+project before the one aggregation shuffle — the plan a
+    100 TB curation job wants."""
+    from bistro_spark.operators.curation import hash_sample
+    from bistro_spark.operators.text import quality_score, repetition_signals
+
+    docs = load_table(spark, "documents", sf)
+    sampled = hash_sample(docs, "doc_id", {"en": 0.25}, "lang", 0.75)
+    gated = (
+        repetition_signals(sampled)
+        .filter(F.col("dup_word_fraction") <= 0.6)
+        .withColumn("quality", quality_score("text"))
+        .filter(F.col("quality") >= 1.0)
+    )
+    return gated.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.round(
+            (
+                F.sum(F.col("dup_word_fraction").cast("decimal(20,10)"))
+                / F.count("*")
+            ).cast("double"),
+            6,
+        ).alias("avg_dup_fraction"),
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-5 for the 3 lowest vec_ids (exact ANN
     baseline; broadcast queries, no corpus shuffle)."""
@@ -770,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "corpus_length_stats": q_corpus_length_stats,
         "repetition_signals": q_repetition_signals,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -1234,4 +1266,23 @@ def oracle_sql() -> dict[str, str]:
             + _text.repetition_signals_sql("documents")
             + ")"
         ),
+        "curation_pipeline": f"""
+            WITH sampled AS (
+              SELECT * FROM documents
+              WHERE {_curation.hash_sample_sql(
+                  "doc_id", {"en": 0.25}, "lang", default_rate=0.75)}
+            ),
+            rep AS ({_text.repetition_signals_sql("sampled")}),
+            gated AS (
+              SELECT *, CAST({quality_score_sql("text")} AS DOUBLE) AS quality
+              FROM rep WHERE dup_word_fraction <= 0.6
+            )
+            SELECT lang,
+                   CAST(count(*) AS BIGINT)      AS n_docs,
+                   CAST(sum(n_words) AS BIGINT)  AS total_words,
+                   round(CAST(sum(CAST(dup_word_fraction AS DECIMAL(20,10)))
+                              AS DOUBLE) / count(*), 6) AS avg_dup_fraction
+            FROM gated WHERE quality >= 1.0
+            GROUP BY lang
+        """,
     }

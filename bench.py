@@ -5,6 +5,10 @@ JSON line: {"metric", "value", "unit": "sec", "queries": {...}, "sf"}.
 Also reports the north-rule throughput numbers (sequences/sec, tokens/sec)
 for the flagship calc→link→accu pipeline over a generated token table as
 extra keys (ignored by consumers that only read the contract fields).
+
+``python bench.py --only q1 q2 ...`` restricts to the named queries (and
+skips the tokens_pipeline probe unless named) — for isolating one query's
+timing without the suite's JVM/GC interleaving.
 """
 
 from __future__ import annotations
@@ -41,6 +45,9 @@ def _run(df) -> int:
 
 
 def main() -> None:
+    only: set[str] | None = None
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        only = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(master=f"local[{cpus}]", app_name="bistro_bench")
@@ -66,6 +73,8 @@ def main() -> None:
     single_run = {"dedup_clusters", "dedup_survivors"}
     cold: dict[str, float] = {}
     for name, fn in ent.queries().items():
+        if only is not None and name not in only:
+            continue
         t0 = time.time()
         _run(fn(spark, sf_dir))
         cold[name] = round(time.time() - t0, 3)
@@ -80,16 +89,24 @@ def main() -> None:
     # One warm-up run (JIT + parquet footer cache), then best-of-2: the
     # shared VM host swings >2x between identical runs, and steady-state
     # throughput is the number that transfers to a cluster.
-    tok_path = _token_parquet(spark, TOKEN_BENCH_N)
-    tok_df = spark.read.parquet(tok_path)
-    rollup = flagship(spark, tok_df).collect()  # warm-up
-    tok_sec = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        rollup = flagship(spark, tok_df).collect()
-        tok_sec = min(tok_sec, time.time() - t0)
-    n_tokens = sum(r["sum_tok"] for r in rollup)
-    timings["tokens_pipeline"] = round(tok_sec, 3)
+    tokens_stats = None
+    if only is None or "tokens_pipeline" in only:
+        tok_path = _token_parquet(spark, TOKEN_BENCH_N)
+        tok_df = spark.read.parquet(tok_path)
+        rollup = flagship(spark, tok_df).collect()  # warm-up
+        tok_sec = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            rollup = flagship(spark, tok_df).collect()
+            tok_sec = min(tok_sec, time.time() - t0)
+        n_tokens = sum(r["sum_tok"] for r in rollup)
+        timings["tokens_pipeline"] = round(tok_sec, 3)
+        tokens_stats = {
+            "n_seq": TOKEN_BENCH_N,
+            "n_tokens": int(n_tokens),
+            "seq_per_sec": round(TOKEN_BENCH_N / tok_sec),
+            "tokens_per_sec": round(n_tokens / tok_sec),
+        }
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -102,13 +119,9 @@ def main() -> None:
         "queries_cold_first_run = first execution incl. plan compile + "
         "codegen + footer reads (see BENCH/REGRESSION_r3.md)",
         "sf": sf_dir,
-        "tokens_pipeline": {
-            "n_seq": TOKEN_BENCH_N,
-            "n_tokens": int(n_tokens),
-            "seq_per_sec": round(TOKEN_BENCH_N / tok_sec),
-            "tokens_per_sec": round(n_tokens / tok_sec),
-        },
     }
+    if tokens_stats is not None:
+        out["tokens_pipeline"] = tokens_stats
     # attach the latest N->4N scaling measurement (tools/bench_scaling.py,
     # full protocol + hardware-ceiling context in BENCH/BASELINE.md)
     scaling_path = os.path.join(

@@ -242,3 +242,20 @@ def test_contamination_broadcasts_eval_grams(spark):
     assert all("doc_id" in ln or "gram" in ln for ln in shuffles), plan
     assert sum("doc_id" in ln for ln in shuffles) == 1, plan
     assert sum("gram" in ln for ln in shuffles) <= 1, plan
+
+
+def test_curation_pipeline_fuses_to_single_scan_one_exchange(spark):
+    """The composed curation pass (sample -> repetition gate -> quality
+    gate -> report) must stay ONE pruned scan with every row-level gate
+    fused into the scan's Filter, then a partial+final aggregate with a
+    single exchange — no Python nodes anywhere."""
+    import __spark_entry__ as ent
+
+    plan = plan_of(
+        ent.q_curation_pipeline(spark, "/root/testdata/sf0.001")
+    )
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan and "MapInArrow" not in plan, plan
+    # column pruning: the scan reads only what the report needs
+    assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in plan, plan
