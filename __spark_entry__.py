@@ -479,6 +479,29 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking: 32-word spans with 8-word overlap per
+    document (the RAG / training-prep striding scheme) — pure
+    sequence+explode+slice codegen, no shuffle."""
+    from bistro_spark.operators.curation import chunk_spans
+
+    return chunk_spans(
+        load_table(spark, "documents", sf), size=32, overlap=8
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy no-split sequence packing into 256-word buffers, 4 shards —
+    the training-batch packing step as a per-shard grouped-map fold;
+    oracle = the same fold as a DuckDB recursive CTE."""
+    from bistro_spark.operators.curation import pack_sequences
+
+    docs = load_table(spark, "documents", sf).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_words")
+    )
+    return pack_sequences(docs, capacity=256, n_shards=4)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-5 for the 3 lowest vec_ids (exact ANN
     baseline; broadcast queries, no corpus shuffle)."""
@@ -802,6 +825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_length_stats": q_corpus_length_stats,
         "repetition_signals": q_repetition_signals,
         "curation_pipeline": q_curation_pipeline,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1285,4 +1310,10 @@ def oracle_sql() -> dict[str, str]:
             FROM gated WHERE quality >= 1.0
             GROUP BY lang
         """,
+        "chunk_documents": _curation.chunk_spans_sql(
+            "documents", size=32, overlap=8
+        ),
+        "pack_sequences": _curation.pack_sequences_sql(
+            "documents", capacity=256, n_shards=4
+        ),
     }

@@ -308,3 +308,187 @@ def length_stats_sql(
                AS p99_words
       FROM w GROUP BY {group_col}
     """
+
+
+# ---------------------------------------------------------- chunking ----
+
+
+def chunk_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Context-window chunking: split each document into word spans of
+    ``size`` with ``overlap`` words shared between consecutive chunks (the
+    RAG / training-prep striding scheme).
+
+    Emits one row per (doc, chunk): 0-based ``chunk_id``, 1-based
+    inclusive word span [start_word, end_word], the chunk word count, and
+    the chunk text itself. A doc of n words yields
+    1 + ceil(max(n - size, 0) / (size - overlap)) chunks; the final chunk
+    may be short; every word belongs to >= 1 chunk. Pure codegen
+    (sequence + explode + slice) — the explode multiplies rows ~n/step x,
+    which is the op's output, not overhead; no shuffle is introduced.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {overlap}/{size}")
+    step = size - overlap
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - size, F.lit(0)) / F.lit(step))
+    ).cast("int")
+    out = df.select(
+        F.col(id_col),
+        n.alias("_n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        words.alias("_w"),
+    )
+    start = F.col("chunk_id") * step + 1
+    end = F.least(start + (size - 1), F.col("_n"))
+    return out.select(
+        id_col,
+        "chunk_id",
+        start.cast("int").alias("start_word"),
+        end.cast("int").alias("end_word"),
+        (end - start + 1).cast("int").alias("n_words_chunk"),
+        F.concat_ws(
+            " ", F.slice(F.col("_w"), start, end - start + 1)
+        ).alias("chunk_text"),
+    )
+
+
+def chunk_spans_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 32,
+    overlap: int = 8,
+) -> str:
+    """DuckDB twin of :func:`chunk_spans`."""
+    step = size - overlap
+    return f"""
+      WITH w AS (
+        SELECT {id_col}, string_split({text_col}, ' ') AS wrd FROM {table}
+      ),
+      c AS (
+        SELECT {id_col}, wrd, len(wrd) AS n,
+               unnest(range(0, 1 + CAST(ceil(greatest(len(wrd) - {size}, 0)
+                                             / {step}.0) AS INTEGER)))
+                 AS chunk_id
+        FROM w
+      )
+      SELECT {id_col},
+             CAST(chunk_id AS INTEGER) AS chunk_id,
+             CAST(chunk_id * {step} + 1 AS INTEGER) AS start_word,
+             CAST(least(chunk_id * {step} + {size}, n) AS INTEGER)
+               AS end_word,
+             CAST(least(chunk_id * {step} + {size}, n)
+                  - (chunk_id * {step} + 1) + 1 AS INTEGER)
+               AS n_words_chunk,
+             array_to_string(
+               wrd[chunk_id * {step} + 1 : least(chunk_id * {step} + {size}, n)],
+               ' ') AS chunk_text
+      FROM c
+    """
+
+
+# ------------------------------------------------------ sequence packing ----
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_words",
+    capacity: int = 256,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Greedy no-split sequence packing (the training-batch "packing" step:
+    concatenate whole documents into fixed-capacity token buffers).
+
+    Documents are sharded by ``id % n_shards`` and packed within each
+    shard in id order: a doc joins the current pack if it fits, else opens
+    the next pack (a doc longer than ``capacity`` gets a pack to itself).
+    Returns (id, shard, pack_id, offset, len) — pack_id is per-shard.
+
+    The fold is inherently sequential per shard, so this is a grouped-map
+    ``applyInPandas`` kernel: each shard's rows arrive as one pandas frame,
+    the greedy scan is a single numpy pass, and shards pack in parallel.
+    At 100 TB, ``n_shards`` is sized to executor parallelism (thousands) —
+    packing quality is unaffected because packs never span shards by
+    construction, and determinism is exact: the same (id, len) set packs
+    identically on any cluster shape. Global (unsharded) packing of a
+    distributed corpus is not parallelizable without changing semantics.
+    """
+    import pandas as pd
+
+    shard_expr = (F.col(id_col) % n_shards).cast("int").alias("shard")
+    src = df.select(
+        F.col(id_col), shard_expr, F.col(len_col).cast("long").alias("len")
+    )
+    schema = (
+        f"{id_col} long, shard int, pack_id long, offset long, len long"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        lens = pdf["len"].to_numpy()
+        pack_ids = []
+        offsets = []
+        pack_id, end = 0, 0
+        first = True
+        for ln in lens:
+            if first:
+                pack_id, off = 0, 0
+                first = False
+            elif end + ln <= capacity:
+                off = end
+            else:
+                pack_id, off = pack_id + 1, 0
+            end = off + ln
+            pack_ids.append(pack_id)
+            offsets.append(off)
+        pdf["pack_id"] = pack_ids
+        pdf["offset"] = offsets
+        return pdf[[id_col, "shard", "pack_id", "offset", "len"]]
+
+    return src.groupBy("shard").applyInPandas(pack, schema=schema)
+
+
+def pack_sequences_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    len_expr: str = "len(string_split(text, ' '))",
+    capacity: int = 256,
+    n_shards: int = 4,
+) -> str:
+    """DuckDB twin of :func:`pack_sequences`: the same greedy fold as a
+    recursive CTE stepping through each shard's rows in id order."""
+    return f"""
+      WITH RECURSIVE src AS (
+        SELECT {id_col},
+               CAST({id_col} % {n_shards} AS INTEGER) AS shard,
+               CAST({len_expr} AS BIGINT) AS len,
+               row_number() OVER (
+                 PARTITION BY {id_col} % {n_shards} ORDER BY {id_col}
+               ) AS rn
+        FROM {table}
+      ),
+      packed AS (
+        SELECT {id_col}, shard, len, rn,
+               CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS "offset"
+        FROM src WHERE rn = 1
+        UNION ALL
+        SELECT s.{id_col}, s.shard, s.len, s.rn,
+               CASE WHEN p."offset" + p.len + s.len <= {capacity}
+                    THEN p.pack_id ELSE p.pack_id + 1 END,
+               CASE WHEN p."offset" + p.len + s.len <= {capacity}
+                    THEN p."offset" + p.len ELSE 0 END
+        FROM src s JOIN packed p
+          ON s.shard = p.shard AND s.rn = p.rn + 1
+      )
+      SELECT {id_col}, shard, pack_id, "offset", len FROM packed
+    """

@@ -293,3 +293,171 @@ def test_jsonl_roundtrip_and_corrupt_record(spark, tmp_path, docs):
     good = sum(1 for r in got if r._corrupt_record is None)
     corrupt = sum(1 for r in got if r._corrupt_record is not None)
     assert (good, corrupt) == (1, 1)
+
+
+# ------------------------------------------------------------ chunking ----
+
+
+def test_chunk_spans_known_values(spark):
+    from bistro_spark.operators.curation import chunk_spans
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(1, 11))),  # 10 words
+         (2, "a b c")],                                  # fits one chunk
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        (r.doc_id, r.chunk_id, r.start_word, r.end_word, r.n_words_chunk,
+         r.chunk_text)
+        for r in chunk_spans(df, size=4, overlap=1).collect()
+    )
+    # doc 1: n=10, step=3 -> chunks at words 1-4, 4-7, 7-10 (exactly
+    # covering with 1-word overlap)
+    assert out == [
+        (1, 0, 1, 4, 4, "w1 w2 w3 w4"),
+        (1, 1, 4, 7, 4, "w4 w5 w6 w7"),
+        (1, 2, 7, 10, 4, "w7 w8 w9 w10"),
+        (2, 0, 1, 3, 3, "a b c"),
+    ]
+
+
+def test_chunk_spans_every_word_covered(docs):
+    """Coverage invariant: union of [start, end] spans = [1, n_words] for
+    every document, and consecutive chunks overlap by exactly `overlap`
+    words except possibly the last."""
+    from bistro_spark.operators.curation import chunk_spans
+
+    rows = chunk_spans(docs, size=16, overlap=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        assert chunks[0].start_word == 1
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.start_word == a.start_word + 12  # step = 16 - 4
+            assert b.start_word <= a.end_word + 1     # no gap
+        n = max(c.end_word for c in chunks)
+        assert chunks[-1].end_word == n
+
+
+def test_chunk_spans_rejects_bad_overlap(docs):
+    from bistro_spark.operators.curation import chunk_spans
+
+    with pytest.raises(ValueError):
+        chunk_spans(docs, size=8, overlap=8)
+
+
+def test_chunk_spans_matches_duckdb(docs):
+    from bistro_spark.operators.curation import chunk_spans, chunk_spans_sql
+
+    spark_rows = sorted(
+        tuple(r) for r in chunk_spans(docs, size=32, overlap=8).collect()
+    )
+    con = _duck()
+    duck_rows = sorted(
+        tuple(r)
+        for r in con.sql(
+            chunk_spans_sql("documents", size=32, overlap=8)
+        ).fetchall()
+    )
+    assert spark_rows == duck_rows
+
+
+# ----------------------------------------------------- sequence packing ----
+
+
+def test_pack_sequences_known_values(spark):
+    from bistro_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, 100), (4, 100), (8, 60), (12, 300), (16, 10)],
+        ["doc_id", "n_words"],
+    )
+    # all ids % 4 == 0 -> one shard; capacity 256, id order:
+    # 100 (p0@0), 100 (p0@100), 60 (p0@200->260 overflows: p1@0),
+    # 300 (> cap: doesn't fit after 60 -> p2@0), 10 (p3@0: 300 filled p2)
+    out = sorted(
+        (r.doc_id, r.shard, r.pack_id, r.offset)
+        for r in pack_sequences(df, capacity=256, n_shards=4).collect()
+    )
+    assert out == [
+        (0, 0, 0, 0), (4, 0, 0, 100), (8, 0, 1, 0),
+        (12, 0, 2, 0), (16, 0, 3, 0),
+    ]
+
+
+def test_pack_sequences_invariants_and_determinism(spark, docs):
+    from bistro_spark.operators.curation import pack_sequences
+
+    src = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_words")
+    )
+    a = sorted(tuple(r) for r in
+               pack_sequences(src, capacity=128, n_shards=4).collect())
+    b = sorted(tuple(r) for r in
+               pack_sequences(src.repartition(13), capacity=128,
+                              n_shards=4).collect())
+    assert a == b  # partitioning-independent (deterministic at any shape)
+    # no pack exceeds capacity unless it holds a single oversized doc
+    from collections import defaultdict
+    packs = defaultdict(list)
+    for doc_id, shard, pack_id, offset, ln in a:
+        packs[(shard, pack_id)].append((offset, ln))
+    for (shard, pack_id), members in packs.items():
+        total = sum(ln for _, ln in members)
+        if total > 128:
+            assert len(members) == 1  # single oversized doc
+        # offsets are contiguous: sorted by offset, each starts where the
+        # previous ended
+        members.sort()
+        pos = 0
+        for offset, ln in members:
+            assert offset == pos
+            pos += ln
+
+
+# ------------------------------------------------- streaming curation ----
+
+
+def test_curation_ops_streaming_batch_parity(spark, tmp_path, docs):
+    """The stateless curation stages (hash_sample -> redact_pii ->
+    chunk_spans) run unchanged on a file stream — narrow ops need no
+    state, so streaming output == batch output on the same input files."""
+    from bistro_spark.operators.curation import chunk_spans, hash_sample
+    from bistro_spark.operators.text import redact_pii
+    from bistro_spark.sources.io import stream_parquet_dir
+
+    src_dir = str(tmp_path / "stream_src")
+    half = docs.select("doc_id", "text", "lang")
+    half.filter("doc_id % 2 = 0").coalesce(1).write.mode(
+        "overwrite").parquet(src_dir)
+    half.filter("doc_id % 2 = 1").coalesce(1).write.mode(
+        "append").parquet(src_dir)
+
+    def curate(df):
+        sampled = hash_sample(df, "doc_id", {"en": 0.5}, "lang", 1.0)
+        scrubbed = redact_pii(sampled)
+        return chunk_spans(scrubbed, size=16, overlap=4)
+
+    stream = stream_parquet_dir(
+        spark, src_dir, half.schema, max_files_per_trigger=1
+    )
+    q = (
+        curate(stream)
+        .writeStream.format("memory")
+        .queryName("curation_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.sql(
+            "SELECT * FROM curation_stream_out").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in curate(spark.read.parquet(src_dir)).collect()
+    )
+    assert got == want and len(got) > 0
