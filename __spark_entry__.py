@@ -502,6 +502,65 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return pack_sequences(docs, capacity=256, n_shards=4)
 
 
+def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-fit unigram-LM quality score per document (mean word
+    log-probability — the cheap perplexity-filter stand-in); vocabulary
+    broadcast, per-term logs rounded then decimal-summed for
+    order-independent cross-engine equality."""
+    from bistro_spark.operators.curation import unigram_logprob
+
+    return unigram_logprob(load_table(spark, "documents", sf))
+
+
+def q_source_quota(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source quota: keep the 10 largest documents per source
+    (order = n_chars DESC, doc_id tie-break — integer keys only, so the
+    frontier is exact) — the cap-any-one-source curation step."""
+    from bistro_spark.operators.curation import quota_per_group
+
+    docs = load_table(spark, "documents", sf).select(
+        "doc_id", "source", "n_chars"
+    )
+    return quota_per_group(docs, "source", "n_chars", n=10)
+
+
+def q_dedup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level exact substring dedup (Lee et al. paragraph-dedup at
+    8-word-span granularity): keep the first corpus-wide occurrence of
+    each distinct span, reassemble docs from survivors. First-occurrence
+    pick is a partial-aggregatable min(struct) on the span hash — hot
+    boilerplate spans collapse map-side, never flood one reducer."""
+    from bistro_spark.operators.curation import dedup_spans
+
+    return dedup_spans(load_table(spark, "documents", sf), size=8)
+
+
+def q_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token-budget selection: fill each source's 600-token
+    allowance with its largest documents (n_chars DESC, doc_id
+    tie-break) — exact integer window cumsum, reproducible frontier."""
+    from bistro_spark.operators.curation import token_budget_select
+
+    docs = load_table(spark, "documents", sf).select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    return token_budget_select(
+        docs, "source", "n_chars", budget=600
+    ).select("doc_id", "source", "n_chars", "n_tok", "cum_tok")
+
+
+def q_temperature_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-T=2 language rebalancing: sample each language at
+    (n_min/n_g)^0.5 via the deterministic md5-prefix cut, thresholds
+    derived in-plan from stratum counts (broadcast back)."""
+    from bistro_spark.operators.curation import temperature_resample
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "lang")
+    return temperature_resample(docs, "lang", temperature=2.0).select(
+        "doc_id", "lang", "rate"
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-5 for the 3 lowest vec_ids (exact ANN
     baseline; broadcast queries, no corpus shuffle)."""
@@ -827,6 +886,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
+        "unigram_logprob": q_unigram_logprob,
+        "source_quota": q_source_quota,
+        "dedup_spans": q_dedup_spans,
+        "token_budget": q_token_budget,
+        "temperature_resample": q_temperature_resample,
     }
 
 
@@ -1316,4 +1380,23 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _curation.pack_sequences_sql(
             "documents", capacity=256, n_shards=4
         ),
+        "unigram_logprob": _curation.unigram_logprob_sql("documents"),
+        "dedup_spans": _curation.dedup_spans_sql("documents", size=8),
+        "token_budget": _curation.token_budget_select_sql(
+            "documents", "source", "n_chars", budget=600,
+            out_cols="doc_id, source, n_chars",
+        ),
+        "temperature_resample": _curation.temperature_resample_sql(
+            "documents", "lang", temperature=2.0,
+            out_cols="doc_id, lang",
+        ),
+        "source_quota": """
+            SELECT doc_id, source, n_chars,
+                   CAST(row_number() OVER (
+                     PARTITION BY source
+                     ORDER BY n_chars DESC, doc_id ASC) AS INTEGER)
+                     AS quota_rank
+            FROM documents
+            QUALIFY quota_rank <= 10
+        """,
     }

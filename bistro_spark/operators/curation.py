@@ -492,3 +492,373 @@ def pack_sequences_sql(
       )
       SELECT {id_col}, shard, pack_id, "offset", len FROM packed
     """
+
+
+# ------------------------------------------- unigram LM quality scoring ----
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-based quality scoring with a corpus-fit unigram LM: score each
+    document by the mean log-probability of its words under the corpus'
+    own unigram distribution (low score = unusual/garbled text — the
+    classic cheap stand-in for perplexity filtering before a real LM is
+    available).
+
+    Two aggregations fit the "model" (term counts + corpus total); scoring
+    is a broadcast join of the vocabulary onto the exploded words and one
+    mean per doc. The vocabulary is vocabulary-sized (not corpus-sized),
+    so the broadcast holds to very large corpora; above that, the join
+    degrades gracefully to a shuffle join on term. Per-term log values are
+    rounded to 9 digits before the order-independent decimal-sum so the
+    score is reproducible cross-engine.
+    """
+    terms = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    vocab = terms.groupBy("term").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    total = vocab.agg(F.sum("cnt").cast("long").alias("total"))
+    scored = (
+        terms.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.round(
+                F.log(F.col("cnt") / F.col("total")), 9
+            ).cast("decimal(30,15)").alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.round(
+            (F.sum("lp") / F.count("*")).cast("double"), 6
+        ).alias("mean_logprob"),
+    )
+
+
+def unigram_logprob_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    return f"""
+      WITH terms AS (
+        SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS term
+        FROM {table}
+      ),
+      t AS (SELECT * FROM terms WHERE term <> ''),
+      vocab AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY term
+      ),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab)
+      SELECT t.{id_col} AS {id_col},
+             CAST(count(*) AS BIGINT) AS n_terms,
+             round(CAST(sum(CAST(round(ln(CAST(vocab.cnt AS DOUBLE) / tot.total), 9)
+                                 AS DECIMAL(30,15))) AS DOUBLE)
+                   / count(*), 6) AS mean_logprob
+      FROM t JOIN vocab USING (term), tot
+      GROUP BY t.{id_col}
+    """
+
+
+# ----------------------------------------------------- per-group quotas ----
+
+
+def quota_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    ascending: bool = False,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, best-first by ``order_col`` with
+    ``id_col`` as the deterministic tie-break — the per-source /
+    per-domain quota step of corpus curation (cap any one source's share,
+    keep its best documents).
+
+    One window top-n per group; rank keys are (order_col, id) so the
+    frontier is total-ordered and reproducible. At 100 TB this is the
+    standard two-phase top-n: Catalyst pushes a per-partition local limit
+    before the single group shuffle.
+    """
+    from pyspark.sql import Window
+
+    oc = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    w = Window.partitionBy(group_col).orderBy(oc, F.col(id_col).asc())
+    return (
+        df.withColumn("quota_rank", F.row_number().over(w))
+        .filter(F.col("quota_rank") <= n)
+    )
+
+
+# -------------------------------------- span-level exact substring dedup ----
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 8,
+) -> DataFrame:
+    """Corpus-level exact span dedup (the paragraph-dedup step of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    applied at fixed word-span granularity): split every document into
+    non-overlapping ``size``-word spans, keep only the FIRST occurrence of
+    each distinct span corpus-wide (first = smallest (doc, position)), and
+    reassemble each document from its surviving spans.
+
+    Returns one row per input document: total span count, kept span
+    count, and the deduplicated text (possibly empty when every span of a
+    document appeared earlier in the corpus).
+
+    100 TB shape: first-occurrence selection is a ``min(struct(id, pos))``
+    aggregation on the span hash — partial-aggregatable, so boilerplate
+    spans repeated 10^8 times collapse map-side instead of flooding one
+    reducer (a row_number window over the span key would do exactly
+    that). The join back is an equi-join on the hash; AQE skew-join
+    splitting handles residual hot spans. Reassembly is a per-document
+    ``collect_list`` — bounded by document size, not corpus size.
+    """
+    spans = chunk_spans(
+        df, id_col=id_col, text_col=text_col, size=size, overlap=0
+    ).select(id_col, "chunk_id", "chunk_text")
+    spans = spans.withColumn("_h", F.md5(F.col("chunk_text")))
+    firsts = spans.groupBy("_h").agg(
+        F.min(
+            F.struct(
+                F.col(id_col).alias("i"), F.col("chunk_id").alias("c")
+            )
+        ).alias("_first")
+    )
+    joined = spans.join(firsts, "_h")
+    keep = (F.col(id_col) == F.col("_first.i")) & (
+        F.col("chunk_id") == F.col("_first.c")
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(keep.cast("int")).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            keep,
+                            F.struct(
+                                F.col("chunk_id"), F.col("chunk_text")
+                            ),
+                        )
+                    )
+                ),
+                lambda x: x["chunk_text"],
+            ),
+        ).alias("text_dedup"),
+    )
+
+
+def dedup_spans_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 8,
+) -> str:
+    """DuckDB twin of :func:`dedup_spans` (groups by the span text itself
+    where Spark groups by its md5 — identical absent md5 collisions, the
+    same equivalence the exact-dedup oracle already relies on)."""
+    inner = chunk_spans_sql(
+        table, id_col=id_col, text_col=text_col, size=size, overlap=0
+    )
+    return f"""
+      WITH s AS (
+        SELECT {id_col}, chunk_id, chunk_text FROM ({inner})
+      ),
+      r AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY chunk_text ORDER BY {id_col}, chunk_id) AS rk
+        FROM s
+      )
+      SELECT {id_col},
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             coalesce(string_agg(CASE WHEN rk = 1 THEN chunk_text END,
+                                 ' ' ORDER BY chunk_id), '')
+               AS text_dedup
+      FROM r GROUP BY {id_col}
+    """
+
+
+# ------------------------------------------------- token-budget selection ----
+
+
+def token_budget_select(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Select documents per group, best-first, until a token budget is
+    exhausted: order each group by (``order_col`` DESC, id ASC), keep the
+    prefix whose running token total stays within ``budget``.
+
+    This is the "fill each source's token allowance with its best
+    documents" curation step (token-budget mixing). Token count is the
+    whitespace word count (integer), the running total an exact window
+    sum — integer keys end to end, so the kept set is total-ordered and
+    reproducible on any engine or cluster shape.
+
+    Adds ``n_tok`` and ``cum_tok`` to the input columns. One shuffle on
+    the group key; the per-group sort is the op's semantics (a running
+    total needs an order). Groups are strata (sources/languages), so
+    group count is small and per-group data large — exactly the shape
+    Spark's external sort handles.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(order_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn(
+            "n_tok", F.size(F.split(F.col(text_col), " ")).cast("int")
+        )
+        .withColumn("cum_tok", F.sum("n_tok").over(w).cast("long"))
+        .filter(F.col("cum_tok") <= budget)
+    )
+
+
+def token_budget_select_sql(
+    table: str,
+    group_col: str,
+    order_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_cols: str = "doc_id, source",
+) -> str:
+    """DuckDB twin of :func:`token_budget_select`. ``out_cols`` must
+    include ``order_col``, ``id_col``, and ``group_col`` (the window
+    references them by name)."""
+    return f"""
+      WITH t AS (
+        SELECT {out_cols},
+               CAST(len(string_split({text_col}, ' ')) AS INTEGER) AS n_tok
+        FROM {table}
+      )
+      SELECT {out_cols}, n_tok,
+             CAST(sum(n_tok) OVER (
+               PARTITION BY {group_col}
+               ORDER BY {order_col} DESC, {id_col} ASC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+      FROM t QUALIFY cum_tok <= {budget}
+    """
+
+
+# --------------------------------------------- temperature-based resample ----
+
+
+def temperature_resample(
+    df: DataFrame,
+    strata_col: str,
+    temperature: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled stratum rebalancing by deterministic
+    subsampling: sample stratum g at rate (n_min / n_g)^(1 - 1/T) — the
+    multilingual-corpus rebalancing rule (q_g ∝ p_g^(1/T)) realized
+    without upsampling, anchored so the smallest stratum keeps rate 1.
+
+    T = 1 keeps everything (rates 1); T → ∞ equalizes strata to the
+    smallest one's size (in expectation); 1 < T < ∞ flattens the skew
+    partway. T < 1 would require upsampling — rates cap at 1, i.e.
+    keep-all, documented not silent.
+
+    Determinism at scale: the keep decision is the same md5-prefix
+    threshold as :func:`hash_sample`, but with the per-stratum threshold
+    DERIVED IN-PLAN from stratum counts (one tiny count aggregate,
+    broadcast back) — a resumed or re-partitioned job keeps the same
+    rows. The float rate is rounded to 6 digits and the hex threshold is
+    computed in exact decimal arithmetic from it, so the cut is
+    reproducible cross-engine. Adds ``rate`` as a report column.
+    """
+    if temperature < 1.0:
+        raise ValueError(
+            "temperature < 1 means upsampling; this operator only "
+            "subsamples (rates would cap at 1 = keep-all)"
+        )
+    exp = 1.0 - 1.0 / temperature
+    counts = df.groupBy(strata_col).agg(
+        F.count("*").cast("long").alias("_n_g")
+    )
+    nmin = counts.agg(F.min("_n_g").alias("_n_min"))
+    rates = (
+        counts.crossJoin(F.broadcast(nmin))
+        .withColumn(
+            "rate",
+            F.round(F.pow(F.col("_n_min") / F.col("_n_g"), exp), 6),
+        )
+        .withColumn(
+            "_t",
+            F.floor(
+                F.col("rate").cast("decimal(18,6)") * 65536
+            ).cast("long"),
+        )
+        .withColumn(
+            "_thr",
+            F.when(F.col("_t") >= 65536, F.lit("g")).otherwise(
+                F.lpad(F.lower(F.hex(F.col("_t"))), 4, "0")
+            ),
+        )
+        .select(strata_col, "rate", "_thr")
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+            < F.col("_thr")
+        )
+        .drop("_thr")
+    )
+
+
+def temperature_resample_sql(
+    table: str,
+    strata_col: str,
+    temperature: float,
+    id_col: str = "doc_id",
+    out_cols: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`temperature_resample` (same rounded-rate →
+    exact-decimal → hex-threshold pipeline; BIGINT division cast to
+    DOUBLE to match Spark's true division)."""
+    exp = 1.0 - 1.0 / temperature
+    return f"""
+      WITH counts AS (
+        SELECT {strata_col}, CAST(count(*) AS BIGINT) AS n_g
+        FROM {table} GROUP BY {strata_col}
+      ),
+      m AS (SELECT min(n_g) AS n_min FROM counts),
+      rates AS (
+        SELECT {strata_col},
+               round(pow(CAST(n_min AS DOUBLE) / n_g, {exp!r}), 6) AS rate,
+               CAST(floor(
+                 CAST(round(pow(CAST(n_min AS DOUBLE) / n_g, {exp!r}), 6)
+                      AS DECIMAL(18,6)) * 65536) AS BIGINT) AS t
+        FROM counts, m
+      )
+      SELECT {out_cols}, rate
+      FROM {table} d JOIN rates r USING ({strata_col})
+      WHERE substr(md5(CAST(d.{id_col} AS VARCHAR)), 1, 4) <
+            (CASE WHEN r.t >= 65536 THEN 'g' ELSE printf('%04x', r.t) END)
+    """

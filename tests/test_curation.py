@@ -461,3 +461,205 @@ def test_curation_ops_streaming_batch_parity(spark, tmp_path, docs):
         for r in curate(spark.read.parquet(src_dir)).collect()
     )
     assert got == want and len(got) > 0
+
+
+# ------------------------------------------------- unigram LM scoring ----
+
+
+def test_unigram_logprob_known_values(spark):
+    from bistro_spark.operators.curation import unigram_logprob
+    import math
+
+    # corpus: 4 total tokens; p(a)=2/4, p(b)=p(c)=1/4
+    df = spark.createDataFrame(
+        [(1, "a a"), (2, "b c")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    assert out[1].n_terms == 2 and out[2].n_terms == 2
+    assert out[1].mean_logprob == pytest.approx(math.log(0.5), abs=1e-6)
+    assert out[2].mean_logprob == pytest.approx(math.log(0.25), abs=1e-6)
+    # rarer words -> lower score
+    assert out[2].mean_logprob < out[1].mean_logprob
+
+
+def test_unigram_logprob_matches_duckdb(docs):
+    from bistro_spark.operators.curation import (
+        unigram_logprob, unigram_logprob_sql,
+    )
+
+    spark_rows = sorted(tuple(r) for r in unigram_logprob(docs).collect())
+    con = _duck()
+    duck_rows = sorted(
+        tuple(r) for r in con.sql(unigram_logprob_sql("documents")).fetchall()
+    )
+    assert spark_rows == duck_rows
+
+
+# ----------------------------------------------------- per-group quota ----
+
+
+def test_quota_per_group_caps_and_orders(docs):
+    from bistro_spark.operators.curation import quota_per_group
+
+    out = quota_per_group(
+        docs.select("doc_id", "source", "n_chars"),
+        "source", "n_chars", n=3,
+    ).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    full = {r.source: r.n for r in
+            docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, rows in by_src.items():
+        assert len(rows) == min(3, full[src])
+        rows.sort(key=lambda r: r.quota_rank)
+        # best-first by n_chars, doc_id tie-break
+        key = [(-r.n_chars, r.doc_id) for r in rows]
+        assert key == sorted(key)
+    # every source with rows appears
+    assert set(by_src) == set(full)
+
+
+# ------------------------------------------------- span-level exact dedup ----
+
+
+def test_dedup_spans_known_values(spark):
+    from bistro_spark.operators.curation import dedup_spans
+
+    # doc 1: spans [a b][c d]; doc 2: [c d][e f]; doc 3 repeats doc 1
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "c d e f"), (3, "a b c d")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dedup_spans(df, size=2).collect()}
+    assert out[1].n_spans == 2 and out[1].n_kept == 2
+    assert out[1].text_dedup == "a b c d"
+    # doc 2 loses its first span ("c d" first occurred in doc 1)
+    assert out[2].n_kept == 1 and out[2].text_dedup == "e f"
+    # doc 3 is entirely a repeat -> empty reassembly, not a missing row
+    assert out[3].n_spans == 2 and out[3].n_kept == 0
+    assert out[3].text_dedup == ""
+
+
+def test_dedup_spans_matches_duckdb(docs):
+    from bistro_spark.operators.curation import dedup_spans, dedup_spans_sql
+
+    spark_rows = sorted(
+        tuple(r) for r in dedup_spans(docs, size=8).collect()
+    )
+    con = _duck()
+    duck_rows = sorted(
+        tuple(r) for r in con.sql(dedup_spans_sql("documents", size=8)).fetchall()
+    )
+    assert spark_rows == duck_rows
+    # the corpus genuinely has repeated spans (the op is not a no-op here)
+    assert any(r[2] < r[1] for r in spark_rows)
+
+
+# ------------------------------------------------- token-budget selection ----
+
+
+def test_token_budget_select_frontier(docs):
+    from bistro_spark.operators.curation import token_budget_select
+
+    out = token_budget_select(
+        docs.select("doc_id", "source", "n_chars", "text"),
+        "source", "n_chars", budget=600,
+    ).collect()
+    assert len(out) > 0
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r.cum_tok)
+        # running total is consistent and within budget
+        run = 0
+        for r in rows:
+            run += r.n_tok
+            assert r.cum_tok == run
+        assert run <= 600
+        # kept set is the best-first prefix: every excluded doc of this
+        # source ranks below the worst kept one
+        kept_ids = {r.doc_id for r in rows}
+        frontier = min((r.n_chars, -r.doc_id) for r in rows)
+        for d in docs.filter(F.col("source") == src).collect():
+            if d.doc_id not in kept_ids:
+                assert (d.n_chars, -d.doc_id) < frontier
+
+
+def test_token_budget_matches_duckdb(docs):
+    from bistro_spark.operators.curation import (
+        token_budget_select, token_budget_select_sql,
+    )
+
+    spark_rows = sorted(
+        tuple(r)
+        for r in token_budget_select(
+            docs.select("doc_id", "source", "n_chars", "text"),
+            "source", "n_chars", budget=600,
+        ).select("doc_id", "source", "n_chars", "n_tok", "cum_tok").collect()
+    )
+    con = _duck()
+    duck_rows = sorted(
+        tuple(r)
+        for r in con.sql(
+            token_budget_select_sql(
+                "documents", "source", "n_chars", budget=600,
+                out_cols="doc_id, source, n_chars",
+            )
+        ).fetchall()
+    )
+    assert spark_rows == duck_rows
+
+
+# --------------------------------------------- temperature-based resample ----
+
+
+def test_temperature_resample_flattens_skew(docs):
+    from bistro_spark.operators.curation import temperature_resample
+
+    out = temperature_resample(
+        docs.select("doc_id", "lang"), "lang", temperature=2.0
+    )
+    rates = {r.lang: r.rate for r in out.select("lang", "rate").distinct().collect()}
+    tot = {r.lang: r.n for r in
+           docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    n_min = min(tot.values())
+    smallest = min(tot, key=lambda k: (tot[k], k))
+    assert rates[smallest] == 1.0
+    for lang, n in tot.items():
+        assert rates[lang] == pytest.approx((n_min / n) ** 0.5, abs=1e-6)
+    # deterministic: same rows on re-run
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in temperature_resample(
+        docs.select("doc_id", "lang"), "lang", temperature=2.0).collect())
+    assert a == b and len(a) > 0
+    # T=1 keeps everything
+    all_rows = temperature_resample(
+        docs.select("doc_id", "lang"), "lang", temperature=1.0).count()
+    assert all_rows == docs.count()
+    with pytest.raises(ValueError):
+        temperature_resample(docs, "lang", temperature=0.5)
+
+
+def test_temperature_resample_matches_duckdb(docs):
+    from bistro_spark.operators.curation import (
+        temperature_resample, temperature_resample_sql,
+    )
+
+    spark_rows = sorted(
+        tuple(r)
+        for r in temperature_resample(
+            docs.select("doc_id", "lang"), "lang", temperature=2.0
+        ).select("doc_id", "lang", "rate").collect()
+    )
+    con = _duck()
+    duck_rows = sorted(
+        tuple(r)
+        for r in con.sql(
+            temperature_resample_sql(
+                "documents", "lang", temperature=2.0, out_cols="doc_id, lang"
+            )
+        ).fetchall()
+    )
+    assert spark_rows == duck_rows
