@@ -18,6 +18,7 @@ from bistro_spark.pipeline import flagship
 from bistro_spark.schema import Schema
 from bistro_spark.sources.io import load_table
 from bistro_spark.operators import curation as _curation
+from bistro_spark.operators import ranking as _ranking
 from bistro_spark.operators import text as _text
 from bistro_spark.sources.tokens import (
     token_table_duckdb_sql,
@@ -561,6 +562,33 @@ def q_temperature_resample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_encode_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary build + token-id encoding: dense ids by (count DESC,
+    term ASC) assigned through the two-phase global_rank (no
+    single-reducer vocab sort), docs encoded via broadcast vocab join;
+    id sequences serialized for the cross-engine gate."""
+    from bistro_spark.operators.ranking import build_vocab, encode_tokens
+
+    docs = load_table(spark, "documents", sf)
+    return encode_tokens(docs, build_vocab(docs))
+
+
+def q_global_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic corpus shuffle rank (the pre-training data-shuffle
+    step): rank docs by md5(doc_id) via two-phase range-partition +
+    per-partition offsets — no single-partition window anywhere."""
+    from bistro_spark.operators.ranking import global_rank
+
+    docs = (
+        load_table(spark, "documents", sf)
+        .select("doc_id")
+        .withColumn("_k", F.md5(F.col("doc_id").cast("string")))
+    )
+    return global_rank(docs, ["_k", "doc_id"], rank_col="shuffle_rank").select(
+        "doc_id", "shuffle_rank"
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-5 for the 3 lowest vec_ids (exact ANN
     baseline; broadcast queries, no corpus shuffle)."""
@@ -891,6 +919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "token_budget": q_token_budget,
         "temperature_resample": q_temperature_resample,
+        "encode_tokens": q_encode_tokens,
+        "global_shuffle": q_global_shuffle,
     }
 
 
@@ -1389,6 +1419,13 @@ def oracle_sql() -> dict[str, str]:
         "temperature_resample": _curation.temperature_resample_sql(
             "documents", "lang", temperature=2.0,
             out_cols="doc_id, lang",
+        ),
+        "encode_tokens": _ranking.encode_tokens_sql("documents"),
+        "global_shuffle": _ranking.global_rank_sql(
+            "documents",
+            order_by="md5(CAST(doc_id AS VARCHAR)), doc_id",
+            out_cols="doc_id",
+            rank_col="shuffle_rank",
         ),
         "source_quota": """
             SELECT doc_id, source, n_chars,

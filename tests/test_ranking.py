@@ -1,0 +1,151 @@
+"""Two-phase global ranking and token-id encoding: correctness vs a
+single-window reference, determinism across partitionings, vocabulary id
+assignment, OOV handling, and DuckDB-twin parity."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from bistro_spark.operators.ranking import (
+    build_vocab,
+    encode_tokens,
+    encode_tokens_sql,
+    global_rank,
+    global_rank_sql,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+def _duck():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{DOCS}'")
+    return con
+
+
+# ----------------------------------------------------------- global rank ----
+
+
+def test_global_rank_matches_single_window(spark):
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 101) for i in range(200)], ["id", "key"]
+    ).repartition(7)
+    got = {
+        r.id: r.rank
+        for r in global_rank(df, ["key", "id"], n_partitions=5).collect()
+    }
+    want = {
+        r.id: r.rank
+        for r in df.withColumn(
+            "rank",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.orderBy("key", "id")
+            ).cast("long"),
+        ).collect()
+    }
+    assert got == want
+    # ranks are a permutation of 1..n
+    assert sorted(got.values()) == list(range(1, 201))
+
+
+def test_global_rank_partitioning_invariant(spark):
+    """The rank must not depend on input partitioning or the number of
+    range partitions — the determinism that makes a resumed / re-scaled
+    job produce the identical shuffle order."""
+    rows = [(i, (i * 13) % 47) for i in range(150)]
+    a = global_rank(
+        spark.createDataFrame(rows, ["id", "key"]).repartition(3),
+        ["key", "id"], n_partitions=2,
+    )
+    b = global_rank(
+        spark.createDataFrame(rows, ["id", "key"]).repartition(11),
+        ["key", "id"], n_partitions=9,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_global_rank_no_single_partition_window(spark):
+    """The plan must contain no empty-partition-spec Window (a global
+    window funnels the corpus through one task)."""
+    import contextlib
+    import io
+
+    df = spark.range(100).withColumn("key", F.col("id") % 17)
+    out = global_rank(df, ["key", "id"], n_partitions=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="extended")
+    plan = buf.getvalue()
+    # every Window in the optimized/physical plan partitions by _pid
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_pid" in line
+
+
+def test_global_rank_vs_duckdb(spark, docs):
+    got = sorted(
+        (r.doc_id, r.shuffle_rank)
+        for r in global_rank(
+            docs.select("doc_id").withColumn(
+                "_k", F.md5(F.col("doc_id").cast("string"))
+            ),
+            ["_k", "doc_id"],
+            rank_col="shuffle_rank",
+        )
+        .select("doc_id", "shuffle_rank")
+        .collect()
+    )
+    con = _duck()
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            global_rank_sql(
+                "documents",
+                order_by="md5(CAST(doc_id AS VARCHAR)), doc_id",
+                out_cols="doc_id",
+                rank_col="shuffle_rank",
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+
+# ------------------------------------------------- vocab + token encoding ----
+
+
+def test_build_vocab_and_encode_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "b a a"), (2, "a c b")], ["doc_id", "text"]
+    )
+    vocab = {r.term: (r.cnt, r.token_id) for r in build_vocab(df).collect()}
+    # counts: a=3, b=2, c=1 -> ids 0, 1, 2 (count DESC, term ASC)
+    assert vocab == {"a": (3, 0), "b": (2, 1), "c": (1, 2)}
+    enc = {r.doc_id: r for r in encode_tokens(df, build_vocab(df)).collect()}
+    assert enc[1].token_ids == "1,0,0" and enc[1].n_tok == 3
+    assert enc[2].token_ids == "0,2,1"
+
+
+def test_encode_tokens_oov(spark):
+    df = spark.createDataFrame([(1, "a a b z")], ["doc_id", "text"])
+    vocab = build_vocab(df, min_count=2)  # only "a" survives
+    enc = encode_tokens(df, vocab).collect()[0]
+    assert enc.token_ids == "0,0,-1,-1"
+
+
+def test_encode_tokens_vs_duckdb(docs):
+    spark_rows = sorted(
+        tuple(r) for r in encode_tokens(docs, build_vocab(docs)).collect()
+    )
+    con = _duck()
+    duck_rows = sorted(
+        tuple(r) for r in con.sql(encode_tokens_sql("documents")).fetchall()
+    )
+    assert spark_rows == duck_rows
