@@ -589,6 +589,25 @@ def q_global_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_training_prep_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed end-to-end training-prep flow as ONE lazy plan:
+    span-level exact dedup -> survivor gate (>= 2 kept spans) -> rebuild
+    text from surviving spans -> frequency-ordered token-id encoding
+    (vocab fit on the gated deduped corpus) -> greedy sequence packing
+    into 256-token buffers over 4 shards. Oracle = the same four stages
+    as nested DuckDB CTEs feeding the recursive packing fold."""
+    from bistro_spark.operators.curation import dedup_spans, pack_sequences
+    from bistro_spark.operators.ranking import build_vocab, encode_tokens
+
+    docs = load_table(spark, "documents", sf)
+    dd = dedup_spans(docs, size=8)
+    gated = dd.filter(F.col("n_kept") >= 2).select(
+        "doc_id", F.col("text_dedup").alias("text")
+    )
+    enc = encode_tokens(gated, build_vocab(gated))
+    return pack_sequences(enc, len_col="n_tok", capacity=256, n_shards=4)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-5 for the 3 lowest vec_ids (exact ANN
     baseline; broadcast queries, no corpus shuffle)."""
@@ -921,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_resample": q_temperature_resample,
         "encode_tokens": q_encode_tokens,
         "global_shuffle": q_global_shuffle,
+        "training_prep_pipeline": q_training_prep_pipeline,
     }
 
 
@@ -1421,6 +1441,20 @@ def oracle_sql() -> dict[str, str]:
             out_cols="doc_id, lang",
         ),
         "encode_tokens": _ranking.encode_tokens_sql("documents"),
+        "training_prep_pipeline": _curation.pack_sequences_sql(
+            "enc",
+            len_expr="n_tok",
+            capacity=256,
+            n_shards=4,
+            extra_ctes=(
+                "dd AS ("
+                + _curation.dedup_spans_sql("documents", size=8)
+                + "), gated AS (SELECT doc_id, text_dedup AS text FROM dd"
+                " WHERE n_kept >= 2), enc AS ("
+                + _ranking.encode_tokens_sql("gated")
+                + "),"
+            ),
+        ),
         "global_shuffle": _ranking.global_rank_sql(
             "documents",
             order_by="md5(CAST(doc_id AS VARCHAR)), doc_id",

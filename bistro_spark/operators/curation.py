@@ -464,11 +464,15 @@ def pack_sequences_sql(
     len_expr: str = "len(string_split(text, ' '))",
     capacity: int = 256,
     n_shards: int = 4,
+    extra_ctes: str = "",
 ) -> str:
     """DuckDB twin of :func:`pack_sequences`: the same greedy fold as a
-    recursive CTE stepping through each shard's rows in id order."""
+    recursive CTE stepping through each shard's rows in id order.
+    ``extra_ctes`` ("name AS (...), ..." fragments, trailing comma
+    included) are spliced into the WITH RECURSIVE prologue so ``table``
+    can be a CTE produced by upstream pipeline stages."""
     return f"""
-      WITH RECURSIVE src AS (
+      WITH RECURSIVE {extra_ctes} src AS (
         SELECT {id_col},
                CAST({id_col} % {n_shards} AS INTEGER) AS shard,
                CAST({len_expr} AS BIGINT) AS len,

@@ -149,3 +149,28 @@ def test_encode_tokens_vs_duckdb(docs):
         tuple(r) for r in con.sql(encode_tokens_sql("documents")).fetchall()
     )
     assert spark_rows == duck_rows
+
+
+# -------------------------------------------- composed training-prep flow ----
+
+
+def test_training_prep_pipeline_parity_sf0001(spark):
+    """The 4-stage composed flow (span dedup -> gate -> encode -> pack)
+    matches the nested-CTE DuckDB oracle at sf0.001."""
+    import __spark_entry__ as ent
+
+    got = sorted(
+        tuple(r)
+        for r in ent.queries()["training_prep_pipeline"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    )
+    con = _duck()
+    want = sorted(
+        tuple(r)
+        for r in con.sql(ent.oracle_sql()["training_prep_pipeline"]).fetchall()
+    )
+    assert got == want and len(got) > 0
+    # packing invariants: offsets within capacity unless single long doc
+    for _doc, _shard, _pack, off, ln in got:
+        assert off == 0 or off + ln <= 256
