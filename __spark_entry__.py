@@ -18,6 +18,7 @@ from bistro_spark.pipeline import flagship
 from bistro_spark.schema import Schema
 from bistro_spark.sources.io import load_table
 from bistro_spark.operators import curation as _curation
+from bistro_spark.operators import dedup as _dedup
 from bistro_spark.operators import ranking as _ranking
 from bistro_spark.operators import text as _text
 from bistro_spark.sources.tokens import (
@@ -608,6 +609,39 @@ def q_training_prep_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     return pack_sequences(enc, len_col="n_tok", capacity=256, n_shards=4)
 
 
+def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-snapshot near-dup check (incremental-crawl flow): score each
+    odd-id ("new") doc by the fraction of its 8-word spans already in the
+    even-id ("old") corpus; flag >= 50% as dup. Rational-cut compare —
+    no float boundary; old side reduces to distinct span hashes."""
+    from bistro_spark.operators.dedup import incremental_span_dedup
+
+    docs = load_table(spark, "documents", sf)
+    return incremental_span_dedup(
+        docs.filter("doc_id % 2 = 1"),
+        docs.filter("doc_id % 2 = 0"),
+        size=8,
+        threshold=0.5,
+    )
+
+
+def q_materialized_packs(spark: SparkSession, sf: str) -> DataFrame:
+    """Final pre-training artifact: encode docs, greedy-pack them, then
+    concatenate each pack's token-id sequences in offset order with EOD
+    separators — per-pack collect_list is capacity-bounded, never
+    corpus-sized."""
+    from bistro_spark.operators.curation import (
+        materialize_packs,
+        pack_sequences,
+    )
+    from bistro_spark.operators.ranking import build_vocab, encode_tokens
+
+    docs = load_table(spark, "documents", sf)
+    enc = encode_tokens(docs, build_vocab(docs))
+    packed = pack_sequences(enc, len_col="n_tok", capacity=256, n_shards=4)
+    return materialize_packs(packed, enc)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-5 for the 3 lowest vec_ids (exact ANN
     baseline; broadcast queries, no corpus shuffle)."""
@@ -941,6 +975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_tokens": q_encode_tokens,
         "global_shuffle": q_global_shuffle,
         "training_prep_pipeline": q_training_prep_pipeline,
+        "incremental_dedup": q_incremental_dedup,
+        "materialized_packs": q_materialized_packs,
     }
 
 
@@ -1441,6 +1477,23 @@ def oracle_sql() -> dict[str, str]:
             out_cols="doc_id, lang",
         ),
         "encode_tokens": _ranking.encode_tokens_sql("documents"),
+        "incremental_dedup": _dedup.incremental_span_dedup_sql(
+            "documents",
+            new_pred="doc_id % 2 = 1",
+            old_pred="doc_id % 2 = 0",
+            size=8,
+            threshold=0.5,
+        ),
+        "materialized_packs": (
+            "WITH enc AS ("
+            + _ranking.encode_tokens_sql("documents")
+            + "), packs AS ("
+            + _curation.pack_sequences_sql(
+                "enc", len_expr="n_tok", capacity=256, n_shards=4
+            )
+            + ") "
+            + _curation.materialize_packs_sql("packs", "enc")
+        ),
         "training_prep_pipeline": _curation.pack_sequences_sql(
             "enc",
             len_expr="n_tok",

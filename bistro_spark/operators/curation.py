@@ -866,3 +866,66 @@ def temperature_resample_sql(
       WHERE substr(md5(CAST(d.{id_col} AS VARCHAR)), 1, 4) <
             (CASE WHEN r.t >= 65536 THEN 'g' ELSE printf('%04x', r.t) END)
     """
+
+
+# --------------------------------------------------- pack materialization ----
+
+
+def materialize_packs(
+    packed: DataFrame,
+    encoded: DataFrame,
+    id_col: str = "doc_id",
+    eod_id: int = -2,
+) -> DataFrame:
+    """Materialize packed training sequences: join pack assignments
+    (from :func:`pack_sequences`) with encoded documents (from
+    ``encode_tokens``) and concatenate each pack's token-id sequences in
+    offset order, every document followed by the ``eod_id`` separator —
+    the final pre-training batch artifact.
+
+    Returns (shard, pack_id, n_docs, n_tokens, token_ids) with the pack
+    sequence serialized as a comma string (n_tokens counts the EOD
+    separators; a writer keeps the array form). One equi-join on the doc
+    id and one per-pack re-aggregation; packs are bounded by capacity, so
+    the collect_list is capacity-sized, never corpus-sized.
+    """
+    joined = packed.join(
+        encoded.select(id_col, "token_ids"), id_col
+    )
+    return joined.groupBy("shard", "pack_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("len") + F.count("*")).cast("long").alias("n_tokens"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("offset"), F.col("token_ids"))
+                    )
+                ),
+                lambda x: F.concat(
+                    x["token_ids"], F.lit(f",{eod_id}")
+                ),
+            ),
+        ).alias("token_ids"),
+    )
+
+
+def materialize_packs_sql(
+    packs_cte: str,
+    enc_cte: str,
+    id_col: str = "doc_id",
+    eod_id: int = -2,
+) -> str:
+    """DuckDB twin of :func:`materialize_packs` given the names of two
+    CTEs: ``packs_cte`` (id, shard, pack_id, offset, len) and
+    ``enc_cte`` (id, n_tok, token_ids)."""
+    return f"""
+      SELECT p.shard, p.pack_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(p.len) + count(*) AS BIGINT) AS n_tokens,
+             string_agg(e.token_ids || ',{eod_id}', ','
+                        ORDER BY p."offset") AS token_ids
+      FROM {packs_cte} p JOIN {enc_cte} e USING ({id_col})
+      GROUP BY p.shard, p.pack_id
+    """

@@ -946,3 +946,106 @@ def _sign_bucket(vec: Column, bits: int) -> Column:
         )
         terms.append(F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)))
     return sum(terms, start=F.lit(0))
+
+
+# ------------------------------------------ cross-snapshot span dedup -----
+
+
+def incremental_span_dedup(
+    new_df,
+    old_df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 8,
+    threshold: float = 0.5,
+):
+    """Cross-snapshot near-dup check — the production incremental-crawl
+    flow: score each NEW document by the fraction of its ``size``-word
+    spans already present anywhere in the OLD corpus, and flag it a
+    duplicate when the fraction reaches ``threshold``.
+
+    Returns (id, n_spans, n_matched, is_dup). The old side reduces to
+    DISTINCT span hashes — corpus-scale, so the probe is a shuffle
+    equi-join on the hash (per-span, map-side combinable counts); in
+    production a bloom/sketch of the old span set prunes the probe first,
+    which composes here as a pre-filter without changing semantics.
+    The threshold compare is integer arithmetic (matched * denom >=
+    threshold_num * n_spans via a rational cut) — no float boundary.
+    """
+    from fractions import Fraction
+
+    from bistro_spark.operators.curation import chunk_spans
+
+    frac = Fraction(threshold).limit_denominator(10**6)
+    new_spans = chunk_spans(
+        new_df, id_col=id_col, text_col=text_col, size=size, overlap=0
+    ).select(id_col, F.md5(F.col("chunk_text")).alias("_h"))
+    old_spans = (
+        chunk_spans(
+            old_df, id_col=id_col, text_col=text_col, size=size, overlap=0
+        )
+        .select(F.md5(F.col("chunk_text")).alias("_h"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    probed = new_spans.join(old_spans, "_h", "left")
+    return probed.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias(
+            "n_matched"
+        ),
+    ).withColumn(
+        "is_dup",
+        (
+            F.col("n_matched") * frac.denominator
+            >= F.col("n_spans") * frac.numerator
+        ).cast("int"),
+    )
+
+
+def incremental_span_dedup_sql(
+    table: str = "documents",
+    new_pred: str = "doc_id % 2 = 1",
+    old_pred: str = "doc_id % 2 = 0",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 8,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin over one table split by two predicates."""
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10**6)
+    return f"""
+      WITH w AS (
+        SELECT {id_col}, string_split({text_col}, ' ') AS wrd,
+               CASE WHEN {new_pred} THEN 1
+                    WHEN {old_pred} THEN 0 END AS side
+        FROM {table} WHERE ({new_pred}) OR ({old_pred})
+      ),
+      c AS (
+        SELECT {id_col}, side, wrd, len(wrd) AS n,
+               unnest(range(0, 1 + CAST(ceil(greatest(len(wrd) - {size}, 0)
+                                             / {size}.0) AS INTEGER)))
+                 AS chunk_id
+        FROM w
+      ),
+      s AS (
+        SELECT {id_col}, side,
+               array_to_string(
+                 wrd[chunk_id * {size} + 1
+                     : least(chunk_id * {size} + {size}, n)], ' ') AS t
+        FROM c
+      ),
+      olds AS (SELECT DISTINCT t FROM s WHERE side = 0)
+      SELECT s.{id_col} AS {id_col},
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(CASE WHEN o.t IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_matched,
+             CAST(sum(CASE WHEN o.t IS NOT NULL THEN 1 ELSE 0 END)
+                  * {frac.denominator} >= count(*) * {frac.numerator}
+                  AS INTEGER) AS is_dup
+      FROM s LEFT JOIN olds o USING (t)
+      WHERE side = 1
+      GROUP BY s.{id_col}
+    """

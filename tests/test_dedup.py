@@ -337,3 +337,64 @@ def test_connected_components_nonconvergence_raises(spark):
         connected_components(
             edges, nodes, max_iter=1, on_nonconvergence="warn"
         )
+
+
+# ------------------------------------------ cross-snapshot span dedup -----
+
+
+def test_incremental_span_dedup_known_values(spark):
+    from bistro_spark.operators.dedup import incremental_span_dedup
+
+    old = spark.createDataFrame(
+        [(0, "a b c d"), (2, "e f g h")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # both spans in old -> dup
+            (3, "a b x y z w"),      # 1 of 3 spans matches -> kept
+            (5, "q r s t"),          # nothing matches -> kept
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in incremental_span_dedup(
+            new, old, size=2, threshold=0.5
+        ).collect()
+    }
+    assert out[1].is_dup == 1 and out[1].n_matched == 2
+    assert out[3].is_dup == 0 and out[3].n_matched == 1
+    assert out[5].is_dup == 0 and out[5].n_matched == 0
+
+
+def test_incremental_span_dedup_matches_duckdb(spark):
+    import duckdb
+
+    from bistro_spark.operators.dedup import (
+        incremental_span_dedup,
+        incremental_span_dedup_sql,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path)
+    spark_rows = sorted(
+        tuple(r)
+        for r in incremental_span_dedup(
+            docs.filter("doc_id % 2 = 1"),
+            docs.filter("doc_id % 2 = 0"),
+            size=8,
+            threshold=0.5,
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    duck_rows = sorted(
+        tuple(r)
+        for r in con.sql(
+            incremental_span_dedup_sql(
+                "documents", "doc_id % 2 = 1", "doc_id % 2 = 0",
+                size=8, threshold=0.5,
+            )
+        ).fetchall()
+    )
+    assert spark_rows == duck_rows

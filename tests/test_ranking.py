@@ -174,3 +174,44 @@ def test_training_prep_pipeline_parity_sf0001(spark):
     # packing invariants: offsets within capacity unless single long doc
     for _doc, _shard, _pack, off, ln in got:
         assert off == 0 or off + ln <= 256
+
+
+# ------------------------------------------------- pack materialization ----
+
+
+def test_materialize_packs_known_values(spark):
+    from bistro_spark.operators.curation import (
+        materialize_packs,
+        pack_sequences,
+    )
+
+    enc = spark.createDataFrame(
+        [(0, 3, "1,2,3"), (4, 2, "4,5"), (2, 4, "6,7,8,9")],
+        ["doc_id", "n_tok", "token_ids"],
+    )
+    packed = pack_sequences(enc, len_col="n_tok", capacity=8, n_shards=1)
+    out = {
+        (r.shard, r.pack_id): r
+        for r in materialize_packs(packed, enc).collect()
+    }
+    # id order 0,2,4: 3+4 fit in 8; doc 4 starts pack 1
+    assert out[(0, 0)].token_ids == "1,2,3,-2,6,7,8,9,-2"
+    assert out[(0, 0)].n_docs == 2 and out[(0, 0)].n_tokens == 9
+    assert out[(0, 1)].token_ids == "4,5,-2"
+
+
+def test_materialized_packs_contract_parity_sf0001(spark):
+    import __spark_entry__ as ent
+
+    got = sorted(
+        tuple(r)
+        for r in ent.queries()["materialized_packs"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    )
+    con = _duck()
+    want = sorted(
+        tuple(r)
+        for r in con.sql(ent.oracle_sql()["materialized_packs"]).fetchall()
+    )
+    assert got == want and len(got) > 0
