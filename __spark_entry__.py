@@ -642,6 +642,29 @@ def q_materialized_packs(spark: SparkSession, sf: str) -> DataFrame:
     return materialize_packs(packed, enc)
 
 
+def q_split_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test split by md5-prefix ranges: the same
+    doc lands in the same split on any run/cluster/snapshot (leakage-
+    proof holdout); pure codegen CASE, no shuffle, no RNG."""
+    from bistro_spark.operators.curation import split_corpus
+
+    return split_corpus(
+        load_table(spark, "documents", sf).select("doc_id")
+    )
+
+
+def q_mixture_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus composition audit vs a target language mixture: per-lang
+    doc/token counts, achieved vs target token share, ratio (exact
+    integer sums; shares are rounded report columns, never sort keys)."""
+    from bistro_spark.operators.curation import mixture_report
+
+    targets = {"en": 0.3, "de": 0.175, "es": 0.175, "fr": 0.175, "zh": 0.175}
+    return mixture_report(
+        load_table(spark, "documents", sf), "lang", targets
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-5 for the 3 lowest vec_ids (exact ANN
     baseline; broadcast queries, no corpus shuffle)."""
@@ -977,6 +1000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_prep_pipeline": q_training_prep_pipeline,
         "incremental_dedup": q_incremental_dedup,
         "materialized_packs": q_materialized_packs,
+        "split_corpus": q_split_corpus,
+        "mixture_report": q_mixture_report,
     }
 
 
@@ -1477,6 +1502,16 @@ def oracle_sql() -> dict[str, str]:
             out_cols="doc_id, lang",
         ),
         "encode_tokens": _ranking.encode_tokens_sql("documents"),
+        "split_corpus": (
+            "SELECT doc_id, "
+            + _curation.split_corpus_sql("doc_id")
+            + " AS split FROM documents"
+        ),
+        "mixture_report": _curation.mixture_report_sql(
+            "documents",
+            "lang",
+            {"en": 0.3, "de": 0.175, "es": 0.175, "fr": 0.175, "zh": 0.175},
+        ),
         "incremental_dedup": _dedup.incremental_span_dedup_sql(
             "documents",
             new_pred="doc_id % 2 = 1",

@@ -929,3 +929,143 @@ def materialize_packs_sql(
       FROM {packs_cte} p JOIN {enc_cte} e USING ({id_col})
       GROUP BY p.shard, p.pack_id
     """
+
+
+# --------------------------------------------------- train/val/test split ----
+
+
+def split_corpus(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic holdout split: assign each row to a named split by
+    which md5-prefix range its key hashes into (cumulative thresholds on
+    the first 4 hex chars, 1/65536 granularity).
+
+    The property that matters: the SAME document lands in the SAME split
+    on every run, every cluster shape, every corpus snapshot — so a later
+    re-crawl can never leak a test document into train. Pure codegen
+    filter-free projection (one CASE chain), no shuffle, no RNG.
+    Split names are assigned in sorted-name order for reproducibility.
+    """
+    weights = weights or {"test": 0.05, "train": 0.9, "val": 0.05}
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
+    expr = None
+    cum = 0.0
+    items = sorted(weights.items())
+    for i, (name, w) in enumerate(items):
+        cum += w
+        if i == len(items) - 1:
+            thr = "g"  # everything left (avoids float-sum edge at 1.0)
+        else:
+            thr = format(int(round(cum * 65536)), "04x")
+        cond = bucket < F.lit(thr)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    return df.withColumn(split_col, expr)
+
+
+def split_corpus_sql(
+    key_expr: str = "doc_id",
+    weights: dict[str, float] | None = None,
+) -> str:
+    """CASE-expression twin of :func:`split_corpus` for the oracle."""
+    weights = weights or {"test": 0.05, "train": 0.9, "val": 0.05}
+    bucket = f"substr(md5(CAST({key_expr} AS VARCHAR)), 1, 4)"
+    items = sorted(weights.items())
+    cases, cum = [], 0.0
+    for i, (name, w) in enumerate(items):
+        cum += w
+        thr = "g" if i == len(items) - 1 else format(
+            int(round(cum * 65536)), "04x"
+        )
+        cases.append(f"WHEN {bucket} < '{thr}' THEN '{name}'")
+    return "CASE " + " ".join(cases) + " END"
+
+
+# ------------------------------------------------------- mixture report ----
+
+
+def mixture_report(
+    df: DataFrame,
+    strata_col: str,
+    targets: dict[str, float],
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus composition vs a target mixture: per stratum, document and
+    token counts, the achieved token share, the target share, and the
+    achieved/target ratio — the audit table every mixing step ends with.
+
+    Shares are exact-integer token sums divided as decimals and emitted
+    ROUNDED as report columns (never compared or sorted on); strata
+    missing a target get NULL target/ratio rather than being dropped.
+    One partial-aggregatable groupBy + a broadcast of the target map.
+    """
+    toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    per = df.groupBy(strata_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").cast("long").alias("_total"))
+    tgt = None
+    for name, share in sorted(targets.items()):
+        c = F.when(F.col(strata_col) == name, F.lit(share))
+        tgt = c if tgt is None else F.coalesce(tgt, c)
+    return (
+        per.crossJoin(F.broadcast(total))
+        .withColumn(
+            "achieved_share",
+            F.round(
+                (
+                    F.col("n_tokens").cast("decimal(30,10)")
+                    / F.col("_total")
+                ).cast("double"),
+                6,
+            ),
+        )
+        .withColumn("target_share", tgt)
+        .withColumn(
+            "ratio",
+            F.round(F.col("achieved_share") / F.col("target_share"), 6),
+        )
+        .drop("_total")
+    )
+
+
+def mixture_report_sql(
+    table: str,
+    strata_col: str,
+    targets: dict[str, float],
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`mixture_report`."""
+    cases = " ".join(
+        f"WHEN {strata_col} = '{k}' THEN CAST({v!r} AS DOUBLE)"
+        for k, v in sorted(targets.items())
+    )
+    return f"""
+      WITH per AS (
+        SELECT {strata_col},
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split({text_col}, ' '))) AS BIGINT)
+                 AS n_tokens
+        FROM {table} GROUP BY {strata_col}
+      ),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per)
+      SELECT {strata_col}, n_docs, n_tokens,
+             round(CAST(CAST(n_tokens AS DECIMAL(30,10)) / total AS DOUBLE),
+                   6) AS achieved_share,
+             (CASE {cases} END) AS target_share,
+             round(round(CAST(CAST(n_tokens AS DECIMAL(30,10)) / total
+                              AS DOUBLE), 6)
+                   / (CASE {cases} END), 6) AS ratio
+      FROM per, tot
+    """

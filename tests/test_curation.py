@@ -663,3 +663,69 @@ def test_temperature_resample_matches_duckdb(docs):
         ).fetchall()
     )
     assert spark_rows == duck_rows
+
+
+# ----------------------------------------------------- train/val/test split ----
+
+
+def test_split_corpus_deterministic_and_proportioned(docs):
+    from bistro_spark.operators.curation import split_corpus
+
+    out = split_corpus(docs.select("doc_id"))
+    a = {r.doc_id: r.split for r in out.collect()}
+    b = {r.doc_id: r.split for r in split_corpus(
+        docs.select("doc_id").repartition(13)).collect()}
+    assert a == b  # partitioning-invariant assignment
+    n = len(a)
+    from collections import Counter
+    c = Counter(a.values())
+    assert set(c) <= {"train", "val", "test"}
+    # 90/5/5 within generous tolerance at ~500 docs
+    assert 0.8 * n <= c["train"] <= 0.97 * n
+    assert c["test"] > 0 and c["val"] > 0
+    with pytest.raises(ValueError):
+        split_corpus(docs, weights={"train": 0.5, "val": 0.1})
+
+
+def test_split_corpus_matches_duckdb(docs):
+    from bistro_spark.operators.curation import split_corpus, split_corpus_sql
+
+    got = sorted(
+        tuple(r) for r in split_corpus(docs.select("doc_id")).collect()
+    )
+    con = _duck()
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            "SELECT doc_id, " + split_corpus_sql("doc_id")
+            + " AS split FROM documents"
+        ).fetchall()
+    )
+    assert got == want
+
+
+# --------------------------------------------------------- mixture report ----
+
+
+def test_mixture_report_matches_duckdb(docs):
+    from bistro_spark.operators.curation import (
+        mixture_report, mixture_report_sql,
+    )
+
+    targets = {"en": 0.3, "de": 0.175, "es": 0.175, "fr": 0.175, "zh": 0.175}
+    got = sorted(
+        tuple(r) for r in mixture_report(docs, "lang", targets).collect()
+    )
+    con = _duck()
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            mixture_report_sql("documents", "lang", targets)
+        ).fetchall()
+    )
+    assert got == want
+    # achieved shares sum to ~1
+    assert abs(sum(r[3] for r in got) - 1.0) < 1e-4
+    # en is over-represented vs a 0.3 target in this corpus
+    en = [r for r in got if r[0] == "en"][0]
+    assert en[5] > 1.0
