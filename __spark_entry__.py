@@ -665,6 +665,16 @@ def q_mixture_report(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_repeated_substrings(spark: SparkSession, sf: str) -> DataFrame:
+    """Arbitrary-boundary repeated-substring audit (Lee et al. detection
+    half, stride-1 8-word windows): corpus-wide occurrence count on the
+    window hash (partial-aggregatable), per-doc merge of overlapping
+    repeated windows into maximal regions."""
+    from bistro_spark.operators.dedup import repeated_substrings
+
+    return repeated_substrings(load_table(spark, "documents", sf), size=8)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-5 for the 3 lowest vec_ids (exact ANN
     baseline; broadcast queries, no corpus shuffle)."""
@@ -1002,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "materialized_packs": q_materialized_packs,
         "split_corpus": q_split_corpus,
         "mixture_report": q_mixture_report,
+        "repeated_substrings": q_repeated_substrings,
     }
 
 
@@ -1511,6 +1522,9 @@ def oracle_sql() -> dict[str, str]:
             "documents",
             "lang",
             {"en": 0.3, "de": 0.175, "es": 0.175, "fr": 0.175, "zh": 0.175},
+        ),
+        "repeated_substrings": _dedup.repeated_substrings_sql(
+            "documents", size=8
         ),
         "incremental_dedup": _dedup.incremental_span_dedup_sql(
             "documents",

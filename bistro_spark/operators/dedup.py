@@ -1049,3 +1049,136 @@ def incremental_span_dedup_sql(
       WHERE side = 1
       GROUP BY s.{id_col}
     """
+
+
+# ------------------------------------- repeated-substring detection -------
+
+
+def repeated_substrings(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 8,
+):
+    """Arbitrary-boundary repeated-substring detection (the detection
+    half of Lee et al.'s exact substring dedup, window-approximated):
+    slide a ``size``-word window with stride 1 over every document; any
+    ``size``-word substring occurring >= 2 times corpus-wide marks its
+    window repeated; per document, overlapping/adjacent repeated windows
+    merge into maximal repeated regions.
+
+    Returns (id, start_word, end_word, n_windows) — 1-based inclusive
+    word spans of each merged region. Unlike the fixed-grid
+    ``curation.dedup_spans`` (which can also REMOVE, since its spans
+    tile), stride-1 windows catch repeats at any alignment — this is the
+    audit/measurement pass; removal policy (which occurrence survives)
+    is a separate decision.
+
+    Scale shape: the stride-1 explode is size x corpus tokens — the op's
+    honest cost (Lee et al. pay the same via suffix arrays). Occurrence
+    counting is a partial-aggregatable count on the window hash
+    (boilerplate windows collapse map-side), the join back an equi-join
+    (AQE-skew-splittable); interval merging is per-document windowing,
+    bounded by document length.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    wins = (
+        df.select(F.col(id_col), words.alias("_w"), n.alias("_n"))
+        .filter(F.col("_n") >= size)  # sequence() must never descend
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.col("_n") - (size - 1))
+            ).alias("start_word"),
+            "_w",
+        )
+        .select(
+            id_col,
+            "start_word",
+            (F.col("start_word") + (size - 1)).alias("end_word"),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("_w"), F.col("start_word"), size))
+            ).alias("_h"),
+        )
+    )
+    occ = wins.groupBy("_h").agg(F.count("*").alias("_occ"))
+    rep = (
+        wins.join(occ, "_h")
+        .filter(F.col("_occ") >= 2)
+        .select(id_col, "start_word", "end_word")
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("start_word")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy(id_col).orderBy("start_word")
+    grouped = rep.withColumn(
+        "_new",
+        (
+            F.col("start_word")
+            > F.coalesce(F.max("end_word").over(w_prev), F.lit(-1)) + 1
+        ).cast("int"),
+    ).withColumn("_grp", F.sum("_new").over(w_run))
+    return grouped.groupBy(id_col, "_grp").agg(
+        F.min("start_word").cast("int").alias("start_word"),
+        F.max("end_word").cast("int").alias("end_word"),
+        F.count("*").cast("long").alias("n_windows"),
+    ).drop("_grp")
+
+
+def repeated_substrings_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 8,
+) -> str:
+    """DuckDB twin of :func:`repeated_substrings` (counts occurrences of
+    the window text itself where Spark counts its md5)."""
+    return f"""
+      WITH w AS (
+        SELECT {id_col}, string_split({text_col}, ' ') AS wrd,
+               len(string_split({text_col}, ' ')) AS n
+        FROM {table}
+      ),
+      wins AS (
+        SELECT {id_col},
+               unnest(range(1, n - {size} + 2)) AS start_word,
+               wrd
+        FROM w WHERE n >= {size}
+      ),
+      keyed AS (
+        SELECT {id_col}, start_word,
+               start_word + {size} - 1 AS end_word,
+               array_to_string(
+                 wrd[start_word : start_word + {size} - 1], ' ') AS t
+        FROM wins
+      ),
+      occ AS (SELECT t, count(*) AS c FROM keyed GROUP BY t),
+      rep AS (
+        SELECT k.{id_col}, k.start_word, k.end_word
+        FROM keyed k JOIN occ USING (t) WHERE occ.c >= 2
+      ),
+      grouped AS (
+        SELECT *,
+               CAST(start_word > coalesce(max(end_word) OVER (
+                 PARTITION BY {id_col} ORDER BY start_word
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                 AS INTEGER) AS new_grp
+        FROM rep
+      ),
+      numbered AS (
+        SELECT *, sum(new_grp) OVER (
+          PARTITION BY {id_col} ORDER BY start_word
+          ROWS UNBOUNDED PRECEDING) AS grp
+        FROM grouped
+      )
+      SELECT {id_col},
+             CAST(min(start_word) AS INTEGER) AS start_word,
+             CAST(max(end_word) AS INTEGER) AS end_word,
+             CAST(count(*) AS BIGINT) AS n_windows
+      FROM numbered GROUP BY {id_col}, grp
+    """

@@ -398,3 +398,84 @@ def test_incremental_span_dedup_matches_duckdb(spark):
         ).fetchall()
     )
     assert spark_rows == duck_rows
+
+
+# ------------------------------------- repeated-substring detection -------
+
+
+def test_repeated_substrings_known_values(spark):
+    from bistro_spark.operators.dedup import repeated_substrings
+
+    # "c d e f" repeats across docs at different alignments; stride-1
+    # windows catch it where a fixed grid would miss the offset copy.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "x c d e f y z w q"),
+            (3, "p q r s t u v w x y"),  # no 4-window repeats... except w x
+        ],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        tuple(r) for r in repeated_substrings(df, size=4).collect()
+    )
+    spans = {(d, s, e) for d, s, e, _ in out}
+    # doc 1: windows starting at 1..3 contain c d e f? window size 4:
+    # repeated window is exactly "c d e f" = words 3-6 of doc 1
+    assert (1, 3, 6) in spans
+    # doc 2: "c d e f" = words 2-5
+    assert (2, 2, 5) in spans
+    # doc 3 has no 4-gram shared with others
+    assert not any(d == 3 for d, _, _ in spans)
+
+
+def test_repeated_substrings_merges_overlaps(spark):
+    from bistro_spark.operators.dedup import repeated_substrings
+
+    # two docs share a 6-word run -> three overlapping 4-windows merge
+    # into ONE maximal region per doc
+    df = spark.createDataFrame(
+        [(1, "a b c d e f x1 y1"), (2, "z1 a b c d e f w1")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in repeated_substrings(df, size=4).collect()}
+    assert out[1].start_word == 1 and out[1].end_word == 6
+    assert out[1].n_windows == 3
+    assert out[2].start_word == 2 and out[2].end_word == 7
+
+
+def test_repeated_substrings_short_docs_excluded(spark):
+    from bistro_spark.operators.dedup import repeated_substrings
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b c d e"), (4, "a b c d e")],
+        ["doc_id", "text"],
+    )
+    out = repeated_substrings(df, size=4).collect()
+    # docs 1/2 are shorter than the window -> no windows, no crash;
+    # docs 3/4 repeat fully
+    assert {r.doc_id for r in out} == {3, 4}
+
+
+def test_repeated_substrings_matches_duckdb(spark):
+    import duckdb
+
+    from bistro_spark.operators.dedup import (
+        repeated_substrings,
+        repeated_substrings_sql,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    got = sorted(
+        tuple(r)
+        for r in repeated_substrings(
+            spark.read.parquet(path), size=8
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    want = sorted(
+        tuple(r)
+        for r in con.sql(repeated_substrings_sql("documents", size=8)).fetchall()
+    )
+    assert got == want and len(got) > 0
