@@ -675,6 +675,18 @@ def q_repeated_substrings(spark: SparkSession, sf: str) -> DataFrame:
     return repeated_substrings(load_table(spark, "documents", sf), size=8)
 
 
+def q_strip_repeated(spark: SparkSession, sf: str) -> DataFrame:
+    """Removal companion to the repeated-substring audit: delete every
+    word inside a merged repeated region (drop-all-occurrences
+    boilerplate policy) and rebuild each doc; every doc passes through
+    with removal counts."""
+    from bistro_spark.operators.dedup import strip_repeated_substrings
+
+    return strip_repeated_substrings(
+        load_table(spark, "documents", sf), size=8
+    )
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-5 for the 3 lowest vec_ids (exact ANN
     baseline; broadcast queries, no corpus shuffle)."""
@@ -1013,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_corpus": q_split_corpus,
         "mixture_report": q_mixture_report,
         "repeated_substrings": q_repeated_substrings,
+        "strip_repeated": q_strip_repeated,
     }
 
 
@@ -1524,6 +1537,9 @@ def oracle_sql() -> dict[str, str]:
             {"en": 0.3, "de": 0.175, "es": 0.175, "fr": 0.175, "zh": 0.175},
         ),
         "repeated_substrings": _dedup.repeated_substrings_sql(
+            "documents", size=8
+        ),
+        "strip_repeated": _dedup.strip_repeated_substrings_sql(
             "documents", size=8
         ),
         "incremental_dedup": _dedup.incremental_span_dedup_sql(

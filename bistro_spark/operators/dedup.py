@@ -1182,3 +1182,97 @@ def repeated_substrings_sql(
              CAST(count(*) AS BIGINT) AS n_windows
       FROM numbered GROUP BY {id_col}, grp
     """
+
+
+def strip_repeated_substrings(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 8,
+):
+    """Removal companion to :func:`repeated_substrings` under the
+    drop-all-occurrences policy (the conservative variant used when any
+    boilerplate repeat is unwanted, e.g. headers/footers — contrast with
+    ``curation.dedup_spans``, which keeps the first occurrence on its
+    fixed grid): delete every word covered by a merged repeated region
+    and rebuild each document's text.
+
+    Returns (id, n_words, n_removed, text_stripped) for EVERY input doc
+    (docs with no repeats pass through, n_removed = 0). Word-level
+    anti-coverage is an equi-join on the doc id plus a range predicate
+    against that doc's own regions — regions per doc are few, so the
+    join fan-out is bounded by region count, and the rebuild re-agg is
+    document-bounded.
+    """
+    regions = repeated_substrings(
+        df, id_col=id_col, text_col=text_col, size=size
+    ).select(id_col, "start_word", "end_word")
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("_pos0", "_word"),
+    ).withColumn("_pos", F.col("_pos0") + 1)
+    covered = (
+        words.join(regions, id_col)
+        .filter(F.col("_pos").between(F.col("start_word"), F.col("end_word")))
+        .select(id_col, "_pos")
+        .distinct()
+        .withColumn("_cut", F.lit(1))
+    )
+    marked = words.join(covered, [id_col, "_pos"], "left")
+    return marked.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(F.coalesce(F.col("_cut"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_cut").isNull(),
+                            F.struct(F.col("_pos"), F.col("_word")),
+                        )
+                    )
+                ),
+                lambda x: x["_word"],
+            ),
+        ).alias("text_stripped"),
+    )
+
+
+def strip_repeated_substrings_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 8,
+) -> str:
+    """DuckDB twin of :func:`strip_repeated_substrings`."""
+    regions = repeated_substrings_sql(
+        table, id_col=id_col, text_col=text_col, size=size
+    )
+    return f"""
+      WITH regions AS ({regions}),
+      words AS (
+        SELECT {id_col},
+               unnest(string_split({text_col}, ' ')) AS word,
+               unnest(range(1, len(string_split({text_col}, ' ')) + 1))
+                 AS pos
+        FROM {table}
+      ),
+      covered AS (
+        SELECT DISTINCT w.{id_col}, w.pos
+        FROM words w JOIN regions r
+          ON w.{id_col} = r.{id_col}
+         AND w.pos BETWEEN r.start_word AND r.end_word
+      )
+      SELECT w.{id_col} AS {id_col},
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_removed,
+             coalesce(string_agg(CASE WHEN c.pos IS NULL THEN w.word END,
+                                 ' ' ORDER BY w.pos), '') AS text_stripped
+      FROM words w
+      LEFT JOIN covered c ON w.{id_col} = c.{id_col} AND w.pos = c.pos
+      GROUP BY w.{id_col}
+    """

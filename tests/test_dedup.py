@@ -479,3 +479,51 @@ def test_repeated_substrings_matches_duckdb(spark):
         for r in con.sql(repeated_substrings_sql("documents", size=8)).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_strip_repeated_substrings_known_values(spark):
+    from bistro_spark.operators.dedup import strip_repeated_substrings
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),   # "c d e f" shared with doc 2
+            (2, "x c d e f y z w"),
+            (3, "p q r s t u v n"),   # untouched
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in
+           strip_repeated_substrings(df, size=4).collect()}
+    assert out[1].text_stripped == "a b g h" and out[1].n_removed == 4
+    assert out[2].text_stripped == "x y z w"
+    assert out[3].text_stripped == "p q r s t u v n"
+    assert out[3].n_removed == 0 and out[3].n_words == 8
+
+
+def test_strip_repeated_substrings_matches_duckdb(spark):
+    import duckdb
+
+    from bistro_spark.operators.dedup import (
+        strip_repeated_substrings,
+        strip_repeated_substrings_sql,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    got = sorted(
+        tuple(r)
+        for r in strip_repeated_substrings(
+            spark.read.parquet(path), size=8
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            strip_repeated_substrings_sql("documents", size=8)
+        ).fetchall()
+    )
+    assert got == want
+    # every doc passes through, some lose words on this corpus
+    assert len(got) == spark.read.parquet(path).count()
+    assert any(r[2] > 0 for r in got)

@@ -1,0 +1,138 @@
+"""Property-based tests (hypothesis): randomized invariants for the
+operators whose correctness is structural — packing feasibility, chunk
+coverage, sampling-threshold monotonicity, ranking permutations — beyond
+the fixed-vector and oracle-parity suites.
+
+Spark jobs per example are expensive, so example counts are deliberately
+small; the generators still cover degenerate shapes (empty, single-row,
+all-equal keys, oversize docs) via hypothesis shrinking.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SPARK_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ------------------------------------------------------- pack_sequences ----
+
+
+@SPARK_SETTINGS
+@given(
+    lens=st.lists(st.integers(min_value=1, max_value=40), max_size=25),
+    capacity=st.integers(min_value=8, max_value=64),
+    n_shards=st.integers(min_value=1, max_value=4),
+)
+def test_pack_sequences_invariants(spark, lens, capacity, n_shards):
+    from bistro_spark.operators.curation import pack_sequences
+
+    rows = [(i, ln) for i, ln in enumerate(lens)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, ["doc_id", "n_words"])
+    out = pack_sequences(
+        df, len_col="n_words", capacity=capacity, n_shards=n_shards
+    ).collect()
+    # every doc assigned exactly once, shard = id % n_shards
+    assert sorted(r.doc_id for r in out) == [r[0] for r in rows]
+    packs: dict[tuple, list] = {}
+    for r in out:
+        assert r.shard == r.doc_id % n_shards
+        packs.setdefault((r.shard, r.pack_id), []).append(r)
+    for members in packs.values():
+        members.sort(key=lambda r: r.offset)
+        end = 0
+        for r in members:
+            assert r.offset == end  # packs are gap-free in doc-id order
+            end = r.offset + r.len
+        # capacity respected unless the pack is one oversize doc
+        assert end <= capacity or len(members) == 1
+    # greedy = a doc never fit in its predecessor pack (no lookback holes)
+    for (shard, pid), members in packs.items():
+        if pid == 0:
+            continue
+        prev = packs[(shard, pid - 1)]
+        prev_end = max(r.offset + r.len for r in prev)
+        first = min(members, key=lambda r: r.doc_id)
+        assert prev_end + first.len > capacity
+
+
+# ----------------------------------------------------------- chunk_spans ----
+
+
+@SPARK_SETTINGS
+@given(
+    n_words=st.integers(min_value=1, max_value=120),
+    size=st.integers(min_value=2, max_value=40),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunk_spans_cover_every_word(spark, n_words, size, overlap_frac):
+    from bistro_spark.operators.curation import chunk_spans
+
+    overlap = min(int(size * overlap_frac), size - 1)
+    text = " ".join(f"w{i}" for i in range(n_words))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    chunks = chunk_spans(df, size=size, overlap=overlap).collect()
+    covered = set()
+    for c in chunks:
+        assert 1 <= c.start_word <= c.end_word <= n_words
+        assert c.n_words_chunk == c.end_word - c.start_word + 1
+        assert c.n_words_chunk <= size
+        covered.update(range(c.start_word, c.end_word + 1))
+        # the chunk text is exactly those words
+        assert c.chunk_text.split(" ") == [
+            f"w{i - 1}" for i in range(c.start_word, c.end_word + 1)
+        ]
+    assert covered == set(range(1, n_words + 1))
+
+
+# --------------------------------------------------- sampling thresholds ----
+
+
+@given(
+    rates=st.lists(
+        st.floats(min_value=0.0, max_value=1.0), min_size=2, max_size=8
+    ),
+    digits=st.sampled_from([2, 4]),
+)
+def test_hex_threshold_monotone_in_rate(rates, digits):
+    from bistro_spark.operators.curation import _hex_threshold
+
+    rates = sorted(rates)
+    thrs = [_hex_threshold(r, digits) for r in rates]
+    # a higher keep-rate never yields a lexically smaller threshold
+    # ('g' sorts above every hex digit, so keep-all stays the maximum)
+    assert thrs == sorted(thrs)
+    assert _hex_threshold(1.0, digits) == "g"
+    assert _hex_threshold(0.0, digits) == "0" * digits
+
+
+# ------------------------------------------------------------ global_rank ----
+
+
+@SPARK_SETTINGS
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=5), max_size=30),
+    n_parts=st.integers(min_value=1, max_value=6),
+)
+def test_global_rank_is_a_sorted_permutation(spark, keys, n_parts):
+    from bistro_spark.operators.ranking import global_rank
+
+    rows = [(i, k) for i, k in enumerate(keys)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, ["id", "key"])
+    out = global_rank(df, ["key", "id"], n_partitions=n_parts).collect()
+    assert sorted(r.rank for r in out) == list(range(1, len(rows) + 1))
+    by_rank = sorted(out, key=lambda r: r.rank)
+    assert [(r.key, r.id) for r in by_rank] == sorted(
+        (k, i) for i, k in rows
+    )
