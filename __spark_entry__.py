@@ -20,6 +20,7 @@ from bistro_spark.sources.io import load_table
 from bistro_spark.operators import curation as _curation
 from bistro_spark.operators import dedup as _dedup
 from bistro_spark.operators import ranking as _ranking
+from bistro_spark.operators import similarity as _similarity
 from bistro_spark.operators import text as _text
 from bistro_spark.sources.tokens import (
     token_table_duckdb_sql,
@@ -687,6 +688,32 @@ def q_strip_repeated(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """JL-style embedding compression 64 -> 4 dims with the deterministic
+    Weyl matrix (no RNG): one Arrow GEMM, map-only, no shuffle; oracle
+    recomputes each component from literal coefficients."""
+    from bistro_spark.operators.similarity import random_projection
+
+    out = random_projection(
+        load_table(spark, "embeddings", sf), out_dim=4
+    )
+    return out.select(
+        "vec_id",
+        *[
+            F.element_at(F.col("proj"), i + 1).alias(f"y{i}")
+            for i in range(4)
+        ],
+    )
+
+
+def q_group_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-label embedding centroids (long form): decimal-cast
+    component sums — bit-identical on any partitioning/engine."""
+    from bistro_spark.operators.similarity import group_centroids
+
+    return group_centroids(load_table(spark, "embeddings", sf))
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-5 for the 3 lowest vec_ids (exact ANN
     baseline; broadcast queries, no corpus shuffle)."""
@@ -1026,6 +1053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_report": q_mixture_report,
         "repeated_substrings": q_repeated_substrings,
         "strip_repeated": q_strip_repeated,
+        "random_projection": q_random_projection,
+        "group_centroids": q_group_centroids,
     }
 
 
@@ -1542,6 +1571,10 @@ def oracle_sql() -> dict[str, str]:
         "strip_repeated": _dedup.strip_repeated_substrings_sql(
             "documents", size=8
         ),
+        "random_projection": _similarity.random_projection_sql(
+            "embeddings", out_dim=4, dim=64
+        ),
+        "group_centroids": _similarity.group_centroids_sql("embeddings"),
         "incremental_dedup": _dedup.incremental_span_dedup_sql(
             "documents",
             new_pred="doc_id % 2 = 1",

@@ -282,3 +282,124 @@ def ivf_topk(
         .select(query_id_col, "rank", id_col, "cos_sim")
     )
     return result, centroids
+
+
+# ------------------------------------------- random-projection compression ----
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 4,
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style embedding compression with the repo's
+    deterministic Weyl pseudo-random matrix (dedup._weyl_hyperplanes —
+    no RNG state, identical on any engine/cluster/restart): project each
+    vector to ``out_dim`` components, rounded to 6 digits as report
+    values.
+
+    One Arrow-vectorized GEMM per batch — the 100 TB shape (narrow
+    map-only stage, no shuffle); the projection matrix is (out_dim x d)
+    literals, closed-form reproducible in SQL for the oracle.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from bistro_spark.operators.dedup import _weyl_hyperplanes
+
+    @pandas_udf("array<double>")
+    def proj(v):
+        if not len(v):
+            return pd.Series([], dtype="object")
+        x = np.stack([np.asarray(e, dtype=np.float64) for e in v])
+        h = _weyl_hyperplanes(out_dim, x.shape[1])
+        y = np.round(x @ h.T, 6)
+        return pd.Series(list(y))
+
+    return df.select(F.col(id_col), proj(F.col(vec_col)).alias("proj"))
+
+
+def random_projection_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`random_projection`: the Weyl coefficients are
+    embedded as literal lists (float64 repr round-trips exactly), each
+    component an explicit sum — one output column y0..y{k-1} per
+    projected dimension (no float array serialization)."""
+    from bistro_spark.operators.dedup import _weyl_hyperplanes
+
+    h = _weyl_hyperplanes(out_dim, dim)
+    comps = []
+    for j in range(out_dim):
+        coeffs = "[" + ", ".join(repr(float(c)) for c in h[j]) + "]"
+        comps.append(
+            f"round(list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> CAST({vec_col}[i] AS DOUBLE) * ({coeffs})[i])), 6) "
+            f"AS y{j}"
+        )
+    cols = ",\n             ".join(comps)
+    return f"""
+      SELECT {id_col},
+             {cols}
+      FROM {table}
+    """
+
+
+# ----------------------------------------------------- per-group centroids ----
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact per-group embedding centroids in long form: one row per
+    (group, dimension) with the mean component and the group size.
+
+    Float addition is order-dependent, so components are decimal-cast
+    before the sum — the mean is bit-identical on any partitioning or
+    engine (the same trick the accu queries use). Cost: the posexplode
+    multiplies rows by the dimensionality before one partial-aggregatable
+    groupBy — the exact path; at extreme scale the approximate variant is
+    a plain double sum accepting last-ulp drift.
+    """
+    exploded = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("dim_i", "_x"),
+    )
+    return exploded.groupBy(group_col, "dim_i").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("_x").cast("decimal(30,10)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("centroid"),
+    )
+
+
+def group_centroids_sql(
+    table: str = "embeddings",
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`group_centroids` (0-based dim index to match
+    Spark's posexplode)."""
+    return f"""
+      WITH e AS (
+        SELECT {group_col},
+               unnest(range(0, len({vec_col}))) AS dim_i,
+               unnest({vec_col}) AS x
+        FROM {table}
+      )
+      SELECT {group_col}, CAST(dim_i AS INTEGER) AS dim_i,
+             CAST(count(*) AS BIGINT) AS n,
+             round(CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE)
+                   / count(*), 6) AS centroid
+      FROM e GROUP BY {group_col}, dim_i
+    """

@@ -209,3 +209,57 @@ def test_cosine_topk_lsh_recall(spark):
     assert all((q, q) in approx for q in range(10))
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, recall
+
+
+# ------------------------------------------- random projection + centroids ----
+
+
+def test_random_projection_matches_duckdb(spark):
+    import duckdb
+
+    from bistro_spark.operators.similarity import (
+        random_projection,
+        random_projection_sql,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    got = sorted(
+        (r.vec_id, *[r.proj[i] for i in range(4)])
+        for r in random_projection(emb, out_dim=4).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            random_projection_sql("embeddings", out_dim=4, dim=64)
+        ).fetchall()
+    )
+    assert got == want and len(got) == emb.count()
+
+
+def test_group_centroids_exact_and_partitioning_invariant(spark):
+    import duckdb
+
+    from bistro_spark.operators.similarity import (
+        group_centroids,
+        group_centroids_sql,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    a = sorted(tuple(r) for r in group_centroids(emb).collect())
+    b = sorted(
+        tuple(r) for r in group_centroids(emb.repartition(17)).collect()
+    )
+    assert a == b  # decimal sums: order/partitioning independent
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+    want = sorted(
+        tuple(r) for r in con.sql(group_centroids_sql("embeddings")).fetchall()
+    )
+    assert a == want
+    # 64 dims per label
+    labels = {r[0] for r in a}
+    assert len(a) == 64 * len(labels)
