@@ -57,6 +57,8 @@ def global_rank(
     for pid, n in counts:
         offsets[pid] = acc
         acc += n
+    if not offsets:  # empty input: typed empty result, no zero-arg map
+        return df.withColumn(rank_col, F.lit(None).cast("long"))
     from pyspark.sql import Window
 
     off = F.create_map(

@@ -421,10 +421,15 @@ def test_pack_sequences_invariants_and_determinism(spark, docs):
 
 
 def test_curation_ops_streaming_batch_parity(spark, tmp_path, docs):
-    """The stateless curation stages (hash_sample -> redact_pii ->
-    chunk_spans) run unchanged on a file stream — narrow ops need no
-    state, so streaming output == batch output on the same input files."""
-    from bistro_spark.operators.curation import chunk_spans, hash_sample
+    """The stateless curation stages (hash_sample -> split_corpus ->
+    train-filter -> redact_pii -> chunk_spans) run unchanged on a file
+    stream — narrow ops need no state, so streaming output == batch
+    output on the same input files."""
+    from bistro_spark.operators.curation import (
+        chunk_spans,
+        hash_sample,
+        split_corpus,
+    )
     from bistro_spark.operators.text import redact_pii
     from bistro_spark.sources.io import stream_parquet_dir
 
@@ -437,7 +442,8 @@ def test_curation_ops_streaming_batch_parity(spark, tmp_path, docs):
 
     def curate(df):
         sampled = hash_sample(df, "doc_id", {"en": 0.5}, "lang", 1.0)
-        scrubbed = redact_pii(sampled)
+        train = split_corpus(sampled).filter(F.col("split") == "train")
+        scrubbed = redact_pii(train)
         return chunk_spans(scrubbed, size=16, overlap=4)
 
     stream = stream_parquet_dir(

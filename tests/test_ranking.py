@@ -215,3 +215,12 @@ def test_materialized_packs_contract_parity_sf0001(spark):
         for r in con.sql(ent.oracle_sql()["materialized_packs"]).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_global_rank_and_vocab_empty_input(spark):
+    from bistro_spark.operators.ranking import build_vocab, global_rank
+
+    empty = spark.createDataFrame([], "id long, key long")
+    assert global_rank(empty, ["key", "id"]).count() == 0
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert build_vocab(empty_docs).count() == 0
