@@ -515,6 +515,15 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     return unigram_logprob(load_table(spark, "documents", sf))
 
 
+def q_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional bigram-LM quality score (mean log p(w_i|w_{i-1})
+    under the corpus MLE model) — catches scrambled word order that
+    unigram stats can't see; logs rounded then decimal-summed."""
+    from bistro_spark.operators.curation import bigram_logprob
+
+    return bigram_logprob(load_table(spark, "documents", sf))
+
+
 def q_source_quota(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source quota: keep the 10 largest documents per source
     (order = n_chars DESC, doc_id tie-break — integer keys only, so the
@@ -1055,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_repeated": q_strip_repeated,
         "random_projection": q_random_projection,
         "group_centroids": q_group_centroids,
+        "bigram_logprob": q_bigram_logprob,
     }
 
 
@@ -1545,6 +1555,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", capacity=256, n_shards=4
         ),
         "unigram_logprob": _curation.unigram_logprob_sql("documents"),
+        "bigram_logprob": _curation.bigram_logprob_sql("documents"),
         "dedup_spans": _curation.dedup_spans_sql("documents", size=8),
         "token_budget": _curation.token_budget_select_sql(
             "documents", "source", "n_chars", budget=600,

@@ -1069,3 +1069,94 @@ def mixture_report_sql(
                    / (CASE {cases} END), 6) AS ratio
       FROM per, tot
     """
+
+
+# ------------------------------------------ bigram LM quality scoring ----
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conditional (bigram) LM quality score: mean log p(w_i | w_{i-1})
+    under the corpus' own MLE bigram model — sharper than the unigram
+    score at catching scrambled/unnatural word ORDER, which unigram
+    statistics cannot see by construction.
+
+    p(w2|w1) = c(w1 w2) / c_hist(w1), where the history count is over
+    non-final positions, so every observed bigram has p <= 1 and the log
+    is defined. Docs with fewer than 2 words have no bigrams and are
+    absent from the output (documented). Two count aggregations fit the
+    model; scoring joins them back (broadcast while they fit); per-pair
+    logs are rounded then decimal-summed — order-independent equality.
+    """
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    pairs = (
+        df.filter(n >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(words, 1, n - 1).alias("w1"),
+                    F.slice(words, 2, n - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    bc = pairs.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    hc = pairs.groupBy("w1").agg(F.count("*").cast("long").alias("h"))
+    scored = (
+        pairs.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(hc), "w1")
+        .select(
+            id_col,
+            F.round(F.log(F.col("c").cast("double") / F.col("h")), 9)
+            .cast("decimal(30,15)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(
+            (F.sum("lp") / F.count("*")).cast("double"), 6
+        ).alias("mean_logprob"),
+    )
+
+
+def bigram_logprob_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`bigram_logprob`."""
+    return f"""
+      WITH w AS (
+        SELECT {id_col}, string_split({text_col}, ' ') AS wrd
+        FROM {table}
+      ),
+      z AS (
+        SELECT {id_col},
+               unnest(wrd[1 : len(wrd) - 1]) AS w1,
+               unnest(wrd[2 : len(wrd)]) AS w2
+        FROM w WHERE len(wrd) >= 2
+      ),
+      t AS (SELECT * FROM z WHERE w1 <> '' AND w2 <> ''),
+      bc AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+        FROM t GROUP BY w1, w2
+      ),
+      hc AS (SELECT w1, CAST(count(*) AS BIGINT) AS h FROM t GROUP BY w1)
+      SELECT t.{id_col} AS {id_col},
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(CAST(sum(CAST(round(ln(CAST(bc.c AS DOUBLE) / hc.h), 9)
+                                 AS DECIMAL(30,15))) AS DOUBLE)
+                   / count(*), 6) AS mean_logprob
+      FROM t JOIN bc USING (w1, w2) JOIN hc USING (w1)
+      GROUP BY t.{id_col}
+    """

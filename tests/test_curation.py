@@ -735,3 +735,58 @@ def test_mixture_report_matches_duckdb(docs):
     # en is over-represented vs a 0.3 target in this corpus
     en = [r for r in got if r[0] == "en"][0]
     assert en[5] > 1.0
+
+
+# ----------------------------------------------------- bigram LM scoring ----
+
+
+def test_bigram_logprob_known_values(spark):
+    from bistro_spark.operators.curation import bigram_logprob
+    import math
+
+    # corpus bigrams: doc1 "a b","b a","a b"; doc2 "b a"
+    # c(a,b)=2 h(a)=2 -> p=1; c(b,a)=2 h(b)=2 -> p=1 ... need variety:
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b a c"), (3, "x")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    # histories: a appears non-finally 3x ("a b" in d1, "a b","a c" in d2)
+    # c(a,b)=2 -> p(b|a)=2/3; c(b,c)=1, h(b)=2 -> 1/2; c(b,a)=1 -> 1/2;
+    # c(a,c)=1 -> 1/3
+    assert out[1].n_bigrams == 2
+    assert out[1].mean_logprob == pytest.approx(
+        (math.log(2 / 3) + math.log(1 / 2)) / 2, abs=1e-6
+    )
+    assert out[2].n_bigrams == 3
+    assert out[2].mean_logprob == pytest.approx(
+        (math.log(2 / 3) + math.log(1 / 2) + math.log(1 / 3)) / 3,
+        abs=1e-6,
+    )
+    assert 3 not in out  # single-word doc: no bigrams, absent
+
+
+def test_bigram_logprob_matches_duckdb(docs):
+    from bistro_spark.operators.curation import (
+        bigram_logprob, bigram_logprob_sql,
+    )
+
+    spark_rows = sorted(tuple(r) for r in bigram_logprob(docs).collect())
+    con = _duck()
+    duck_rows = sorted(
+        tuple(r) for r in con.sql(bigram_logprob_sql("documents")).fetchall()
+    )
+    assert spark_rows == duck_rows
+
+
+def test_bigram_penalizes_scrambled_order(spark):
+    """The conditional score must drop when word ORDER is destroyed while
+    unigram statistics stay identical — the property that motivates it."""
+    from bistro_spark.operators.curation import bigram_logprob
+
+    base = [
+        (i, "the quick brown fox jumps over the lazy dog") for i in range(20)
+    ]
+    scrambled = [(100, "dog the over quick lazy fox brown jumps the")]
+    df = spark.createDataFrame(base + scrambled, ["doc_id", "text"])
+    out = {r.doc_id: r.mean_logprob for r in bigram_logprob(df).collect()}
+    assert out[100] < out[0]

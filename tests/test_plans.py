@@ -308,3 +308,24 @@ def test_token_budget_single_group_exchange(spark):
     )
     assert plan.count("Exchange") == 1
     assert "Window" in plan
+
+
+def test_repeated_substrings_partial_agg_on_window_hash(spark):
+    """Occurrence counting for stride-1 windows must be a two-phase
+    count on the window hash (partial_count before the exchange) joined
+    back as an equi-join — hot boilerplate windows collapse map-side; no
+    cartesian, no global window."""
+    from bistro_spark.operators.dedup import repeated_substrings
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    plan = plan_of(repeated_substrings(df, size=4))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    # interval merging windows are per-doc, never empty-partition-spec
+    import re
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "doc_id" in line

@@ -224,3 +224,44 @@ def test_global_rank_and_vocab_empty_input(spark):
     assert global_rank(empty, ["key", "id"]).count() == 0
     empty_docs = spark.createDataFrame([], "doc_id long, text string")
     assert build_vocab(empty_docs).count() == 0
+
+
+def test_encode_tokens_stream_static_vocab_parity(spark, tmp_path):
+    """The production tokenizer shape: a FIXED vocabulary (fit once on a
+    reference corpus, broadcast) encoding a document stream via
+    foreachBatch — each doc arrives whole in one micro-batch, so
+    streaming output must equal the batch encode on the same files."""
+    from bistro_spark.operators.ranking import build_vocab, encode_tokens
+    from bistro_spark.sources.io import stream_parquet_dir
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    vocab = build_vocab(docs).localCheckpoint(eager=True)  # fit once
+
+    src = str(tmp_path / "enc_src")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.mode(
+        "overwrite").parquet(src)
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode(
+        "append").parquet(src)
+
+    got: list = []
+    stream = stream_parquet_dir(
+        spark, src, docs.schema, max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _id: got.extend(
+                tuple(r) for r in encode_tokens(b, vocab).collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "enc_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = sorted(
+        tuple(r)
+        for r in encode_tokens(spark.read.parquet(src), vocab).collect()
+    )
+    assert sorted(got) == want and len(want) > 0
