@@ -541,7 +541,7 @@ def unigram_logprob(
     return scored.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_terms"),
         F.round(
-            (F.sum("lp") / F.count("*")).cast("double"), 6
+            F.sum("lp").cast("double") / F.count("*"), 6
         ).alias("mean_logprob"),
     )
 
@@ -1124,7 +1124,7 @@ def bigram_logprob(
     return scored.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(
-            (F.sum("lp") / F.count("*")).cast("double"), 6
+            F.sum("lp").cast("double") / F.count("*"), 6
         ).alias("mean_logprob"),
     )
 
