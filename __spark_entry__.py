@@ -777,14 +777,17 @@ def q_simhash_hamming(spark: SparkSession, sf: str) -> DataFrame:
 # Hamming-probe → connected-components pipeline; a real pipeline computes
 # the cluster assignment ONCE and derives both views from it, so the
 # contract does the same via a per-(session, sf) cached, materialized
-# assignment table (localCheckpoint pins the computed labels in block
-# storage — re-deriving survivors is then one semi-join).
+# assignment table (a keep-pinned localCheckpoint — re-deriving survivors
+# is then one semi-join). The pin is exempt from pin_scope release; call
+# release_dedup_assignments() after the LAST consumer (bench does, right
+# after dedup_survivors) so the blocks don't outlive their usefulness.
 _DEDUP_ASSIGNMENT_CACHE: dict = {}
 
 
 def _dedup_assignments(spark: SparkSession, sf: str) -> DataFrame:
     key = (id(spark), sf)
     if key not in _DEDUP_ASSIGNMENT_CACHE:
+        from bistro_spark.caching import pin
         from bistro_spark.operators.dedup import (
             connected_components,
             simhash_hamming_pairs,
@@ -792,10 +795,25 @@ def _dedup_assignments(spark: SparkSession, sf: str) -> DataFrame:
 
         docs = load_table(spark, "documents", sf)
         edges = simhash_hamming_pairs(docs, bits=16, max_hamming=2)
-        _DEDUP_ASSIGNMENT_CACHE[key] = connected_components(
-            edges, docs.select(F.col("doc_id").alias("id")), max_iter=30
-        ).localCheckpoint(eager=True)
-    return _DEDUP_ASSIGNMENT_CACHE[key]
+        _DEDUP_ASSIGNMENT_CACHE[key] = pin(
+            connected_components(
+                edges, docs.select(F.col("doc_id").alias("id")), max_iter=30
+            ),
+            keep=True,
+        )
+    return _DEDUP_ASSIGNMENT_CACHE[key][0]
+
+
+def release_dedup_assignments() -> int:
+    """Free the keep-pinned cluster-assignment blocks (and drop the memo
+    so a later call recomputes). Safe to call when nothing is cached."""
+    from bistro_spark.caching import release
+
+    n = 0
+    for _key, (df, ids) in list(_DEDUP_ASSIGNMENT_CACHE.items()):
+        n += release(df.sparkSession, ids)
+        del _DEDUP_ASSIGNMENT_CACHE[_key]
+    return n
 
 
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:

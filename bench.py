@@ -21,6 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as ent  # noqa: E402
+from bistro_spark.caching import pin_scope  # noqa: E402
 from bistro_spark.pipeline import flagship  # noqa: E402
 from bistro_spark.session import get_spark  # noqa: E402
 from bistro_spark.sources.tokens import token_table, token_table_fast  # noqa: E402
@@ -98,20 +99,31 @@ def main() -> None:
     # assignment (__spark_entry__._dedup_assignments) — a re-run would
     # measure the cache hit, not the pipeline, so they are timed once:
     # clusters pays the full SimHash→CC compute, survivors the semi-join.
+    # Each run executes inside a pin_scope: any localCheckpoint a query
+    # materializes (global_rank tables, CC rounds, LSH candidate sets) is
+    # released when the run finishes, so later queries never pay GC
+    # pressure for blocks nobody will read again (the round-3 1.9-3.7x
+    # post-dedup regression). The shared dedup assignment is keep-pinned
+    # across its two consumers and released right after the second.
     single_run = {"dedup_clusters", "dedup_survivors"}
     cold: dict[str, float] = {}
     for name, fn in ent.queries().items():
         if only is not None and name not in only:
             continue
-        t0 = time.time()
-        _run(fn(spark, sf_dir))
-        cold[name] = round(time.time() - t0, 3)
+        with pin_scope(spark):
+            t0 = time.time()
+            _run(fn(spark, sf_dir))
+            cold[name] = round(time.time() - t0, 3)
         if name in single_run:
             timings[name] = cold[name]
-            continue
-        t0 = time.time()
-        _run(fn(spark, sf_dir))
-        timings[name] = round(min(cold[name], time.time() - t0), 3)
+        else:
+            with pin_scope(spark):
+                t0 = time.time()
+                _run(fn(spark, sf_dir))
+                timings[name] = round(min(cold[name], time.time() - t0), 3)
+        if name == "dedup_survivors":
+            ent.release_dedup_assignments()
+    ent.release_dedup_assignments()  # safety: --only runs that skip survivors
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -146,7 +158,17 @@ def main() -> None:
             )
             if k in s
         }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # loss-proof artifacts: the driver captures only the TAIL of stdout and
+    # round 3's grown JSON line overflowed it, losing 29 query timings —
+    # the full result is also written to tracked files (last + history)
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "bench_last.json"), "w") as f:
+        f.write(line + "\n")
+    with open(os.path.join(bench_dir, "bench_history.jsonl"), "a") as f:
+        f.write(json.dumps({"wall_ts": time.time(), **out}) + "\n")
     spark.stop()
 
 

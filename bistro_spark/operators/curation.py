@@ -404,7 +404,8 @@ def pack_sequences(
     id_col: str = "doc_id",
     len_col: str = "n_words",
     capacity: int = 256,
-    n_shards: int = 4,
+    n_shards: int | None = 4,
+    max_rows_per_shard: int = 50_000_000,
 ) -> DataFrame:
     """Greedy no-split sequence packing (the training-batch "packing" step:
     concatenate whole documents into fixed-capacity token buffers).
@@ -422,8 +423,35 @@ def pack_sequences(
     construction, and determinism is exact: the same (id, len) set packs
     identically on any cluster shape. Global (unsharded) packing of a
     distributed corpus is not parallelizable without changing semantics.
+
+    The per-shard pandas frame is (id, len)-narrow but must still FIT in
+    one task: ``n_shards=None`` auto-derives the shard count from a corpus
+    count so shards hold ~``max_rows_per_shard`` rows (~1.2 GB of Arrow at
+    the default); an explicit ``n_shards`` that would exceed the bound
+    raises with sizing guidance instead of OOM-ing an executor mid-job.
     """
     import pandas as pd
+
+    if n_shards is None:
+        n_rows = df.count()
+        n_shards = max(1, -(-n_rows // max_rows_per_shard))
+    else:
+        # one partial-agg pass; catches the caller who left the default 4
+        # on a corpus where id%4 funnels billions of rows into one task
+        biggest = (
+            df.groupBy((F.col(id_col) % n_shards).cast("int"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        if biggest is not None and biggest > max_rows_per_shard:
+            raise ValueError(
+                f"pack_sequences: largest shard holds {biggest} rows > "
+                f"max_rows_per_shard={max_rows_per_shard}; raise n_shards "
+                f"to ~corpus_rows/{max_rows_per_shard} (or pass "
+                f"n_shards=None to auto-derive) so each shard's pandas "
+                f"frame fits in one task"
+            )
 
     shard_expr = (F.col(id_col) % n_shards).cast("int").alias("shard")
     src = df.select(

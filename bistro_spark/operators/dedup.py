@@ -652,7 +652,11 @@ def connected_components(
     edge set contracts toward per-component stars in O(log n) rounds
     REGARDLESS of component diameter (min-label propagation, the previous
     implementation here, needed rounds ∝ diameter — fatal for long crawl
-    mirror chains). Each round localCheckpoints to truncate lineage.
+    mirror chains). Each round localCheckpoints to truncate lineage; the
+    previous round's blocks are released as soon as the next round is
+    materialized, so at most two rounds are pinned at any time. The FINAL
+    round stays pinned (the returned labels read it) — run the consumer
+    inside :func:`bistro_spark.caching.pin_scope` to free it.
 
     Convergence is the edge set reaching a fixpoint; if ``max_iter``
     rounds pass without one, this RAISES (``on_nonconvergence='raise'``,
@@ -662,15 +666,17 @@ def connected_components(
     ``{'rounds': k}`` for convergence-rate tests."""
     if on_nonconvergence not in ("raise", "warn"):
         raise ValueError("on_nonconvergence must be 'raise' or 'warn'")
+    from bistro_spark.caching import pin, release
+
     # materialize the edge list FIRST: the pair-generation plan upstream
     # (LSH probes, sketches) is expensive and would otherwise execute once
     # per direction of the symmetrize union
-    e = (
+    e, e_ids = pin(
         edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    spark = e.sparkSession
     n_edges = e.count()
     converged = n_edges == 0
     rounds = 0
@@ -692,7 +698,7 @@ def connected_components(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         pmins = oriented.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
+        small, small_ids = pin(
             oriented.join(pmins, "u")
             .select(
                 F.explode(F.array(F.col("u"), F.col("v"))).alias("u"),
@@ -700,14 +706,17 @@ def connected_components(
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         new_count = small.count()
         # fixpoint check: same edge set ⇔ same count and no new-only edge
         converged = (
             new_count == n_edges and small.exceptAll(e).limit(1).count() == 0
         )
-        e, n_edges = small, new_count
+        # previous round's checkpoint has no consumers left — free its
+        # executor-storage blocks now, so the loop holds at most two
+        # rounds pinned instead of all of them (round-3 leak fix)
+        release(spark, e_ids)
+        e, e_ids, n_edges = small, small_ids, new_count
         rounds += 1
     if _stats is not None:
         _stats["rounds"] = rounds
@@ -958,6 +967,7 @@ def incremental_span_dedup(
     text_col: str = "text",
     size: int = 8,
     threshold: float = 0.5,
+    bloom_bits: int | None = 1 << 20,
 ):
     """Cross-snapshot near-dup check — the production incremental-crawl
     flow: score each NEW document by the fraction of its ``size``-word
@@ -966,9 +976,15 @@ def incremental_span_dedup(
 
     Returns (id, n_spans, n_matched, is_dup). The old side reduces to
     DISTINCT span hashes — corpus-scale, so the probe is a shuffle
-    equi-join on the hash (per-span, map-side combinable counts); in
-    production a bloom/sketch of the old span set prunes the probe first,
-    which composes here as a pre-filter without changing semantics.
+    equi-join on the hash (per-span, map-side combinable counts). When
+    ``bloom_bits`` is set (default 2^20; None disables), a bloom filter
+    over the old span hashes (``operators.bloom`` — one map-only pass,
+    driver ORs #partitions bitsets) pre-filters the NEW side first:
+    definite-miss spans take the ``_hit = 0`` branch without ever
+    shuffling, and only maybe-hits pay the equi-join. No false negatives
+    ⇒ output is IDENTICAL to the unpruned path (parity pytest-pinned);
+    the dominant shuffle shrinks by the miss fraction — at 100 TB of
+    mostly-novel crawl, most of it.
     The threshold compare is integer arithmetic (matched * denom >=
     threshold_num * n_spans via a rational cut) — no float boundary.
     """
@@ -980,15 +996,26 @@ def incremental_span_dedup(
     new_spans = chunk_spans(
         new_df, id_col=id_col, text_col=text_col, size=size, overlap=0
     ).select(id_col, F.md5(F.col("chunk_text")).alias("_h"))
-    old_spans = (
-        chunk_spans(
-            old_df, id_col=id_col, text_col=text_col, size=size, overlap=0
+    old_spans_raw = chunk_spans(
+        old_df, id_col=id_col, text_col=text_col, size=size, overlap=0
+    ).select(F.md5(F.col("chunk_text")).alias("_h"))
+    old_spans = old_spans_raw.distinct().withColumn("_hit", F.lit(1))
+    if bloom_bits is not None:
+        from bistro_spark.operators.bloom import build_bloom, might_contain
+
+        bloom = build_bloom(old_spans_raw, "_h", m_bits=bloom_bits)
+        flagged = new_spans.withColumn(
+            "_mc", might_contain(new_spans, "_h", bloom)
         )
-        .select(F.md5(F.col("chunk_text")).alias("_h"))
-        .distinct()
-        .withColumn("_hit", F.lit(1))
-    )
-    probed = new_spans.join(old_spans, "_h", "left")
+        maybe = flagged.filter(F.col("_mc")).join(old_spans, "_h", "left")
+        miss = flagged.filter(~F.col("_mc")).withColumn(
+            "_hit", F.lit(None).cast("int")
+        )
+        probed = maybe.select(id_col, "_h", "_hit").unionByName(
+            miss.select(id_col, "_h", "_hit")
+        )
+    else:
+        probed = new_spans.join(old_spans, "_h", "left")
     return probed.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_spans"),
         F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias(

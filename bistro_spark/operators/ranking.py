@@ -128,6 +128,7 @@ def encode_tokens(
     id_col: str = "doc_id",
     text_col: str = "text",
     oov_id: int = -1,
+    max_broadcast_terms: int = 5_000_000,
 ) -> DataFrame:
     """Encode each document as its token-id sequence under ``vocab``
     (from :func:`build_vocab`): (id, n_tok, token_ids) with the id
@@ -135,18 +136,28 @@ def encode_tokens(
     canonically serialized for cross-engine comparison; a writer keeps
     the array form).
 
-    Explode-with-position + vocabulary equi-join (broadcast while the
-    vocab fits, shuffle join beyond — Spark/AQE picks), then one per-doc
+    Explode-with-position + vocabulary equi-join, then one per-doc
     re-aggregation ordered by position. Out-of-vocabulary terms (a
     ``min_count``/``max_vocab``-capped vocab) encode as ``oov_id``.
+
+    The join side is GATED, not hinted blindly: a vocabulary is usually
+    dimension-sized (broadcast — the fact side never shuffles on term),
+    but the module's own motivating scale is a 10^8-term vocab, and a
+    hard ``F.broadcast`` hint there overrides
+    ``autoBroadcastJoinThreshold`` straight into executor OOM. So the
+    vocab is counted (one cheap aggregate — its plan is already
+    materialized through ``global_rank``'s checkpoint) and the hint is
+    applied only under ``max_broadcast_terms``; above it the plain join
+    lets AQE pick a shuffle strategy (and split skewed terms).
     """
     pos_terms = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
     ).filter(F.col("term") != "")
-    enc = pos_terms.join(
-        F.broadcast(vocab.select("term", "token_id")), "term", "left"
-    ).withColumn(
+    v = vocab.select("term", "token_id")
+    if vocab.count() <= max_broadcast_terms:
+        v = F.broadcast(v)
+    enc = pos_terms.join(v, "term", "left").withColumn(
         "tid", F.coalesce(F.col("token_id"), F.lit(oov_id)).cast("long")
     )
     return enc.groupBy(id_col).agg(

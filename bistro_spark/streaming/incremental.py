@@ -97,6 +97,7 @@ class IncrementalRunner:
         self.time_col = time_col
         self._buffer: DataFrame | None = None  # retained window (retention mode)
         self._state: DataFrame | None = None  # merged aggregates (add-only mode)
+        self._pin_ids: set[int] = set()  # executor blocks owned by buffer+state
         # un-fold mode: retention active AND every fold is invertible →
         # aggregate state is updated by (add delta partial, subtract evicted
         # partial); per-batch AGGREGATION work ∝ |delta| + |evicted| instead
@@ -130,8 +131,15 @@ class IncrementalRunner:
 
     def add_batch(self, batch_df: DataFrame) -> None:
         """ActionAdd(delta) + ActionRemove(retention) + ActionEval."""
+        from bistro_spark.caching import pin, release
+
         self.batches_seen += 1
         prepared = self.prepare(batch_df)
+        # previous batch's pinned buffer/state blocks: still read while the
+        # new state derives from them, released once the new pins are eager-
+        # materialized — without this, a long-running stream leaks one
+        # checkpoint per micro-batch (round-3 storage-lifecycle fix)
+        old_ids, new_ids = self._pin_ids, set()
 
         if self._needs_buffer():
             buf = prepared if self._buffer is None else self._buffer.unionByName(prepared)
@@ -140,7 +148,8 @@ class IncrementalRunner:
             # localCheckpoint truncates the ever-growing union lineage —
             # without it plan depth grows per batch (the classic
             # iterative-union pitfall).
-            self._buffer = retained.localCheckpoint(eager=True)
+            self._buffer, ids = pin(retained)
+            new_ids |= ids
             if self._unfold:
                 from functools import reduce
 
@@ -169,7 +178,8 @@ class IncrementalRunner:
                     # from the retained buffer if bit-parity matters.
                     .filter(F.col(self._N) != 0)
                 )
-                self._state = merged.localCheckpoint(eager=True)
+                self._state, ids = pin(merged)
+                new_ids |= ids
         else:
             partial = prepared.groupBy(*self.group_keys).agg(
                 *[F.expr(a.batch_expr).alias(a.name) for a in self.aggs]
@@ -187,7 +197,10 @@ class IncrementalRunner:
                         ]
                     )
                 )
-            self._state = merged.localCheckpoint(eager=True)
+            self._state, ids = pin(merged)
+            new_ids |= ids
+        release(self.spark, old_ids)
+        self._pin_ids = new_ids
 
     def _needs_buffer(self) -> bool:
         return self.retention_count is not None or self.retention_age is not None

@@ -41,6 +41,7 @@ class StreamingProjector:
         self._n = 0  # dim cardinality, tracked driver-side (no per-batch
         # count() over the whole dim — only the small per-batch delta is
         # ever counted)
+        self._pin_ids: set[int] = set()  # blocks owned by the current dim
 
     def dim(self) -> DataFrame:
         if self._dim is None:
@@ -70,9 +71,19 @@ class StreamingProjector:
             if self._dim is None
             else self._dim.unionByName(appended)
         )
-        self._dim = dim.localCheckpoint(eager=True)
-        # delta-sized count (the checkpoint materialized the rows already)
+        from bistro_spark.caching import pin, release
+
+        # the new dim pin reads the old one (union) — pin eagerly first,
+        # then free last batch's blocks so a long stream holds exactly one
+        # dim checkpoint, not one per micro-batch. The PREVIOUS batch's
+        # returned join is invalid after this (consumed within its trigger
+        # under foreachBatch, which is the contract here).
+        old_ids = self._pin_ids
+        self._dim, self._pin_ids = pin(dim)
+        # delta-sized count (the checkpoint materialized the rows already);
+        # `appended` still reads the OLD dim, so release only after it
         self._n = base + appended.count()
+        release(self.spark, old_ids)
         return batch_df.join(
             F.broadcast(self._dim.select(*self.keys, self.link_name)),
             self.keys,
@@ -140,13 +151,18 @@ class StreamingSpanDeduper:
         self.text_col = text_col
         self._frac = Fraction(threshold).limit_denominator(10**6)
         self._store: DataFrame | None = None  # distinct span hashes
+        self._pin_ids: set[int] = set()  # blocks owned by store + last stats
 
     def store_size(self) -> int:
         return 0 if self._store is None else self._store.count()
 
     def process_batch(self, batch_df: DataFrame) -> DataFrame:
         """Score the batch, update the store with survivors' spans, and
-        return (id, n_spans, n_matched, is_dup) for the batch's docs."""
+        return (id, n_spans, n_matched, is_dup) for the batch's docs.
+        The returned stats (and any join against them) are valid until the
+        NEXT ``process_batch`` call — their pinned blocks are recycled then
+        (consumed-within-trigger, the foreachBatch contract)."""
+        from bistro_spark.caching import pin, release
         from bistro_spark.operators.curation import chunk_spans
 
         spans = chunk_spans(
@@ -179,8 +195,9 @@ class StreamingSpanDeduper:
                     >= F.col("n_spans") * self._frac.numerator
                 ).cast("int"),
             )
-            .localCheckpoint(eager=True)  # score once: read out AND store
         )
+        # score once: read out AND store
+        stats, stats_ids = pin(stats)
         survivors = stats.filter(F.col("is_dup") == 0).select(self.id_col)
         surv_spans = (
             spans.join(survivors, self.id_col, "left_semi")
@@ -192,5 +209,9 @@ class StreamingSpanDeduper:
             if self._store is None
             else self._store.unionByName(surv_spans).distinct()
         )
-        self._store = new_store.localCheckpoint(eager=True)
+        old_ids = self._pin_ids
+        self._store, store_ids = pin(new_store)
+        # previous batch's store AND stats blocks have no consumers left
+        release(self.spark, old_ids)
+        self._pin_ids = store_ids | stats_ids
         return stats

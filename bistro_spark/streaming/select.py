@@ -1,0 +1,143 @@
+"""Streaming twins of the selection family (quota / token budget).
+
+Batch ops ``curation.quota_per_group`` and ``curation.token_budget_select``
+pick the best documents per group under a cap. Under streaming, the cap
+applies to the RETAINED pool (the foreachBatch state), updated per
+micro-batch: candidates = retained pool ∪ batch delta, re-select, the
+winners become the new pool. Per-batch work is O(|pool| + |delta|) — the
+pool is bounded by the cap itself (n rows/group, resp. budget tokens
+/group), so state never grows with stream length.
+
+Semantics vs the batch op over FULL history:
+
+- **quota** is exactly equal: top-n ranks only harden as rows arrive, so
+  a row outside the top-n can never re-enter — selecting over
+  (pool ∪ delta) is selecting over everything ever seen (pytest-pinned
+  against the batch op over the accumulated union).
+- **token budget** is equal over the retained view but NOT over full
+  history: a rejected row's tokens no longer count against later
+  arrivals' running totals (once evicted, gone — the reservoir
+  semantics). Example: budget 10, A(order 5, 8 tok) kept, B(order 4,
+  8 tok) rejected; a later C(order 3, 1 tok) is kept here (8+1 ≤ 10)
+  while a full-history recompute would count B and reject C. The parity
+  contract (pytest-pinned, mirroring StreamingSpanDeduper) is therefore
+  with the batch op applied to (retained ∪ delta) each trigger.
+
+State is a keep-released localCheckpoint chain (``bistro_spark.caching``):
+each trigger pins the new pool and frees the previous one, so a
+long-running stream holds exactly one pool checkpoint. On a real cluster
+the pool is an Iceberg/Delta table rewritten per trigger (it is cap-sized,
+not corpus-sized).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bistro_spark.caching import pin, release
+
+
+class _PoolSelector:
+    """Shared pool-union-reselect loop; subclasses supply the batch op."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._pool: DataFrame | None = None  # retained winners, input cols
+        self._pin_ids: set[int] = set()
+        self.batches_seen = 0
+
+    def _select(self, candidates: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def _derived_cols(self) -> list[str]:
+        raise NotImplementedError
+
+    def pool(self) -> DataFrame:
+        if self._pool is None:
+            raise ValueError("no batches processed")
+        return self._pool
+
+    def process_batch(self, batch_df: DataFrame) -> DataFrame:
+        """Union the delta into the retained pool, re-select, swap state.
+        Returns the CURRENT winners (with the op's derived columns); valid
+        until the next call (consumed-within-trigger, as foreachBatch
+        does)."""
+        self.batches_seen += 1
+        cands = (
+            batch_df
+            if self._pool is None
+            else self._pool.unionByName(batch_df)
+        )
+        out, out_ids = pin(self._select(cands))
+        old_ids = self._pin_ids
+        self._pool = out.drop(*self._derived_cols())
+        # the pool view shares `out`'s blocks — no second checkpoint needed
+        self._pin_ids = out_ids
+        release(self.spark, old_ids)
+        return out
+
+
+class StreamingQuotaSelector(_PoolSelector):
+    """Streaming twin of ``curation.quota_per_group``: keep at most ``n``
+    best rows per group across the whole stream (exact full-history
+    equivalence — see module docstring)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        group_col: str,
+        order_col: str,
+        n: int,
+        id_col: str = "doc_id",
+        ascending: bool = False,
+    ):
+        super().__init__(spark)
+        self.kw = dict(
+            group_col=group_col,
+            order_col=order_col,
+            n=n,
+            id_col=id_col,
+            ascending=ascending,
+        )
+
+    def _select(self, candidates: DataFrame) -> DataFrame:
+        from bistro_spark.operators.curation import quota_per_group
+
+        return quota_per_group(candidates, **self.kw)
+
+    def _derived_cols(self) -> list[str]:
+        return ["quota_rank"]
+
+
+class StreamingTokenBudgetSelector(_PoolSelector):
+    """Streaming twin of ``curation.token_budget_select``: maintain the
+    per-group best-first document pool whose running token total stays
+    within ``budget`` (reservoir semantics over the retained view — see
+    module docstring for the one documented divergence from a
+    full-history recompute)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        group_col: str,
+        order_col: str,
+        budget: int,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        super().__init__(spark)
+        self.kw = dict(
+            group_col=group_col,
+            order_col=order_col,
+            budget=budget,
+            id_col=id_col,
+            text_col=text_col,
+        )
+
+    def _select(self, candidates: DataFrame) -> DataFrame:
+        from bistro_spark.operators.curation import token_budget_select
+
+        return token_budget_select(candidates, **self.kw)
+
+    def _derived_cols(self) -> list[str]:
+        return ["n_tok", "cum_tok"]

@@ -18,6 +18,7 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as ent  # noqa: E402
+from bistro_spark.caching import pin_scope  # noqa: E402
 from bistro_spark.session import get_spark  # noqa: E402
 from bistro_spark.sources.io import TESTDATA_TABLES  # noqa: E402
 
@@ -65,9 +66,10 @@ def main():
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf)
-            srows = sdf.collect()
-            scols = sdf.columns
+            with pin_scope(spark):
+                sdf = fn(spark, sf)
+                srows = sdf.collect()
+                scols = sdf.columns
             if name not in oracles:
                 print(f"{name:32s} rows={len(srows):7d}  (no oracle — rows-only)")
                 continue
@@ -103,6 +105,7 @@ def main():
             failures.append(name)
             print(f"{name:32s} ERROR {type(e).__name__}: {str(e)[:300]}")
     print("\nFAILED:" if failures else "\nALL OK", ", ".join(failures))
+    ent.release_dedup_assignments()
     spark.stop()
     sys.exit(1 if failures else 0)
 
