@@ -1020,6 +1020,44 @@ def q_session_window_events(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_link_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of link (temporal link column): each purchase event gains the
+    value + timestamp of the same user's most recent prior click within
+    1 hour (miss → nulls). Join-free plan — tag-union, ONE key shuffle,
+    running last(ignorenulls) frame; oracle mirrors the same
+    union+window formulation (DuckDB IGNORE NULLS)."""
+    from bistro_spark.operators.temporal import link_asof
+
+    ev = load_table(spark, "events", sf)
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts", "value")
+    out = link_asof(
+        purchases, clicks, on="user_id", bring=("value",), horizon_s=3600.0
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("asof_value", 6).alias("asof_value"),
+        "asof_ts",
+    )
+
+
+def q_cep_pattern(spark: SparkSession, sf: str) -> DataFrame:
+    """CEP follow-pattern: per user, each view event matched to its FIRST
+    purchase within 4 hours (time-bucketed join — candidates bounded
+    per horizon window, never per-key quadratic; first-B via
+    partial-aggregatable min(struct), no window function)."""
+    from bistro_spark.operators.temporal import cep_followed_by
+
+    ev = load_table(spark, "events", sf)
+    return cep_followed_by(
+        ev, type_a="view", type_b="purchase", horizon_s=14400.0
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "calc_lineitem": q_calc_lineitem,
@@ -1083,6 +1121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": q_random_projection,
         "group_centroids": q_group_centroids,
         "bigram_logprob": q_bigram_logprob,
+        "link_asof": q_link_asof,
+        "cep_pattern": q_cep_pattern,
     }
 
 
@@ -1649,5 +1689,52 @@ def oracle_sql() -> dict[str, str]:
                      AS quota_rank
             FROM documents
             QUALIFY quota_rank <= 10
+        """,
+        # mirrors the Spark plan exactly: tag-union, per-key running
+        # last(IGNORE NULLS), 1-hour staleness horizon in integer µs
+        "link_asof": """
+            WITH u AS (
+              SELECT user_id, ts, 0 AS tag, CAST(NULL AS BIGINT) AS lid,
+                     value AS rv, ts AS rts
+              FROM events WHERE event_type = 'click'
+              UNION ALL
+              SELECT user_id, ts, 1, event_id, NULL, NULL
+              FROM events WHERE event_type = 'purchase'
+            ), w AS (
+              SELECT user_id, ts, tag, lid,
+                     last_value(rv IGNORE NULLS) OVER win AS mv,
+                     last_value(rts IGNORE NULLS) OVER win AS mts
+              FROM u
+              WINDOW win AS (PARTITION BY user_id ORDER BY ts, tag
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+            )
+            SELECT lid AS event_id, user_id, ts,
+                   CASE WHEN epoch_us(mts) >= epoch_us(ts) - 3600000000
+                        THEN round(mv, 6) END AS asof_value,
+                   CASE WHEN epoch_us(mts) >= epoch_us(ts) - 3600000000
+                        THEN mts END AS asof_ts
+            FROM w WHERE tag = 1
+        """,
+        "cep_pattern": """
+            WITH a AS (
+              SELECT user_id, event_id AS a_id, ts AS a_ts
+              FROM events WHERE event_type = 'view'
+            ), b AS (
+              SELECT user_id, event_id AS b_id, ts AS b_ts
+              FROM events WHERE event_type = 'purchase'
+            ), pairs AS (
+              SELECT a.user_id, a.a_id, a.a_ts, b.b_id, b.b_ts,
+                     date_diff('microsecond', a.a_ts, b.b_ts) AS gap_us,
+                     row_number() OVER (PARTITION BY a.a_id
+                                        ORDER BY b.b_ts, b.b_id) AS rn
+              FROM a JOIN b ON a.user_id = b.user_id
+                AND b.b_ts > a.a_ts
+                AND epoch_us(b.b_ts)
+                    <= epoch_us(a.a_ts) + CAST(14400 AS BIGINT) * 1000000
+            )
+            SELECT user_id, a_id, a_ts, b_id, b_ts,
+                   CAST(gap_us AS BIGINT) AS gap_us
+            FROM pairs WHERE rn = 1
         """,
     }
