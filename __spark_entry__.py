@@ -1058,6 +1058,21 @@ def q_cep_pattern(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Learned-subword (BPE) tokenization: train 200 merges on the corpus
+    word-frequency table (one distributed agg + deterministic driver
+    merge loop), encode every document via the memoized Arrow kernel.
+    Rows-only by design: BPE encoding is an iterative per-word fixpoint —
+    not expressible in set-oriented SQL — so correctness is pinned in
+    pytest (reference-encoder parity, Sennrich worked example, round-trip
+    losslessness, cluster-shape invariance) instead of a DuckDB twin."""
+    from bistro_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "text")
+    merges = bpe_train(docs, n_merges=200)
+    return bpe_encode(docs, merges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "calc_lineitem": q_calc_lineitem,
@@ -1123,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "link_asof": q_link_asof,
         "cep_pattern": q_cep_pattern,
+        "bpe_encode": q_bpe_encode,  # rows-only (iterative fixpoint, no SQL twin)
     }
 
 

@@ -1,0 +1,174 @@
+"""Byte-pair-encoding subword tokenizer (train + encode), Spark-first.
+
+The tokens-axis gap between word-level ops (``ranking.build_vocab``) and
+real training pipelines: a learned SUBWORD vocabulary (Sennrich et al.
+2016, the BPE used by GPT/Llama-family tokenizers). Two halves:
+
+- :func:`bpe_train` — the 100 TB-shaped training split: the corpus-scale
+  part is ONE distributed word-frequency aggregation (explode → groupBy →
+  partial+final count), whose result is Zipf-capped to the top
+  ``max_words`` word types (a word-frequency TABLE is vocabulary-sized,
+  not corpus-sized — this is why industrial BPE trainers all run on word
+  counts, not raw text). The iterative merge loop then runs driver-side
+  on that dict — it is inherently sequential (merge k+1 depends on the
+  counts AFTER merge k), so distributing it would serialize anyway; at
+  50k word types × 200 merges it is sub-second numpy-free Python.
+  Determinism: ties on pair count break lexicographically, so the same
+  corpus yields the same merge list on any cluster shape / retry.
+
+- :func:`bpe_encode` — apply the learned merges per document: an
+  Arrow-batched pandas UDF (never a row-at-a-time Python UDF) with a
+  per-batch WORD MEMO — natural text re-uses word types heavily (Zipf
+  again), so the merge loop runs once per distinct word per batch, not
+  once per token. Map-only stage: no shuffle, the merge table ships via
+  closure (vocab-sized).
+
+Cross-engine note: BPE encoding is iterative-fixpoint per word (apply
+the highest-priority merge until none applies) — genuinely not
+expressible in set-oriented SQL, so the contract query is rows-only and
+correctness is pinned by pytest instead: parity with an independent
+reference implementation, the published worked example, round-trip
+losslessness, and cluster-shape invariance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"  # end-of-word marker (Sennrich-style)
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str = "text", max_words: int = 50_000
+) -> list[tuple[str, int]]:
+    """Distributed word-frequency table, Zipf-capped to the top
+    ``max_words`` types (count DESC, word ASC — deterministic cut).
+    The only corpus-scale stage of BPE training."""
+    wf = (
+        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(max_words)
+    )
+    return [(r["w"], r["n"]) for r in wf.collect()]
+
+
+def _pair_counts(vocab: dict[tuple[str, ...], int]) -> dict:
+    counts: dict[tuple[str, str], int] = {}
+    for sym, n in vocab.items():
+        for i in range(len(sym) - 1):
+            p = (sym[i], sym[i + 1])
+            counts[p] = counts.get(p, 0) + n
+    return counts
+
+
+def _merge_word(sym: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    out, i, joined = [], 0, pair[0] + pair[1]
+    while i < len(sym):
+        if i < len(sym) - 1 and sym[i] == pair[0] and sym[i + 1] == pair[1]:
+            out.append(joined)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 200,
+    max_words: int = 50_000,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus (see module
+    docstring for the distributed/driver split). Returns the ordered
+    merge list — rank = priority — to pass to :func:`bpe_encode`."""
+    wf = word_frequencies(df, text_col=text_col, max_words=max_words)
+    vocab = {tuple(w) + (END,): n for w, n in wf}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts = _pair_counts(vocab)
+        if not counts:
+            break
+        # deterministic argmax: count DESC, pair lexicographic ASC
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if counts[best] < 2:
+            break  # every remaining pair is unique — no compression left
+        merges.append(best)
+        vocab = {_merge_word(s, best): n for s, n in vocab.items()}
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Reference single-word encoder: repeatedly apply the best-ranked
+    applicable merge until none applies (the BPE fixpoint)."""
+    sym = tuple(word) + (END,)
+    while len(sym) > 1:
+        best, best_rank = None, None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = (sym[i], sym[i + 1]), r
+        if best is None:
+            break
+        sym = _merge_word(sym, best)
+    return list(sym)
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode each document into BPE pieces under ``merges``:
+    (id, n_pieces, pieces) with ``pieces`` the space-joined subword
+    sequence (``</w>`` marking word ends — lossless round-trip). One
+    map-only Arrow stage; per-batch word memo (see module docstring)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    @pandas_udf("array<string>")
+    def encode(texts):
+        memo: dict[str, list[str]] = {}
+
+        def enc_doc(t):
+            out: list[str] = []
+            for w in (t or "").split():
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = encode_word(w, ranks)
+                out.extend(got)
+            return out
+
+        return pd.Series([enc_doc(t) for t in texts])
+
+    enc = df.select(
+        F.col(id_col), encode(F.col(text_col)).alias("_pieces")
+    )
+    return enc.select(
+        id_col,
+        F.size("_pieces").cast("int").alias("n_pieces"),
+        F.concat_ws(" ", "_pieces").alias("pieces"),
+    )
+
+
+def bpe_decode_pieces(pieces: str) -> str:
+    """Inverse of the piece serialization (for round-trip tests):
+    ``</w>`` closes a word, everything between markers concatenates."""
+    words, cur = [], []
+    for p in pieces.split(" "):
+        if p.endswith(END):
+            cur.append(p[: -len(END)])
+            words.append("".join(cur))
+            cur = []
+        elif p:
+            cur.append(p)
+    if cur:
+        words.append("".join(cur))
+    return " ".join(w for w in words if w != "")
