@@ -19,6 +19,7 @@ from bistro_spark.schema import Schema
 from bistro_spark.sources.io import load_table
 from bistro_spark.operators import curation as _curation
 from bistro_spark.operators import dedup as _dedup
+from bistro_spark.operators import drift as _drift
 from bistro_spark.operators import ranking as _ranking
 from bistro_spark.operators import similarity as _similarity
 from bistro_spark.operators import text as _text
@@ -1058,6 +1059,31 @@ def q_cep_pattern(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_length_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot drift (pipeline health): per-source L1 distance between
+    old/new log2-length-bucket shares, old/new = even/odd doc_id (the
+    repo's cross-snapshot convention). Exact integer-fraction arithmetic;
+    buckets via integer bin()-length, never float log2."""
+    from bistro_spark.operators.drift import length_drift
+
+    docs = load_table(spark, "documents", sf)
+    return length_drift(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+    )
+
+
+def q_token_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot drift, vocabulary view: per-source share of new-snapshot
+    token occurrences unseen in the old snapshot's group vocabulary (the
+    old side reduces to distinct (group, term) — vocabulary-scale)."""
+    from bistro_spark.operators.drift import token_novelty
+
+    docs = load_table(spark, "documents", sf)
+    return token_novelty(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+    )
+
+
 def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
     """Learned-subword (BPE) tokenization: train 200 merges on the corpus
     word-frequency table (one distributed agg + deterministic driver
@@ -1139,6 +1165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_asof": q_link_asof,
         "cep_pattern": q_cep_pattern,
         "bpe_encode": q_bpe_encode,  # rows-only (iterative fixpoint, no SQL twin)
+        "length_drift": q_length_drift,
+        "token_novelty": q_token_novelty,
     }
 
 
@@ -1753,4 +1781,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(gap_us AS BIGINT) AS gap_us
             FROM pairs WHERE rn = 1
         """,
+        "length_drift": _drift.length_drift_sql("documents"),
+        "token_novelty": _drift.token_novelty_sql("documents"),
     }
