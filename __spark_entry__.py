@@ -337,9 +337,15 @@ def q_dedup_verified_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
     a = ng.select(F.col("doc_id").alias("id_a"), F.col("ng").alias("ng_a"))
     b = ng.select(F.col("doc_id").alias("id_b"), F.col("ng").alias("ng_b"))
+    # EXACT length prefilter (the set-similarity-join length bound):
+    # jaccard ≤ min(|a|,|b|)/max(|a|,|b|), so pairs whose set sizes differ
+    # by >2x can never reach 0.5 — integer compare, no false negatives,
+    # the per-pair array intersection runs only on survivors
+    sa, sb = F.size("ng_a"), F.size("ng_b")
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
+        .filter(F.least(sa, sb) * 2 >= F.greatest(sa, sb))
         .withColumn(
             "jaccard",
             F.round(ngram_jaccard(F.col("ng_a"), F.col("ng_b")), 6),

@@ -145,10 +145,20 @@ def lsh_candidate_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """MinHash-LSH near-dup candidates: distinct (id_a < id_b) sharing ≥1
-    band bucket. The join is bucket-local — the scale path."""
+    band bucket. The join is bucket-local — the scale path.
+
+    The banded-signature subtree is MATERIALIZED before the self-join:
+    both join sides reference it, and an unpinned plan executes the
+    Arrow MinHash kernel twice (measured ~2 s/side at sf0.1 — half the
+    candidate-generation cost). The pin is scope-released by the caller's
+    ``pin_scope`` like every other checkpoint."""
+    from bistro_spark.caching import pin
+
     rows = k // bands
-    banded = lsh_bands(minhash_signature(df, text_col, k), bands, rows).select(
-        F.col(id_col).alias("id"), "band_id", "band_key"
+    banded, _ids = pin(
+        lsh_bands(minhash_signature(df, text_col, k), bands, rows).select(
+            F.col(id_col).alias("id"), "band_id", "band_key"
+        )
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -588,9 +598,12 @@ def ngram_set(text: Column, n: int = 3) -> Column:
 
 def ngram_jaccard(a: Column, b: Column) -> Column:
     """Jaccard over two ngram-set columns: |∩| / |∪| (null-safe, 0 if both
-    empty)."""
+    empty). Inputs are SETS (ngram_set dedups), so |∪| = |a| + |b| - |∩|
+    exactly — integer arithmetic instead of materializing a second merged
+    array per pair (the verification stream carries millions of pairs,
+    each dropping one whole-array construction)."""
     inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
+    union = F.size(a) + F.size(b) - inter
     return F.when(union == 0, 0.0).otherwise(inter / union)
 
 
