@@ -332,11 +332,31 @@ def q_dedup_verified_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .union(pairs.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
+    # the member set and its ngram table are candidate-bounded, not
+    # corpus-bounded; Catalyst's size estimates for checkpoint/UDF
+    # subtrees are too pessimistic to pick broadcasts on its own (the
+    # plan audit caught 4 SortMergeJoins: the member semi-join duplicated
+    # 2x under each pair side x2 through the corpus union, shuffling the
+    # corpus four times). Gated on the actual member count: broadcast the
+    # id list into the semi-join (corpus never shuffles), materialize the
+    # ngram table ONCE (pin; the caller's pin_scope frees it), broadcast
+    # it into both pair joins (the 2.3M-pair stream never shuffles, and
+    # the length prefilter fuses into the join condition). Past the bound
+    # the plain joins let AQE shuffle — the honest at-scale plan.
+    small = members.count() <= 200_000
+    if small:
+        members = F.broadcast(members)
     ng = corpus.join(members, "doc_id", "left_semi").select(
         "doc_id", ngram_set(F.col("text")).alias("ng")
     )
+    if small:
+        from bistro_spark.caching import pin
+
+        ng, _ids = pin(ng)
     a = ng.select(F.col("doc_id").alias("id_a"), F.col("ng").alias("ng_a"))
     b = ng.select(F.col("doc_id").alias("id_b"), F.col("ng").alias("ng_b"))
+    if small:
+        a, b = F.broadcast(a), F.broadcast(b)
     # EXACT length prefilter (the set-similarity-join length bound):
     # jaccard ≤ min(|a|,|b|)/max(|a|,|b|), so pairs whose set sizes differ
     # by >2x can never reach 0.5 — integer compare, no false negatives,

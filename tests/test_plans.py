@@ -329,3 +329,25 @@ def test_repeated_substrings_partial_agg_on_window_hash(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "doc_id" in line
+
+
+def test_verified_pairs_single_digest_no_smj(spark):
+    """dedup_verified_pairs at contract scale: the member semi-join and
+    both pair-side ngram joins must be broadcast (the pair stream and the
+    corpus never shuffle on ids), the ngram table materialized once —
+    round-4 plan-audit fix; an AQE size misestimate regressing this to
+    SortMergeJoin would shuffle+sort the multi-million-pair stream twice."""
+    import __spark_entry__ as ent
+    from bistro_spark.caching import pin_scope
+
+    with pin_scope(spark):
+        df = ent.q_dedup_verified_pairs(spark, "/root/testdata/sf0.001")
+        df.count()  # executed plan = post-AQE truth
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    # the exact length bound is fused into the pair join, not a later pass
+    join_line = next(
+        ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln
+    )
+    assert "least" in join_line and "greatest" in join_line
