@@ -1125,6 +1125,33 @@ def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_encode(docs, merges)
 
 
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): deterministic-centroid
+    cluster assignment (map-only Arrow GEMM), then within-cluster
+    keep-first pruning at cosine >= 0.95 via ONE shuffle on cluster id +
+    per-cluster in-memory GEMM. Corpus = embeddings ∪ exact copies of the
+    first 20 vectors (the embedding_neardup premise), so planted copies
+    land in the copied row's cluster and must be flagged. Unlike the LSH
+    queries this needs no recall premise — both engines enumerate every
+    within-cluster pair exactly."""
+    from bistro_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, "embeddings", sf).select("vec_id", "embedding")
+    dups = emb.filter("vec_id < 20").withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    return semdedup(emb.unionByName(dups), threshold=0.95)
+
+
+def q_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashed linear quality classifier (fastText-style): unigram+bigram
+    md5-hashed integer weights, exact integer logit sum, sigmoid score —
+    zero shuffle, zero Python, one Catalyst map stage."""
+    from bistro_spark.operators.text import classifier_score
+
+    return classifier_score(load_table(spark, "documents", sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "calc_lineitem": q_calc_lineitem,
@@ -1193,6 +1220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,  # rows-only (iterative fixpoint, no SQL twin)
         "length_drift": q_length_drift,
         "token_novelty": q_token_novelty,
+        "semantic_dedup": q_semantic_dedup,
+        "classifier_score": q_classifier_score,
     }
 
 
@@ -1809,4 +1838,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "length_drift": _drift.length_drift_sql("documents"),
         "token_novelty": _drift.token_novelty_sql("documents"),
+        "semantic_dedup": _similarity.semdedup_sql(
+            threshold=0.95,
+            source_sql=(
+                "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+                " FROM embeddings"
+                " UNION ALL"
+                " SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])"
+                " FROM embeddings WHERE vec_id < 20"
+            ),
+        ),
+        "classifier_score": _text.classifier_score_sql("documents"),
     }

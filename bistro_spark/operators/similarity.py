@@ -403,3 +403,149 @@ def group_centroids_sql(
                    / count(*), 6) AS centroid
       FROM e GROUP BY {group_col}, dim_i
     """
+
+# --------------------------------------------------------- semantic dedup ----
+
+
+def _semdedup_centroids(n_clusters: int, dim: int):
+    """Deterministic unit-norm pseudo-centroid directions: the repo's Weyl
+    matrix rows (dedup._weyl_hyperplanes — no RNG state) L2-normalized in
+    float64. Identical on any engine/cluster/restart and closed-form
+    reproducible in SQL, so the cluster assignment itself is
+    oracle-checkable (a k-means fit would make the assignment depend on a
+    driver-side iteration no SQL engine can replay)."""
+    import numpy as np
+
+    from bistro_spark.operators.dedup import _weyl_hyperplanes
+
+    h = _weyl_hyperplanes(n_clusters, dim)
+    return h / np.linalg.norm(h, axis=1, keepdims=True)
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    threshold: float = 0.99,
+    dim: int = 64,
+    max_cluster_rows: int = 2_000_000,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023, implemented
+    from the paper): partition embeddings into clusters, then mark a row
+    as duplicate iff some LOWER-id row in the same cluster has cosine
+    similarity >= threshold (keep-first rule — deterministic, no
+    transitive chaining, so a single pass decides every row).
+
+    Plan shape for 100 TB: cluster assignment is one map-only Arrow GEMM
+    per batch against a broadcast-size (n_clusters x dim) matrix — no
+    shuffle; the pairwise stage shuffles ONCE on cluster id and runs an
+    in-memory O(c^2) GEMM per cluster via applyInPandas. Pairwise cost is
+    sum(c_i^2), bounded by sizing n_clusters ~ corpus/target_cluster_rows
+    (the paper uses ~100k clusters for LAION-scale); ``max_cluster_rows``
+    raises with guidance instead of silently OOMing a skewed cluster.
+
+    Output: (id, cluster, n_in_cluster, is_dup) — survivors are the
+    is_dup=false rows. Similarities are rounded to 6 digits before the
+    threshold compare so float noise can't flip a verdict cross-engine.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cn = _semdedup_centroids(n_clusters, dim)
+
+    @pandas_udf("int")
+    def assign(v):
+        if not len(v):
+            return pd.Series([], dtype="int32")
+        x = np.stack([np.asarray(e, dtype=np.float64) for e in v])
+        scores = np.round(x @ cn.T, 6)
+        # first max == DuckDB list_position(scores, list_max(scores)) - 1
+        return pd.Series(np.argmax(scores, axis=1).astype("int32"))
+
+    id_t = dict(df.dtypes)[id_col]
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cluster")
+    )
+
+    def dedupe(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_cluster_rows:
+            raise ValueError(
+                f"semdedup cluster {pdf['cluster'].iloc[0]} has "
+                f"{len(pdf)} rows > max_cluster_rows={max_cluster_rows}; "
+                "raise n_clusters (pairwise work is O(rows^2) per cluster) "
+                "or max_cluster_rows if the O(c^2) GEMM fits executor memory"
+            )
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        x = np.stack([np.asarray(e, dtype=np.float64) for e in pdf[vec_col]])
+        nrm = np.linalg.norm(x, axis=1)
+        sims = np.round((x @ x.T) / np.outer(nrm, nrm), 6)
+        # dup[i] = any earlier (lower-id) row with sim >= threshold
+        dup = np.tril(sims >= threshold, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cluster": pdf["cluster"],
+                "n_in_cluster": np.int64(len(pdf)),
+                "is_dup": dup,
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        dedupe,
+        f"{id_col} {id_t}, cluster int, n_in_cluster long, is_dup boolean",
+    )
+
+
+def semdedup_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    threshold: float = 0.99,
+    dim: int = 64,
+    source_sql: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`semdedup`: the normalized centroid rows are
+    embedded as a literal list-of-lists (float64 repr round-trips
+    exactly), assignment is list_position(scores, list_max(scores)) - 1
+    (first max — numpy argmax's tie rule), and the within-cluster pass is
+    an equi-self-join on cluster with the repo's standard rounded-cosine
+    predicate. ``source_sql`` overrides the input relation (it must yield
+    ``{id_col}`` and a DOUBLE[] column ``v``)."""
+    cn = _semdedup_centroids(n_clusters, dim)
+    rows = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in r) + "]" for r in cn
+    )
+    src = source_sql or (
+        f"SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}"
+    )
+    return f"""
+      WITH e AS ({src}),
+      a AS (
+        SELECT {id_col}, v,
+               list_transform([{rows}],
+                              c -> round(list_dot_product(v, c), 6)) AS scores
+        FROM e),
+      asg AS (
+        SELECT {id_col}, v,
+               CAST(list_position(scores, list_max(scores)) - 1
+                    AS INTEGER) AS cluster
+        FROM a),
+      sizes AS (
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n_in_cluster
+        FROM asg GROUP BY cluster),
+      dups AS (
+        SELECT DISTINCT b.{id_col} AS did
+        FROM asg a JOIN asg b
+          ON a.cluster = b.cluster AND a.{id_col} < b.{id_col}
+        WHERE round(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) *
+                     sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold})
+      SELECT g.{id_col}, g.cluster, s.n_in_cluster,
+             (d.did IS NOT NULL) AS is_dup
+      FROM asg g
+      JOIN sizes s USING (cluster)
+      LEFT JOIN dups d ON g.{id_col} = d.did
+    """

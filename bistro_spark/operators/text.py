@@ -362,3 +362,104 @@ def redact_pii(
         *counts,
         scrubbed.alias(out_col),
     )
+
+
+# --------------------------------------- hashed linear quality classifier ----
+
+
+def classifier_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """fastText-style hashed linear quality classifier: features are word
+    unigrams + adjacent bigrams (single-space split, the repo's portable
+    tokenizer convention), each feature's weight is a deterministic
+    md5-derived INTEGER in [-1000, 1000] (dedup.word_hash % 2001 - 1000 —
+    standing in for trained weights so the whole model is reproducible on
+    any engine with no artifact to ship), the logit is
+    sum(w) / (1000 * sqrt(n_feats)) and the score is the sigmoid.
+
+    Scale shape: zero shuffle and zero Python — one Catalyst map stage per
+    row (aggregate() HOF over the feature array; md5 dominates, all
+    JVM-side). The weight SUM is kept integer so it is exact and
+    order-independent — the only float ops are one division, one sqrt and
+    one exp at the very end, then round(…, 6) — the repo's standard
+    cross-engine float discipline. A real trained model swaps the hash
+    weight for a broadcast lookup; everything else is unchanged.
+    """
+    words = F.split(F.col(text_col), " ")
+    # sequence(1, n-1) DESCENDS through 0 when n = 1 (Spark quirk) — guard
+    bigrams = F.when(
+        F.size(words) > 1,
+        F.expr(
+            f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
+            f"i -> concat(split({text_col}, ' ')[i - 1], ' ', "
+            f"split({text_col}, ' ')[i]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(words, bigrams)
+    w_sum = F.expr(
+        "aggregate(_feats, 0L, (acc, t) -> acc + ("
+        "CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % 2001"
+        " - 1000))"
+    )
+    out = (
+        df.select(F.col(id_col), feats.alias("_feats"))
+        .withColumn("n_feats", F.size("_feats").cast("int"))
+        .withColumn("w_sum", w_sum)
+        .withColumn(
+            "score",
+            F.round(
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -(
+                            F.col("w_sum")
+                            / (F.lit(1000.0) * F.sqrt(F.col("n_feats")))
+                        )
+                    )
+                ),
+                6,
+            ),
+        )
+        .withColumn("keep", F.col("score") >= F.lit(threshold))
+    )
+    return out.select(id_col, "n_feats", "w_sum", "score", "keep")
+
+
+def classifier_score_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of :func:`classifier_score` (1-based list indexing;
+    range(1, 1) is empty so the single-word guard is implicit)."""
+    return f"""
+      WITH f AS (
+        SELECT {id_col}, string_split({text_col}, ' ') AS w
+        FROM {table}),
+      g AS (
+        SELECT {id_col},
+               list_concat(
+                 w,
+                 list_transform(range(1, len(w)),
+                                i -> w[i] || ' ' || w[i + 1])) AS feats
+        FROM f),
+      s AS (
+        SELECT {id_col},
+               CAST(len(feats) AS INTEGER) AS n_feats,
+               CAST(list_sum(list_transform(feats,
+                 t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                      % 2001 - 1000)) AS BIGINT) AS w_sum
+        FROM g)
+      SELECT {id_col}, n_feats, w_sum,
+             round(1.0 / (1.0 + exp(-(w_sum / (1000.0 * sqrt(n_feats))))),
+                   6) AS score,
+             (round(1.0 / (1.0 + exp(-(w_sum / (1000.0 * sqrt(n_feats))))),
+                    6) >= {threshold}) AS keep
+      FROM s
+    """

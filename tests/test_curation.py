@@ -790,3 +790,39 @@ def test_bigram_penalizes_scrambled_order(spark):
     df = spark.createDataFrame(base + scrambled, ["doc_id", "text"])
     out = {r.doc_id: r.mean_logprob for r in bigram_logprob(df).collect()}
     assert out[100] < out[0]
+
+
+def test_classifier_score_streaming_batch_parity(spark, tmp_path, docs):
+    """classifier_score is a stateless narrow map stage, so it runs
+    unchanged on a file stream — streaming output == batch output on the
+    same input files (the quality-gate shape of a live ingest pipeline)."""
+    from bistro_spark.operators.text import classifier_score
+    from bistro_spark.sources.io import stream_parquet_dir
+
+    src_dir = str(tmp_path / "clf_stream_src")
+    half = docs.select("doc_id", "text")
+    half.filter("doc_id % 2 = 0").coalesce(1).write.mode(
+        "overwrite").parquet(src_dir)
+    half.filter("doc_id % 2 = 1").coalesce(1).write.mode(
+        "append").parquet(src_dir)
+
+    stream = stream_parquet_dir(
+        spark, src_dir, half.schema, max_files_per_trigger=1
+    )
+    q = (
+        classifier_score(stream)
+        .writeStream.format("memory")
+        .queryName("clf_stream_out")
+        .option("checkpointLocation", str(tmp_path / "clf_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM clf_stream_out").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in classifier_score(spark.read.parquet(src_dir)).collect()
+    )
+    assert got == want and len(got) > 0

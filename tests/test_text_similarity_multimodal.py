@@ -263,3 +263,142 @@ def test_group_centroids_exact_and_partitioning_invariant(spark):
     # 64 dims per label
     labels = {r[0] for r in a}
     assert len(a) == 64 * len(labels)
+
+
+# --------------------------------------------------------- semantic dedup ----
+
+
+def test_semdedup_planted_copies_and_invariance(spark):
+    """Exact copies (cos = 1) of rows 0..4 must be flagged as duplicates
+    (keep-first: the lower-id original survives); result is identical on
+    any partitioning; every row lands in [0, n_clusters)."""
+    from bistro_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    dups = emb.filter("vec_id < 5").withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = emb.unionByName(dups)
+    out = semdedup(corpus, threshold=0.95, n_clusters=8).toPandas()
+    assert len(out) == corpus.count()
+    assert out["cluster"].between(0, 7).all()
+    flagged = set(out[out["is_dup"]]["vec_id"])
+    assert {100000 + i for i in range(5)} <= flagged
+    originals = set(out[~out["is_dup"]]["vec_id"])
+    assert set(range(5)) <= originals
+    # cluster sizes are consistent within each cluster
+    sizes = out.groupby("cluster")["n_in_cluster"].nunique()
+    assert (sizes == 1).all()
+
+    out2 = semdedup(
+        corpus.repartition(13), threshold=0.95, n_clusters=8
+    ).toPandas()
+    a = out.sort_values("vec_id").reset_index(drop=True)
+    b = out2.sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_semdedup_cluster_cap_guard(spark):
+    """A cluster past max_cluster_rows raises with guidance instead of
+    silently attempting an O(c^2) GEMM that can't fit."""
+    import pytest as _pytest
+
+    from bistro_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    with _pytest.raises(Exception, match="max_cluster_rows"):
+        semdedup(emb, n_clusters=1, max_cluster_rows=10).toPandas()
+
+
+def test_semdedup_matches_duckdb(spark):
+    """Full-row parity vs the SQL twin (assignment argmax rule included)."""
+    import duckdb
+
+    from bistro_spark.operators.similarity import semdedup, semdedup_sql
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    out = (
+        semdedup(
+            spark.read.parquet(path).select("vec_id", "embedding"),
+            threshold=0.9,
+        )
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+    ora = (
+        con.sql(semdedup_sql(threshold=0.9))
+        .df()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    for c in ["vec_id", "cluster", "n_in_cluster", "is_dup"]:
+        assert (out[c].to_numpy() == ora[c].to_numpy()).all(), c
+
+
+# --------------------------------------- hashed linear quality classifier ----
+
+
+def test_classifier_score_known_value(spark):
+    """Hand-computed expectation for a three-word doc (hashlib md5 —
+    independent of both engines' md5/conv plumbing)."""
+    import hashlib
+    import math
+
+    from bistro_spark.operators.text import classifier_score
+
+    text = "alpha beta gamma"
+    feats = ["alpha", "beta", "gamma", "alpha beta", "beta gamma"]
+
+    def w(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+    w_sum = sum(w(t) for t in feats)
+    score = round(
+        1.0 / (1.0 + math.exp(-(w_sum / (1000.0 * math.sqrt(len(feats)))))), 6
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = classifier_score(df).collect()[0]
+    assert row["n_feats"] == 5
+    assert row["w_sum"] == w_sum
+    assert row["score"] == score
+    assert row["keep"] == (score >= 0.5)
+
+
+def test_classifier_score_single_word_and_duckdb_parity(spark):
+    """Single-word doc has no bigrams (the sequence()-descends guard);
+    full-row parity vs the DuckDB twin on real documents."""
+    import duckdb
+
+    from bistro_spark.operators.text import (
+        classifier_score,
+        classifier_score_sql,
+    )
+
+    df = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    row = classifier_score(df).collect()[0]
+    assert row["n_feats"] == 1
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    out = (
+        classifier_score(spark.read.parquet(path))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    ora = (
+        con.sql(classifier_score_sql("documents"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ["n_feats", "w_sum", "score", "keep"]:
+        assert (out[c].to_numpy() == ora[c].to_numpy()).all(), c
