@@ -1152,6 +1152,19 @@ def q_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
     return classifier_score(load_table(spark, "documents", sf))
 
 
+def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy hitters: every word with frequency > N/(k+1), exactly, via
+    per-partition Misra-Gries summaries (mapInPandas, vectorized
+    mergeable-summary rule) + exact recount of the bounded candidate set.
+    The sketch can't drop a qualifying word (MG bound) and the recount
+    kills false positives, so the oracle is the plain GROUP BY/HAVING
+    definition — no recall premise. At 100 TB this replaces a
+    full-vocabulary shuffle with a k*partitions-bounded candidate join."""
+    from bistro_spark.operators.text import heavy_hitters
+
+    return heavy_hitters(load_table(spark, "documents", sf), k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "calc_lineitem": q_calc_lineitem,
@@ -1222,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_novelty": q_token_novelty,
         "semantic_dedup": q_semantic_dedup,
         "classifier_score": q_classifier_score,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -1849,4 +1863,5 @@ def oracle_sql() -> dict[str, str]:
             ),
         ),
         "classifier_score": _text.classifier_score_sql("documents"),
+        "heavy_hitters": _text.heavy_hitters_sql("documents", k=50),
     }

@@ -463,3 +463,93 @@ def classifier_score_sql(
                     6) >= {threshold}) AS keep
       FROM s
     """
+
+
+# ----------------------------------------------- heavy hitters (Misra-Gries) ----
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """All words with frequency > N/(k+1) of the corpus word count, EXACTLY
+    — without ever shuffling the full vocabulary.
+
+    Two phases (the sketch-then-exact-verify pattern the LSH dedup family
+    uses):
+
+    1. Per-partition Misra-Gries summaries with k counters via
+       ``mapInPandas`` (the iterator spans the whole partition, so the
+       summary is per-partition, not per-batch). MG guarantee: any word
+       with partition-local frequency > N_p/(k+1) survives; a word with
+       global frequency > N/(k+1) must exceed that rate in at least one
+       partition (else summing the per-partition bounds caps it at
+       N/(k+1)), so the UNION of partition candidate sets has NO false
+       negatives. Candidate volume is <= k * n_partitions — broadcast-size
+       by construction, never vocabulary-size.
+    2. Exact recount of candidate words only (broadcast semi-join into the
+       term stream, partial-agg count) and the threshold filter in exact
+       integer arithmetic: cnt * (k+1) > N. False positives die here, so
+       the output is exact — the oracle is a plain GROUP BY ... HAVING.
+
+    At 100 TB a naive groupBy(word) shuffles every distinct word (~10^9+
+    keys); here the only wide ops are the candidate-set distinct (bounded
+    by k * partitions) and a count over the broadcast-filtered stream.
+    """
+    import pandas as pd
+
+    words = F.explode(F.split(F.col(text_col), " ")).alias("word")
+    terms = df.select(words)
+
+    def mg_partition(batches):
+        # vectorized mergeable-summary MG (Agarwal et al. 2012): per batch,
+        # value_counts at C speed, add into the running summary, then cap
+        # to k counters by subtracting the (k+1)-th largest count from all
+        # and dropping the non-positive remainder — the merge rule that
+        # preserves the est >= true - N_p/(k+1) bound, so nothing with
+        # partition frequency > N_p/(k+1) can be evicted.
+        counters = pd.Series(dtype="int64")
+        for b in batches:
+            if not len(b):
+                continue
+            vc = b["word"].value_counts()
+            counters = counters.add(vc, fill_value=0)
+            if len(counters) > k:
+                m = counters.nlargest(k + 1).iloc[-1]
+                counters = counters - m
+                counters = counters[counters > 0]
+        if len(counters):
+            yield pd.DataFrame({"word": counters.index.astype(str)})
+
+    candidates = terms.mapInPandas(mg_partition, "word string").distinct()
+
+    total = terms.select(F.count("*").alias("_n_total"))
+    return (
+        terms.join(F.broadcast(candidates), "word")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * (k + 1) > F.col("_n_total"))
+        .select("word", "cnt")
+    )
+
+
+def heavy_hitters_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    k: int = 50,
+) -> str:
+    """DuckDB twin of :func:`heavy_hitters` — the sketch phase has no
+    observable effect (no false negatives by the MG bound, false positives
+    removed by the exact recount), so the oracle is the definition itself."""
+    return f"""
+      WITH t AS (
+        SELECT unnest(string_split({text_col}, ' ')) AS word
+        FROM {table}),
+      n AS (SELECT count(*) AS n_total FROM t)
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt
+      FROM t, n
+      GROUP BY word, n_total
+      HAVING count(*) * ({k} + 1) > n_total
+    """

@@ -402,3 +402,49 @@ def test_classifier_score_single_word_and_duckdb_parity(spark):
     )
     for c in ["n_feats", "w_sum", "score", "keep"]:
         assert (out[c].to_numpy() == ora[c].to_numpy()).all(), c
+
+
+# ------------------------------------------------ heavy hitters (MG) ----
+
+
+def test_heavy_hitters_exact_and_adversarial(spark):
+    """Exact equality with the brute-force definition on a skewed
+    synthetic corpus, at several partitionings (the per-partition MG
+    summaries differ wildly between shapes — the output must not)."""
+    rows = []
+    # zipf-ish: word_i appears ~ 600/i times, i = 1..40, scattered as
+    # one-word docs so partitioning really moves occurrences around
+    for i in range(1, 41):
+        rows += [(f"w{i}",)] * (600 // i)
+    df = spark.createDataFrame(rows, "text string")
+    n_total = sum(600 // i for i in range(1, 41))
+    for k in (5, 10, 25):
+        want = sorted(
+            (f"w{i}", 600 // i)
+            for i in range(1, 41)
+            if (600 // i) * (k + 1) > n_total
+        )
+        for parts in (1, 7):
+            from bistro_spark.operators.text import heavy_hitters
+
+            got = sorted(
+                tuple(r)
+                for r in heavy_hitters(df.repartition(parts), k=k).collect()
+            )
+            assert got == want, (k, parts)
+
+
+def test_heavy_hitters_matches_duckdb(spark):
+    import duckdb
+
+    from bistro_spark.operators.text import heavy_hitters, heavy_hitters_sql
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    got = sorted(
+        tuple(r)
+        for r in heavy_hitters(spark.read.parquet(path), k=40).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    want = sorted(tuple(r) for r in con.sql(heavy_hitters_sql(k=40)).fetchall())
+    assert got == want and len(got) > 0
