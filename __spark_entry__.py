@@ -1165,6 +1165,20 @@ def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     return heavy_hitters(load_table(spark, "documents", sf), k=50)
 
 
+def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-overlap audit: exact pairwise n-gram Jaccard between every
+    pair of sources, computed without joining data to data — each distinct
+    gram is reduced to a G-bit membership mask (one bit_or shuffle with
+    map-side combine), the mask histogram is bounded by 2^G rows
+    independent of corpus size, and the G*(G-1)/2 pair list is broadcast
+    against it. The classic formulation self-joins the (source, gram)
+    relation on gram — a shuffle whose output multiplies with co-occurring
+    sources; this one never does."""
+    from bistro_spark.operators.dedup import source_overlap
+
+    return source_overlap(load_table(spark, "documents", sf), n=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "calc_lineitem": q_calc_lineitem,
@@ -1236,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "classifier_score": q_classifier_score,
         "heavy_hitters": q_heavy_hitters,
+        "source_overlap": q_source_overlap,
     }
 
 
@@ -1864,4 +1879,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "classifier_score": _text.classifier_score_sql("documents"),
         "heavy_hitters": _text.heavy_hitters_sql("documents", k=50),
+        "source_overlap": _dedup.source_overlap_sql("documents", n=3),
     }

@@ -1316,3 +1316,152 @@ def strip_repeated_substrings_sql(
       LEFT JOIN covered c ON w.{id_col} = c.{id_col} AND w.pos = c.pos
       GROUP BY w.{id_col}
     """
+
+
+# ------------------------------------------- corpus-overlap audit matrix --
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 3,
+    max_groups: int = 32,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard overlap between every pair of corpus
+    groups (sources), without ever joining data to data.
+
+    The trick that makes this a 100 TB operator: each distinct gram only
+    needs to know *which* groups contain it, and with G <= 32 groups that
+    fact is one long. So the whole computation is
+
+      1. explode per-doc distinct gram hashes tagged with the group's bit
+         (``1 << bit(group)``) — map-only;
+      2. ``groupBy(gram).agg(bit_or(mask))`` — the ONE data-sized shuffle,
+         and bit_or is associative/commutative so Spark partial-aggregates
+         it map-side (duplicate grams within a partition collapse before
+         the exchange);
+      3. ``groupBy(mask).count()`` — the input is one row per distinct
+         gram, but the OUTPUT is bounded by 2^G rows *independent of
+         corpus size* (and in practice by the number of group combinations
+         that actually co-occur);
+      4. a broadcast join of the G*(G-1)/2 pair list against that bounded
+         histogram: ``inter = sum(cnt where both bits set)``,
+         ``union = sum(cnt where either bit set)``.
+
+    No all-pairs document join, no gram-keyed self-join (the classic
+    formulation joins the distinct (group, gram) relation to itself — a
+    shuffle whose output can be G x larger than its input). Pairs with
+    zero overlap are retained (left join from the pair frame).
+
+    Reference parity: this is the audit companion to `exact_dedup` /
+    `ngram_jaccard` — set semantics are identical to ngram_set (distinct
+    hashed word n-grams, short docs contribute the empty set).
+
+    Returns (source_a, source_b, inter_grams, union_grams, jaccard) with
+    source_a < source_b, jaccard rounded to 6 (report column, never a key).
+    """
+    spark = df.sparkSession
+    groups = sorted(
+        r[0] for r in df.select(group_col).distinct().collect() if r[0] is not None
+    )
+    if len(groups) > max_groups:
+        raise ValueError(
+            f"source_overlap: {len(groups)} groups > max_groups={max_groups}; "
+            "the mask-histogram design needs one bit per group — bump "
+            "max_groups (<= 62) or pre-bucket the group column"
+        )
+    bit_of = {g: i for i, g in enumerate(groups)}
+    mask_expr = F.lit(0)
+    for g, i in bit_of.items():
+        mask_expr = F.when(F.col(group_col) == g, F.lit(1 << i)).otherwise(mask_expr)
+
+    gram_masks = (
+        df.select(mask_expr.alias("mask"), F.explode(ngram_set(F.col(text_col), n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.bit_or("mask").alias("mask"))
+    )
+    hist = gram_masks.groupBy("mask").agg(F.count(F.lit(1)).alias("cnt"))
+
+    pairs = spark.createDataFrame(
+        [
+            (a, b, bit_of[a], bit_of[b])
+            for ai, a in enumerate(groups)
+            for b in groups[ai + 1 :]
+        ],
+        "source_a string, source_b string, bit_a int, bit_b int",
+    )
+    both = F.expr("((mask >> bit_a) & 1) = 1 AND ((mask >> bit_b) & 1) = 1")
+    either = F.expr("((mask >> bit_a) & 1) = 1 OR ((mask >> bit_b) & 1) = 1")
+    per_pair = (
+        hist.join(F.broadcast(pairs), either, "inner")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.when(both, F.col("cnt")).otherwise(F.lit(0))).alias("inter_grams"),
+            F.sum("cnt").alias("union_grams"),
+        )
+    )
+    return (
+        pairs.select("source_a", "source_b")
+        # broadcast the RIGHT side: a left-outer join can only broadcast
+        # the build (right) side, and per_pair is <= G*(G-1)/2 rows
+        .join(F.broadcast(per_pair), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("inter_grams", F.lit(0)).cast("bigint").alias("inter_grams"),
+            F.coalesce("union_grams", F.lit(0)).cast("bigint").alias("union_grams"),
+            F.round(
+                F.when(F.coalesce("union_grams", F.lit(0)) == 0, F.lit(0.0)).otherwise(
+                    F.coalesce("inter_grams", F.lit(0))
+                    / F.coalesce("union_grams", F.lit(0))
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def source_overlap_sql(
+    table: str, text_col: str = "text", group_col: str = "source", n: int = 3
+) -> str:
+    """DuckDB oracle for source_overlap: the textbook formulation — distinct
+    (group, gram) relation, per-group sizes, gram-keyed self-join for
+    intersections, |A u B| = |A| + |B| - |A n B| — over the identical
+    ngram_set hash."""
+    grams = ngram_set_sql(text_col, n)
+    return f"""
+      WITH dg AS (
+        SELECT DISTINCT {group_col} AS grp, unnest({grams}) AS gram
+        FROM {table}
+        WHERE {group_col} IS NOT NULL
+      ),
+      srcs AS (SELECT DISTINCT {group_col} AS grp FROM {table}
+               WHERE {group_col} IS NOT NULL),
+      sz AS (SELECT grp, count(*) AS c FROM dg GROUP BY grp),
+      pairs AS (
+        SELECT a.grp AS sa, b.grp AS sb
+        FROM srcs a JOIN srcs b ON a.grp < b.grp
+      ),
+      inter AS (
+        SELECT x.grp AS sa, y.grp AS sb, count(*) AS i
+        FROM dg x JOIN dg y ON x.gram = y.gram AND x.grp < y.grp
+        GROUP BY 1, 2
+      )
+      SELECT p.sa AS source_a, p.sb AS source_b,
+             CAST(coalesce(i.i, 0) AS BIGINT) AS inter_grams,
+             CAST(coalesce(za.c, 0) + coalesce(zb.c, 0) - coalesce(i.i, 0)
+                  AS BIGINT) AS union_grams,
+             round(CASE WHEN coalesce(za.c,0) + coalesce(zb.c,0)
+                             - coalesce(i.i,0) = 0 THEN 0.0
+                        ELSE CAST(coalesce(i.i, 0) AS DOUBLE)
+                             / (coalesce(za.c,0) + coalesce(zb.c,0)
+                                - coalesce(i.i,0))
+                   END, 6) AS jaccard
+      FROM pairs p
+      LEFT JOIN sz za ON za.grp = p.sa
+      LEFT JOIN sz zb ON zb.grp = p.sb
+      LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+      ORDER BY source_a, source_b
+    """

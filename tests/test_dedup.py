@@ -527,3 +527,59 @@ def test_strip_repeated_substrings_matches_duckdb(spark):
     # every doc passes through, some lose words on this corpus
     assert len(got) == spark.read.parquet(path).count()
     assert any(r[2] > 0 for r in got)
+
+
+# ------------------------------------------- source-overlap audit matrix --
+
+
+def test_source_overlap_known_values(spark):
+    from bistro_spark.operators.dedup import source_overlap
+
+    df = spark.createDataFrame(
+        [
+            ("A", "w1 w2 w3"),   # 2-grams {w1 w2, w2 w3}
+            ("B", "w1 w2 x"),    # 2-grams {w1 w2, w2 x}
+            ("C", "z"),          # short doc -> zero grams
+            (None, "w1 w2 w3"),  # null source -> excluded
+        ],
+        ["source", "text"],
+    )
+    out = {
+        (r.source_a, r.source_b): r
+        for r in source_overlap(df, n=2).collect()
+    }
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert (ab.inter_grams, ab.union_grams, ab.jaccard) == (1, 3, 0.333333)
+    # zero-overlap pairs are retained, zero-gram source has union = |other|
+    assert (out[("A", "C")].inter_grams, out[("A", "C")].union_grams) == (0, 2)
+    assert out[("B", "C")].jaccard == 0.0
+
+
+def test_source_overlap_group_cap_raises(spark):
+    from bistro_spark.operators.dedup import source_overlap
+
+    df = spark.createDataFrame(
+        [(f"s{i}", "a b c d") for i in range(5)], ["source", "text"]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_groups"):
+        source_overlap(df, max_groups=4)
+
+
+def test_source_overlap_matches_duckdb(spark):
+    import duckdb
+
+    from bistro_spark.operators.dedup import source_overlap, source_overlap_sql
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    spark_rows = sorted(
+        tuple(r) for r in source_overlap(spark.read.parquet(path), n=3).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    duck_rows = sorted(
+        tuple(r) for r in con.sql(source_overlap_sql("documents", n=3)).fetchall()
+    )
+    assert spark_rows == duck_rows

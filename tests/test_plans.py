@@ -351,3 +351,21 @@ def test_verified_pairs_single_digest_no_smj(spark):
         ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln
     )
     assert "least" in join_line and "greatest" in join_line
+
+
+def test_source_overlap_single_data_shuffle_bounded_tail(spark):
+    """source_overlap's 100TB contract: the only data-sized exchange is
+    the gram-keyed bit_or (map-side combined — partial_bit_or precedes
+    the exchange); everything after it is bounded by 2^G rows regardless
+    of corpus size. The pair list rides a broadcast (BNLJ over the mask
+    histogram), the final left join broadcasts the per-pair aggregate,
+    and no SortMergeJoin exists anywhere. The scan prunes to
+    (text, source)."""
+    from bistro_spark.operators.dedup import source_overlap
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(source_overlap(df, n=3))
+    assert "partial_bit_or" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ReadSchema: struct<text:string,source:string>" in plan
