@@ -42,12 +42,21 @@ def _bucket(col):
     ).cast("int")
 
 
-def _bucket_shares(df: DataFrame, group_col: str, len_col) -> DataFrame:
-    counts = df.groupBy(
-        F.col(group_col), _bucket(len_col).alias("_bk")
+def length_counts(df: DataFrame, group_col: str, len_col: str) -> DataFrame:
+    """The additive sufficient statistic behind length drift: exact
+    (group, bucket, count) rows — at most groups x 16 of them regardless
+    of input size, and mergeable by summation (what the streaming twin
+    accumulates as its constant-size state)."""
+    return df.groupBy(
+        F.col(group_col), _bucket(F.col(len_col)).alias("_bk")
     ).agg(F.count(F.lit(1)).alias("_n"))
-    totals = counts.groupBy(group_col).agg(F.sum("_n").alias("_tot"))
-    return counts.join(totals, group_col)
+
+
+def _with_tot(counts: DataFrame, group_col: str, n_alias: str, t_alias: str):
+    totals = counts.groupBy(group_col).agg(F.sum("_n").alias(t_alias))
+    return counts.join(totals, group_col).select(
+        group_col, "_bk", F.col("_n").alias(n_alias), t_alias
+    )
 
 
 def length_drift(
@@ -63,18 +72,25 @@ def length_drift(
     The share subtraction runs on exact fractions (integer count *
     opposite total) and divides once at the end — no float accumulation,
     engine-portable."""
-    o = _bucket_shares(old_df, group_col, F.col(len_col)).select(
+    return length_drift_from_counts(
+        length_counts(old_df, group_col, len_col),
+        length_counts(new_df, group_col, len_col),
         group_col,
-        "_bk",
-        F.col("_n").alias("_no"),
-        F.col("_tot").alias("_to"),
     )
-    n = _bucket_shares(new_df, group_col, F.col(len_col)).select(
-        group_col,
-        "_bk",
-        F.col("_n").alias("_nn"),
-        F.col("_tot").alias("_tn"),
-    )
+
+
+def length_drift_from_counts(
+    o_counts: DataFrame,
+    n_counts: DataFrame,
+    group_col: str = "source",
+) -> DataFrame:
+    """:func:`length_drift` from precomputed :func:`length_counts` grids —
+    the shared core for the batch op (counts straight off each snapshot)
+    and the streaming monitor (reference grid vs the accumulated stream
+    grid). Inputs are group-cardinality-sized, so every join here is
+    tiny at any corpus scale."""
+    o = _with_tot(o_counts, group_col, "_no", "_to")
+    n = _with_tot(n_counts, group_col, "_nn", "_tn")
     j = o.join(n, [group_col, "_bk"], "full_outer")
     # totals survive the outer join only on their own side's rows; the
     # per-group max recovers them (they are constant within a group+side)
