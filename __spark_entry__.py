@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from bistro_spark.pipeline import flagship
 from bistro_spark.schema import Schema
 from bistro_spark.sources.io import load_table
+from bistro_spark.operators import bpe as _bpe
 from bistro_spark.operators import curation as _curation
 from bistro_spark.operators import dedup as _dedup
 from bistro_spark.operators import drift as _drift
@@ -1165,6 +1166,20 @@ def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     return heavy_hitters(load_table(spark, "documents", sf), k=50)
 
 
+def q_bpe_encode_fixed(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE encode under the FIXED merge table — the hash-checkable half
+    of the tokenizer: same memoized Arrow encode path as bpe_encode, but
+    the merges are a constant with the creation-order property, so a
+    DuckDB recursive CTE can replay the merge fixpoint exactly (leftmost
+    best-ranked merge per step == the all-occurrences pass; see
+    bpe.bpe_encode_fixed_sql). Training's data-dependent merges stay
+    pytest-pinned on the separate rows-only bpe_encode query."""
+    from bistro_spark.operators.bpe import FIXED_MERGES, bpe_encode
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "text")
+    return bpe_encode(docs, FIXED_MERGES)
+
+
 def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-overlap audit: exact pairwise n-gram Jaccard between every
     pair of sources, computed without joining data to data — each distinct
@@ -1251,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": q_classifier_score,
         "heavy_hitters": q_heavy_hitters,
         "source_overlap": q_source_overlap,
+        "bpe_encode_fixed": q_bpe_encode_fixed,
     }
 
 
@@ -1880,4 +1896,5 @@ def oracle_sql() -> dict[str, str]:
         "classifier_score": _text.classifier_score_sql("documents"),
         "heavy_hitters": _text.heavy_hitters_sql("documents", k=50),
         "source_overlap": _dedup.source_overlap_sql("documents", n=3),
+        "bpe_encode_fixed": _bpe.bpe_encode_fixed_sql("documents"),
     }

@@ -172,3 +172,95 @@ def bpe_decode_pieces(pieces: str) -> str:
     if cur:
         words.append("".join(cur))
     return " ".join(w for w in words if w != "")
+
+
+# ----------------------------------------- fixed-merge encode (oracle-able) --
+
+# A hand-ordered merge table obeying BPE's structural invariant: every
+# composite symbol is CREATED (by an earlier merge) before any later merge
+# USES it as a component. Trained merge lists have this property by
+# construction; it is what makes the SQL oracle below exact (see note).
+FIXED_MERGES: list[tuple[str, str]] = [
+    ("e", "</w>"), ("t", "h"), ("th", "e</w>"), ("s", "</w>"), ("d", "</w>"),
+    ("i", "n"), ("a", "n"), ("o", "n"), ("e", "r"), ("er", "</w>"),
+    ("o", "r"), ("t", "</w>"), ("a", "t"), ("in", "g"), ("ing", "</w>"),
+    ("o", "u"), ("r", "e"), ("an", "d</w>"), ("y", "</w>"), ("l", "l"),
+    ("o", "</w>"), ("t", "o</w>"), ("c", "h"), ("s", "t"),
+]
+
+
+def bpe_encode_fixed_sql(
+    table: str = "documents",
+    merges: list[tuple[str, str]] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`bpe_encode` under a FIXED merge table — the
+    recursive-CTE replay that makes the encode half of BPE hash-checkable
+    (training stays pytest-pinned: its merges depend on the data, which a
+    static oracle string cannot see).
+
+    Each recursive step merges the LEFTMOST occurrence of the
+    BEST-RANKED applicable pair; :func:`encode_word` merges ALL
+    occurrences of the best pair per step. The two are equivalent
+    whenever the merge list has the creation-order property above: the
+    symbol joined by merge P can only participate in merges ranked AFTER
+    P, so after merging one occurrence of P the best rank is still P
+    until its occurrences are exhausted — the interleaving collapses to
+    the same fixpoint. (Leftmost-repeat == one left-to-right pass for a
+    fixed pair; overlapping runs like 'a a a' resolve identically.)
+
+    DuckDB notes: ``list_position`` returns 0 (not NULL) on a miss —
+    ``nullif`` converts it; ``w[j]``/``length`` are character-based, so
+    multi-byte text splits exactly like Python ``tuple(word)``; the pair
+    key separator is a space, which no symbol can contain (words are
+    whitespace-split on both engines)."""
+    merges = FIXED_MERGES if merges is None else merges
+    mk = "[" + ", ".join("'" + (a + " " + b).replace("'", "''") + "'" for a, b in merges) + "]"
+    rk = (
+        f"list_transform(range(1, len(sym)), i -> "
+        f"nullif(list_position({mk}, sym[i] || ' ' || sym[i+1]), 0))"
+    )
+    return f"""
+      WITH RECURSIVE
+      w0 AS (
+        SELECT {id_col}, string_split_regex({text_col}, '\\s+') AS ws
+        FROM {table}
+      ),
+      base AS (
+        SELECT {id_col}, i AS word_idx,
+               list_append(list_transform(range(1, length(w) + 1),
+                                           j -> w[j]), '</w>') AS sym
+        FROM (SELECT {id_col}, unnest(ws) AS w,
+                     unnest(range(1, len(ws) + 1)) AS i FROM w0)
+        WHERE w <> ''
+      ),
+      enc AS (
+        SELECT {id_col}, word_idx, sym FROM base
+        UNION ALL
+        SELECT {id_col}, word_idx,
+               list_concat(list_concat(sym[1:bi-1], [sym[bi] || sym[bi+1]]),
+                           sym[bi+2:]) AS sym
+        FROM (
+          SELECT {id_col}, word_idx, sym,
+                 {rk} AS rk,
+                 list_min(list_filter(rk, x -> x IS NOT NULL)) AS br,
+                 list_position(rk, br) AS bi
+          FROM enc
+        ) WHERE br IS NOT NULL
+      ),
+      fix AS (
+        SELECT {id_col}, word_idx, sym FROM enc
+        WHERE list_min(list_filter({rk}, x -> x IS NOT NULL)) IS NULL
+      ),
+      agg AS (
+        SELECT {id_col}, CAST(sum(len(sym)) AS INT) AS n_pieces,
+               string_agg(array_to_string(sym, ' '), ' '
+                          ORDER BY word_idx) AS pieces
+        FROM fix GROUP BY {id_col}
+      )
+      SELECT d.{id_col}, coalesce(a.n_pieces, 0) AS n_pieces,
+             coalesce(a.pieces, '') AS pieces
+      FROM {table} d
+      LEFT JOIN agg a USING ({id_col})
+    """

@@ -84,3 +84,41 @@ def test_bpe_unknown_chars_fall_through(spark):
     out = bpe_encode(_corpus(spark, ["zq"]), merges).collect()[0]
     assert out["pieces"] == f"z q {END}" or out["pieces"].endswith(END)
     assert bpe_decode_pieces(out["pieces"]) == "zq"
+
+
+def test_bpe_encode_fixed_matches_duckdb_recursive_cte(spark):
+    """The fixed-merge encode hash-matches the DuckDB recursive-CTE
+    replay (leftmost best-ranked merge per step) — the equivalence that
+    turns the encode half of BPE into an oracle-checked contract query."""
+    import duckdb
+
+    from bistro_spark.operators.bpe import (
+        FIXED_MERGES,
+        bpe_encode,
+        bpe_encode_fixed_sql,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path).select("doc_id", "text")
+    spark_rows = sorted(
+        tuple(r) for r in bpe_encode(docs, FIXED_MERGES).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    duck_rows = sorted(
+        tuple(r) for r in con.sql(bpe_encode_fixed_sql("documents")).fetchall()
+    )
+    assert spark_rows == duck_rows
+
+
+def test_fixed_merges_have_creation_order_property(spark):
+    """Every composite component of FIXED_MERGES is created by an
+    earlier merge — the invariant the SQL oracle's one-occurrence-per-
+    step replay relies on (trained lists have it by construction)."""
+    from bistro_spark.operators.bpe import FIXED_MERGES
+
+    created = set()
+    for a, b in FIXED_MERGES:
+        for comp in (a, b):
+            assert len(comp) == 1 or comp == END or comp in created, comp
+        created.add(a + b)
