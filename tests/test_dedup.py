@@ -583,3 +583,13 @@ def test_source_overlap_matches_duckdb(spark):
         tuple(r) for r in con.sql(source_overlap_sql("documents", n=3)).fetchall()
     )
     assert spark_rows == duck_rows
+
+
+def test_source_overlap_empty_and_single_group(spark):
+    """Zero rows -> zero pairs; one group -> zero pairs (no self-pair)."""
+    from bistro_spark.operators.dedup import source_overlap
+
+    empty = spark.createDataFrame([], "source string, text string")
+    assert source_overlap(empty).count() == 0
+    one = spark.createDataFrame([("A", "a b c d")], ["source", "text"])
+    assert source_overlap(one).count() == 0

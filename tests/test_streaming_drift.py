@@ -86,3 +86,19 @@ def test_streaming_drift_new_group_scores_two(spark):
         assert out["src0"]["n_old"] == 0
     finally:
         mon.close()
+
+
+def test_streaming_drift_empty_delta_keeps_parity(spark):
+    """An empty micro-batch leaves the report unchanged (grid merge with
+    zero rows is a no-op)."""
+    ref, deltas = _doc_batches(spark)
+    mon = StreamingDriftMonitor(spark, ref)
+    try:
+        first = sorted(tuple(r) for r in mon.process_batch(deltas[0]).collect())
+        again = sorted(
+            tuple(r)
+            for r in mon.process_batch(deltas[0].filter("1 = 0")).collect()
+        )
+        assert first == again
+    finally:
+        mon.close()
