@@ -680,6 +680,25 @@ def q_materialized_packs(spark: SparkSession, sf: str) -> DataFrame:
     return materialize_packs(packed, enc)
 
 
+def q_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Export-side integrity manifest over the materialized packs: per
+    shard, pack/doc/token counts + an order-independent exact-integer
+    content fingerprint (sum of md5-prefix hashes of each pack's token
+    stream). The record a trainer checks instead of trusting the writer;
+    write_shards' round-trip test pins that a re-read reproduces it."""
+    from bistro_spark.operators.curation import (
+        materialize_packs,
+        pack_sequences,
+        shard_manifest,
+    )
+    from bistro_spark.operators.ranking import build_vocab, encode_tokens
+
+    docs = load_table(spark, "documents", sf)
+    enc = encode_tokens(docs, build_vocab(docs))
+    packed = pack_sequences(enc, len_col="n_tok", capacity=256, n_shards=4)
+    return shard_manifest(materialize_packs(packed, enc))
+
+
 def q_split_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic train/val/test split by md5-prefix ranges: the same
     doc lands in the same split on any run/cluster/snapshot (leakage-
@@ -1267,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "source_overlap": q_source_overlap,
         "bpe_encode_fixed": q_bpe_encode_fixed,
+        "shard_manifest": q_shard_manifest,
     }
 
 
@@ -1897,4 +1917,16 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _text.heavy_hitters_sql("documents", k=50),
         "source_overlap": _dedup.source_overlap_sql("documents", n=3),
         "bpe_encode_fixed": _bpe.bpe_encode_fixed_sql("documents"),
+        "shard_manifest": (
+            "WITH enc AS ("
+            + _ranking.encode_tokens_sql("documents")
+            + "), packs AS ("
+            + _curation.pack_sequences_sql(
+                "enc", len_expr="n_tok", capacity=256, n_shards=4
+            )
+            + "), mat AS ("
+            + _curation.materialize_packs_sql("packs", "enc")
+            + ") "
+            + _curation.shard_manifest_sql("mat")
+        ),
     }

@@ -1188,3 +1188,56 @@ def bigram_logprob_sql(
       FROM t JOIN bc USING (w1, w2) JOIN hc USING (w1)
       GROUP BY t.{id_col}
     """
+
+
+# ------------------------------------------------ shard export manifest --
+
+
+def shard_manifest(mat: DataFrame) -> DataFrame:
+    """Integrity manifest over materialized packs (the export-side
+    bookkeeping a distributed training job reads instead of trusting the
+    writer): per shard, pack/doc/token counts plus an order-independent
+    exact-integer content fingerprint (sum of the md5-prefix hash of each
+    pack's serialized token stream — the engine-portable word_hash). Any
+    lost, duplicated, or corrupted pack changes the fingerprint; a reader
+    re-derives the manifest from the written files and compares (see
+    :func:`write_shards` and its round-trip test). One
+    partial-aggregatable groupBy over pack-level rows — shard-cardinality
+    output at any corpus size."""
+    from bistro_spark.operators.dedup import word_hash
+
+    return mat.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_packs"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(word_hash(F.col("token_ids"))).cast("long").alias("content_fp"),
+    )
+
+
+def shard_manifest_sql(mat_table: str) -> str:
+    """DuckDB twin of :func:`shard_manifest` over a materialized-packs
+    relation (typically the materialize_packs_sql CTE)."""
+    from bistro_spark.operators.dedup import word_hash_sql
+
+    fp = word_hash_sql("token_ids")
+    return f"""
+      SELECT shard,
+             CAST(count(*) AS BIGINT) AS n_packs,
+             CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(sum({fp}) AS BIGINT) AS content_fp
+      FROM {mat_table}
+      GROUP BY shard
+    """
+
+
+def write_shards(mat: DataFrame, path: str) -> DataFrame:
+    """Write materialized packs as one directory per shard
+    (``shard=<n>/*.parquet`` — the layout a data-parallel trainer maps
+    to ranks) and return the manifest computed from the INPUT. The
+    round-trip contract: re-reading the written dataset and re-deriving
+    :func:`shard_manifest` must reproduce this manifest exactly —
+    lossless export, partitioning- and order-independent."""
+    manifest = shard_manifest(mat)
+    mat.write.mode("overwrite").partitionBy("shard").parquet(path)
+    return manifest

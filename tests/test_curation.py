@@ -826,3 +826,74 @@ def test_classifier_score_streaming_batch_parity(spark, tmp_path, docs):
         for r in classifier_score(spark.read.parquet(src_dir)).collect()
     )
     assert got == want and len(got) > 0
+
+
+# ------------------------------------------------ shard export manifest --
+
+
+def _mat_packs(spark):
+    from bistro_spark.operators.curation import (
+        materialize_packs,
+        pack_sequences,
+    )
+    from bistro_spark.operators.ranking import build_vocab, encode_tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    enc = encode_tokens(docs, build_vocab(docs))
+    packed = pack_sequences(enc, len_col="n_tok", capacity=256, n_shards=4)
+    return materialize_packs(packed, enc)
+
+
+def test_write_shards_roundtrip_reproduces_manifest(spark, tmp_path):
+    """Lossless export: the manifest computed from the INPUT equals the
+    manifest re-derived from the files written per shard — the integrity
+    contract a trainer relies on."""
+    from bistro_spark.operators.curation import shard_manifest, write_shards
+
+    mat = _mat_packs(spark)
+    path = str(tmp_path / "shards")
+    wrote = sorted(tuple(r) for r in write_shards(mat, path).collect())
+    reread = sorted(
+        tuple(r) for r in shard_manifest(spark.read.parquet(path)).collect()
+    )
+    assert wrote == reread and len(wrote) == 4
+    import os
+
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("shard=")
+    ) == ["shard=0", "shard=1", "shard=2", "shard=3"]
+
+
+def test_shard_manifest_detects_loss_and_is_partitioning_invariant(spark):
+    """Dropping any single pack changes that shard's fingerprint (sum of
+    per-pack hashes); repartitioning the input changes nothing (sums are
+    order-independent exact integers)."""
+    from pyspark.sql import functions as F
+
+    from bistro_spark.operators.curation import shard_manifest
+
+    mat = _mat_packs(spark).cache()
+    try:
+        base = {r["shard"]: r for r in shard_manifest(mat).collect()}
+        victim = mat.orderBy("shard", "pack_id").first()
+        lost = {
+            r["shard"]: r
+            for r in shard_manifest(
+                mat.filter(
+                    ~(
+                        (F.col("shard") == victim["shard"])
+                        & (F.col("pack_id") == victim["pack_id"])
+                    )
+                )
+            ).collect()
+        }
+        s = victim["shard"]
+        assert lost[s]["content_fp"] != base[s]["content_fp"]
+        assert lost[s]["n_packs"] == base[s]["n_packs"] - 1
+        shuffled = {
+            r["shard"]: tuple(r)
+            for r in shard_manifest(mat.repartition(13)).collect()
+        }
+        assert shuffled == {k: tuple(v) for k, v in base.items()}
+    finally:
+        mat.unpersist()
