@@ -24,6 +24,7 @@ from bistro_spark.operators import drift as _drift
 from bistro_spark.operators import ranking as _ranking
 from bistro_spark.operators import similarity as _similarity
 from bistro_spark.operators import text as _text
+from bistro_spark.operators import web as _web
 from bistro_spark.sources.tokens import (
     token_table_duckdb_sql,
     token_table_fast,
@@ -1213,6 +1214,33 @@ def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return source_overlap(load_table(spark, "documents", sf), n=3)
 
 
+def q_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Web-curation canonicalization: parse + normalize a messy URL per
+    document (lowercase scheme/host, www-strip, default-port strip,
+    trailing-slash strip, utm_* removal, fragment drop) and extract the
+    registered domain — ALL native Catalyst string/array codegen, zero
+    Python, map-only (plan-asserted: no Exchange). The corpus has no URL
+    column, so the URL is derived deterministically from doc_id with the
+    same expression on both engines (see web.synth_url)."""
+    from bistro_spark.operators.web import with_normalized_urls
+
+    docs = load_table(spark, "documents", sf).select("doc_id")
+    return with_normalized_urls(docs).select(
+        "doc_id", "url", F.col("url_norm"), F.col("domain")
+    ).withColumnRenamed("url", "url_raw")
+
+
+def q_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-registered-domain corpus composition after URL-level dedup:
+    normalize → collapse crawl copies of one canonical URL (ONE partial-agg
+    shuffle on url_norm) → per-domain pages/docs/dup-ratio (one more
+    partial-agg shuffle; output bounded by #domains). The RefinedWeb-style
+    per-site audit that precedes domain caps and blocklists."""
+    from bistro_spark.operators.web import domain_stats
+
+    return domain_stats(load_table(spark, "documents", sf).select("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "calc_lineitem": q_calc_lineitem,
@@ -1287,6 +1315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "bpe_encode_fixed": q_bpe_encode_fixed,
         "shard_manifest": q_shard_manifest,
+        "url_normalize": q_url_normalize,
+        "domain_stats": q_domain_stats,
     }
 
 
@@ -1929,4 +1959,6 @@ def oracle_sql() -> dict[str, str]:
             + ") "
             + _curation.shard_manifest_sql("mat")
         ),
+        "url_normalize": _web.url_normalize_report_sql("documents"),
+        "domain_stats": _web.domain_stats_sql("documents"),
     }
