@@ -1214,6 +1214,23 @@ def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return source_overlap(load_table(spark, "documents", sf), n=3)
 
 
+def q_normalize_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode sanitation (the CCNet/Gopher preprocessing step): NFC-compose
+    combining sequences + collapse whitespace runs. The corpus is ASCII, so
+    a deterministic de-normalizer (text.messy_text — decomposed e+U+0301,
+    tab/double-space noise; same expression both engines) makes the gate
+    exercise real composition. NFC is the one legitimately-Python kernel
+    here (Catalyst has no Unicode database): ONE Arrow-batched stage,
+    map-only; the oracle uses DuckDB's native nfc_normalize()."""
+    from bistro_spark.operators.text import messy_text, normalize_text
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "text")
+    messy = docs.withColumn("messy", messy_text("text"))
+    return normalize_text(messy, "messy").select(
+        "doc_id", "text_norm", F.length("text_norm").alias("n_chars_norm")
+    )
+
+
 def q_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Web-curation canonicalization: parse + normalize a messy URL per
     document (lowercase scheme/host, www-strip, default-port strip,
@@ -1317,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "url_normalize": q_url_normalize,
         "domain_stats": q_domain_stats,
+        "normalize_text": q_normalize_text,
     }
 
 
@@ -1961,4 +1979,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "url_normalize": _web.url_normalize_report_sql("documents"),
         "domain_stats": _web.domain_stats_sql("documents"),
+        "normalize_text": f"""
+          WITH m AS (
+            SELECT doc_id, {_text.messy_text_sql('text')} AS messy
+            FROM documents)
+          SELECT doc_id,
+                 {_text.normalize_text_sql('messy')} AS text_norm,
+                 length({_text.normalize_text_sql('messy')}) AS n_chars_norm
+          FROM m
+        """,
     }

@@ -553,3 +553,76 @@ def heavy_hitters_sql(
       GROUP BY word, n_total
       HAVING count(*) * ({k} + 1) > n_total
     """
+
+
+# --------------------------------------------------- unicode cleanup ----
+# The standard UTF-8 sanitation pass (CCNet/Gopher-style preprocessing):
+# compose combining sequences to NFC so "e"+U+0301 and "é" stop being
+# distinct tokens/hashes, then collapse whitespace runs. NFC needs a real
+# Unicode database, which Catalyst has no builtin for — this is one of the
+# few legitimately-Python kernels in the engine, so it is an Arrow-batched
+# pandas UDF (one map-only stage fused around Catalyst trim/regexp), never
+# row-at-a-time. The DuckDB oracle uses the engine-native nfc_normalize().
+
+
+def nfc_normalize_udf():
+    """Arrow-batched NFC normalizer (unicodedata is the Python stdlib's
+    Unicode database; applied per string of each Arrow batch)."""
+    import pandas as pd  # noqa: F401  (pandas ships with the runtime)
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return _nfc
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_norm"
+) -> DataFrame:
+    """NFC-compose + whitespace sanitation: one Arrow stage for the
+    Unicode composition, then Catalyst-side collapse of [ \\t\\r\\n]+ runs
+    to single spaces and end-trim (the explicit char class is identical in
+    Java regex and RE2 — no \\s dialect drift). Map-only at any scale."""
+    nfc = nfc_normalize_udf()
+    cleaned = F.trim(
+        F.regexp_replace(nfc(F.col(text_col)), "[ \t\r\n]+", " ")
+    )
+    return df.withColumn(out_col, cleaned)
+
+
+def normalize_text_sql(text_expr: str = "text") -> str:
+    """The identical sanitation as DuckDB SQL (nfc_normalize is DuckDB's
+    native NFC)."""
+    return (
+        f"trim(regexp_replace(nfc_normalize({text_expr}), "
+        f"'[ \\t\\r\\n]+', ' ', 'g'))"
+    )
+
+
+def messy_text(text: Column | str) -> Column:
+    """Deterministic de-normalizer for the oracle corpus (which is pure
+    ASCII): decompose every 'e' into 'e'+U+0301 (combining acute) and
+    inject tab+double-space noise around ' the '. Same expression on both
+    engines, so the contract exercises real NFC composition + whitespace
+    repair, not an identity map."""
+    t = F.col(text) if isinstance(text, str) else text
+    # NB: Spark's chr() is mod-256 ASCII — the combining acute (U+0301)
+    # must be an embedded string literal on both engines.
+    return F.replace(
+        F.replace(t, F.lit("e"), F.lit("e\u0301")),
+        F.lit(" th"),
+        F.lit(" \t  th"),
+    )
+
+
+def messy_text_sql(text_expr: str = "text") -> str:
+    return (
+        f"replace(replace({text_expr}, 'e', 'e' || chr(769)), "
+        f"' th', ' ' || chr(9) || '  th')"
+    )

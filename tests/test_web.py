@@ -140,3 +140,40 @@ def test_synth_url_is_deterministic(spark):
     a = [r.u for r in df.collect()]
     b = [r.u for r in df.collect()]
     assert a == b and all(u.lower().startswith("https://") for u in a)
+
+
+# --------------------------------------------------- normalize_text ----
+# (lives here to avoid paying another module-scoped Spark warmup; the
+# web + unicode sanitation ops are the same curation stage)
+
+
+def test_normalize_text_composes_and_collapses(spark):
+    from bistro_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (0, "café  au\tlait\r\n end "),   # NFC + whitespace
+            (1, "plain ascii"),                      # untouched
+            (2, "Å ring"),                     # A + combining ring -> Å
+        ],
+        "id long, t string",
+    )
+    got = {r.id: r.text_norm
+           for r in normalize_text(df, "t").collect()}
+    assert got[0] == "café au lait end"
+    assert got[1] == "plain ascii"
+    assert got[2] == "Å ring"
+
+
+def test_normalize_text_idempotent_and_single_arrow_stage(spark):
+    from bistro_spark.operators.text import messy_text, normalize_text
+
+    df = spark.range(0, 50).select(
+        F.concat(F.lit("the speed"), F.col("id").cast("string")).alias("t")
+    ).withColumn("t", messy_text("t"))
+    once = normalize_text(df, "t")
+    twice = normalize_text(once, "text_norm", out_col="t2")
+    assert twice.filter(F.col("t2") != F.col("text_norm")).count() == 0
+    plan = plan_of(once)
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
