@@ -1214,6 +1214,17 @@ def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return source_overlap(load_table(spark, "documents", sf), n=3)
 
 
+def q_filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Drop-attribution funnel: each document charged to the FIRST curation
+    gate it fails (length floor -> blocklist -> language allowlist ->
+    quality floor), report bounded by #rules. One scan, the CASE chain
+    fused into it, one partial-agg exchange — the audit a 100 TB curation
+    run prints before training."""
+    from bistro_spark.operators.curation import filter_funnel
+
+    return filter_funnel(load_table(spark, "documents", sf))
+
+
 def q_normalize_text(spark: SparkSession, sf: str) -> DataFrame:
     """Unicode sanitation (the CCNet/Gopher preprocessing step): NFC-compose
     combining sequences + collapse whitespace runs. The corpus is ASCII, so
@@ -1335,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "domain_stats": q_domain_stats,
         "normalize_text": q_normalize_text,
+        "filter_funnel": q_filter_funnel,
     }
 
 
@@ -1988,4 +2000,5 @@ def oracle_sql() -> dict[str, str]:
                  length({_text.normalize_text_sql('messy')}) AS n_chars_norm
           FROM m
         """,
+        "filter_funnel": _curation.filter_funnel_sql("documents"),
     }

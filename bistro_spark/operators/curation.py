@@ -1241,3 +1241,99 @@ def write_shards(mat: DataFrame, path: str) -> DataFrame:
     manifest = shard_manifest(mat)
     mat.write.mode("overwrite").partitionBy("shard").parquet(path)
     return manifest
+
+
+# ----------------------------------------------------- filter funnel ----
+# Every production curation pipeline publishes a drop-attribution report:
+# how many documents each gate removed, counted against an ORDERED rule
+# list (a document is charged to the FIRST rule it fails, so the numbers
+# sum to the corpus and survivors are everything else). One scan, one
+# partial-agg exchange, output bounded by #rules — the audit artifact a
+# 100 TB run prints before anyone trains on the output.
+
+FUNNEL_MIN_CHARS = 60
+FUNNEL_BLOCKLIST = [" dup "]
+FUNNEL_LANGS = ["en", "es", "fr"]
+FUNNEL_MIN_QUALITY = 1.05
+
+
+def filter_funnel(
+    df: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Ordered-gate attribution report over the standard curation rules
+    (length floor, word blocklist, language allowlist, quality floor).
+    Attribution is a single CASE chain fused into the scan; the report agg
+    is partial-aggregatable (count/sums), so each executor reduces its
+    split to <= 5 rows before the one exchange."""
+    from bistro_spark.operators.text import quality_score
+
+    t = F.col(text_col)
+    block = None
+    for w in FUNNEL_BLOCKLIST:
+        c = t.contains(w)
+        block = c if block is None else (block | c)
+    label = (
+        F.when(F.length(t) < FUNNEL_MIN_CHARS, F.lit("too_short"))
+        .when(block, F.lit("blocklist"))
+        .when(~F.col(lang_col).isin(*FUNNEL_LANGS), F.lit("wrong_lang"))
+        .when(quality_score(t) < FUNNEL_MIN_QUALITY, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+    )
+    order = (
+        F.when(label == "too_short", 1)
+        .when(label == "blocklist", 2)
+        .when(label == "wrong_lang", 3)
+        .when(label == "low_quality", 4)
+        .otherwise(0)
+    )
+    from bistro_spark.operators.text import word_count
+
+    return (
+        df.select(
+            label.alias("rule"),
+            order.alias("rule_order"),
+            F.length(t).alias("_nc"),
+            word_count(t).alias("_nw"),
+        )
+        .groupBy("rule", "rule_order")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nc").alias("n_chars_total"),
+            F.sum(F.col("_nw").cast("long")).alias("n_words_total"),
+        )
+    )
+
+
+def filter_funnel_sql(
+    table: str = "documents", text_expr: str = "text", lang_expr: str = "lang"
+) -> str:
+    """The identical funnel as DuckDB SQL (same rule order, same
+    quality formula via text.quality_score_sql)."""
+    from bistro_spark.operators.text import quality_score_sql
+
+    block = " OR ".join(
+        f"{text_expr} LIKE '%{w}%'" for w in FUNNEL_BLOCKLIST
+    )
+    langs = ", ".join(f"'{x}'" for x in FUNNEL_LANGS)
+    label = f"""
+      CASE WHEN length({text_expr}) < {FUNNEL_MIN_CHARS} THEN 'too_short'
+           WHEN {block} THEN 'blocklist'
+           WHEN {lang_expr} NOT IN ({langs}) THEN 'wrong_lang'
+           WHEN ({quality_score_sql(text_expr)}) < {FUNNEL_MIN_QUALITY}
+             THEN 'low_quality'
+           ELSE 'kept' END"""
+    return f"""
+      WITH labeled AS (
+        SELECT {label} AS rule,
+               length({text_expr}) AS _nc,
+               len(string_split({text_expr}, ' ')) AS _nw
+        FROM {table})
+      SELECT rule,
+             CASE rule WHEN 'too_short' THEN 1 WHEN 'blocklist' THEN 2
+                       WHEN 'wrong_lang' THEN 3 WHEN 'low_quality' THEN 4
+                       ELSE 0 END AS rule_order,
+             count(*) AS n_docs,
+             CAST(sum(_nc) AS BIGINT) AS n_chars_total,
+             CAST(sum(_nw) AS BIGINT) AS n_words_total
+      FROM labeled GROUP BY rule
+    """

@@ -897,3 +897,42 @@ def test_shard_manifest_detects_loss_and_is_partitioning_invariant(spark):
         assert shuffled == {k: tuple(v) for k, v in base.items()}
     finally:
         mat.unpersist()
+
+
+# ----------------------------------------------------- filter funnel ----
+
+
+def test_filter_funnel_partitions_the_corpus(spark, sf_dir):
+    """Ordered attribution: buckets are disjoint, sum to the corpus, and
+    every configured rule fires on the gate corpus."""
+    from bistro_spark.operators.curation import filter_funnel
+    from bistro_spark.sources.io import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    rows = {r.rule: r for r in filter_funnel(docs).collect()}
+    assert set(rows) == {"too_short", "blocklist", "wrong_lang",
+                         "low_quality", "kept"}
+    assert sum(r.n_docs for r in rows.values()) == docs.count()
+    assert all(r.n_docs > 0 for r in rows.values())
+    # first-failing-rule semantics: a short doc containing a blocked word
+    # must be charged to too_short, not blocklist
+    import pyspark.sql.functions as F
+    tiny = spark.createDataFrame(
+        [(0, "a dup b", "en")], "doc_id long, text string, lang string")
+    got = {r.rule: r.n_docs for r in filter_funnel(tiny).collect()}
+    assert got == {"too_short": 1}
+
+
+def test_filter_funnel_single_scan_one_exchange(spark, sf_dir):
+    from bistro_spark.operators.curation import filter_funnel
+    from bistro_spark.sources.io import load_table
+    import contextlib, io
+
+    df = filter_funnel(load_table(spark, "documents", sf_dir))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    plan = buf.getvalue()
+    assert plan.count("Exchange") == 1
+    assert plan.count("Scan parquet") == 1
+    assert "Python" not in plan
