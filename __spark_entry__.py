@@ -1214,6 +1214,75 @@ def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return source_overlap(load_table(spark, "documents", sf), n=3)
 
 
+def q_domain_quota(spark: SparkSession, sf: str) -> DataFrame:
+    """Family composition: per-registered-domain quota — canonicalize URLs
+    (map-only web stage), then cap any one domain's share keeping its
+    longest documents (two-phase window top-n from the selection family).
+    The RefinedWeb per-site cap, running on the domain the web stage
+    extracted rather than a precomputed label."""
+    from bistro_spark.operators.curation import quota_per_group
+    from bistro_spark.operators.web import with_normalized_urls
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "n_chars")
+    dom = with_normalized_urls(docs).select("doc_id", "n_chars", "domain")
+    return quota_per_group(dom, "domain", "n_chars", 20).select(
+        "doc_id", "domain", "n_chars", "quota_rank"
+    )
+
+
+BM25_QUERIES = {0: ["spark", "stream"], 1: ["hash", "join", "table"],
+                2: ["window", "batch"]}
+
+
+def q_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """Query-relevance selection: BM25 over whitespace terms, Lucene-form
+    positive idf so 'matches' is the integer condition sum(tf) > 0 (floats
+    never gate or order a row — score is a round-6 report column). ALL
+    corpus statistics (N, total length, per-term df) reduce to ONE
+    partial-aggregated broadcast row: one scan per query set, one
+    single-row exchange, zero data-sized shuffles at any corpus size."""
+    from bistro_spark.operators.text import bm25_scores
+
+    return bm25_scores(load_table(spark, "documents", sf), BM25_QUERIES)
+
+
+def q_manifest_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-version corpus comparison: build the shard integrity manifest
+    for two corpus versions (old = 10% of docs removed; new = full) through
+    the SAME encode->pack->materialize pipeline, then report per shard
+    added/removed/changed/unchanged + token delta. A trainer re-reads only
+    shards whose content fingerprint moved. Both join sides are
+    shard-cardinality — dim-sized at any corpus scale."""
+    from bistro_spark.operators.curation import (
+        manifest_diff,
+        materialize_packs,
+        pack_sequences,
+        shard_manifest,
+    )
+    from bistro_spark.operators.ranking import build_vocab, encode_tokens
+
+    docs = load_table(spark, "documents", sf)
+
+    def manifest_for(d: DataFrame) -> DataFrame:
+        enc = encode_tokens(d, build_vocab(d))
+        packed = pack_sequences(enc, len_col="n_tok", capacity=256, n_shards=4)
+        return shard_manifest(materialize_packs(packed, enc))
+
+    return manifest_diff(
+        manifest_for(docs.filter("doc_id % 10 <> 0")), manifest_for(docs)
+    )
+
+
+def q_cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-audit histogram: cluster-size distribution of the near-dup
+    components (how many clusters of each size, how many docs they hold).
+    Derived from the SAME cached cluster assignment as dedup_clusters /
+    dedup_survivors — two extra tiny partial aggs, zero re-computation."""
+    from bistro_spark.operators.dedup import cluster_size_histogram
+
+    return cluster_size_histogram(_dedup_assignments(spark, sf))
+
+
 def q_filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """Drop-attribution funnel: each document charged to the FIRST curation
     gate it fails (length floor -> blocklist -> language allowlist ->
@@ -1347,6 +1416,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "normalize_text": q_normalize_text,
         "filter_funnel": q_filter_funnel,
+        "manifest_diff": q_manifest_diff,
+        "cluster_sizes": q_cluster_sizes,
+        "bm25_scores": q_bm25,
+        "domain_quota": q_domain_quota,
     }
 
 
@@ -2001,4 +2074,73 @@ def oracle_sql() -> dict[str, str]:
           FROM m
         """,
         "filter_funnel": _curation.filter_funnel_sql("documents"),
+        "manifest_diff": (
+            "WITH docs_old AS ("
+            "  SELECT * FROM documents WHERE doc_id % 10 <> 0"
+            "), enc_o AS ("
+            + _ranking.encode_tokens_sql("docs_old")
+            + "), packs_o AS ("
+            + _curation.pack_sequences_sql(
+                "enc_o", len_expr="n_tok", capacity=256, n_shards=4
+            )
+            + "), mat_o AS ("
+            + _curation.materialize_packs_sql("packs_o", "enc_o")
+            + "), man_o AS ("
+            + _curation.shard_manifest_sql("mat_o")
+            + "), enc_n AS ("
+            + _ranking.encode_tokens_sql("documents")
+            + "), packs_n AS ("
+            + _curation.pack_sequences_sql(
+                "enc_n", len_expr="n_tok", capacity=256, n_shards=4
+            )
+            + "), mat_n AS ("
+            + _curation.materialize_packs_sql("packs_n", "enc_n")
+            + "), man_n AS ("
+            + _curation.shard_manifest_sql("mat_n")
+            + ") "
+            + _curation.manifest_diff_sql("man_o", "man_n")
+        ),
+        "cluster_sizes": f"""
+            WITH RECURSIVE
+            s AS (
+              SELECT doc_id, {simhash_sql('text', 16)} AS sh FROM documents),
+            e AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM s a JOIN s b
+                ON a.doc_id <> b.doc_id
+               AND bit_count(xor(a.sh, b.sh)) <= 2),
+            cc(id, lbl) AS (
+              SELECT doc_id, doc_id FROM s
+              UNION
+              SELECT e.dst, cc.lbl FROM cc JOIN e ON e.src = cc.id
+            ),
+            comp AS (SELECT id, min(lbl) AS component FROM cc GROUP BY id),
+            sizes AS (
+              SELECT component, count(*) AS cluster_size
+              FROM comp GROUP BY component)
+            SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+                   count(*) AS n_clusters,
+                   CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+            FROM sizes GROUP BY cluster_size
+        """,
+        "bm25_scores": _text.bm25_scores_sql("documents", BM25_QUERIES),
+        "domain_quota": f"""
+          WITH raw AS (
+            SELECT doc_id, n_chars, {_web.synth_url_sql('doc_id')} AS url_raw
+            FROM documents),
+          norm AS (
+            SELECT doc_id, n_chars,
+                   {_web.normalize_url_sql('url_raw')} AS url_norm
+            FROM raw),
+          wd AS (
+            SELECT doc_id, n_chars,
+                   {_web.registered_domain_sql('url_norm')} AS domain
+            FROM norm)
+          SELECT doc_id, domain, n_chars,
+                 CAST(row_number() OVER (
+                   PARTITION BY domain
+                   ORDER BY n_chars DESC, doc_id) AS INTEGER) AS quota_rank
+          FROM wd
+          QUALIFY quota_rank <= 20
+        """,
     }

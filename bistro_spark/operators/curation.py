@@ -1337,3 +1337,59 @@ def filter_funnel_sql(
              CAST(sum(_nw) AS BIGINT) AS n_words_total
       FROM labeled GROUP BY rule
     """
+
+
+# ------------------------------------------------------ manifest diff ----
+def manifest_diff(old: DataFrame, new: DataFrame, key: str = "shard") -> DataFrame:
+    """Cross-version manifest comparison — the incremental-training
+    artifact: given the integrity manifests of two corpus versions
+    (:func:`shard_manifest` outputs), report per shard whether it is
+    added / removed / changed / unchanged plus the token delta, so a
+    trainer re-reads ONLY the shards whose content fingerprint moved.
+
+    Both sides are shard-cardinality (already reduced from corpus scale
+    by the manifest agg), so the full-outer equi-join is dim-sized at any
+    corpus size; AQE broadcasts it."""
+    keep = [c for c in old.columns if c != key]
+    o = old.select(key, *[F.col(c).alias(f"old_{c}") for c in keep])
+    n = new.select(key, *[F.col(c).alias(f"new_{c}") for c in keep])
+    j = o.join(n, key, "full_outer")
+    status = (
+        F.when(F.col("old_content_fp").isNull(), F.lit("added"))
+        .when(F.col("new_content_fp").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_content_fp") != F.col("new_content_fp"),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    zero = F.lit(0).cast("long")
+    return j.select(
+        key,
+        status.alias("status"),
+        F.coalesce(F.col("old_n_tokens"), zero).alias("old_n_tokens"),
+        F.coalesce(F.col("new_n_tokens"), zero).alias("new_n_tokens"),
+        (
+            F.coalesce(F.col("new_n_tokens"), zero)
+            - F.coalesce(F.col("old_n_tokens"), zero)
+        ).alias("token_delta"),
+    )
+
+
+def manifest_diff_sql(
+    old_table: str, new_table: str, key: str = "shard"
+) -> str:
+    """DuckDB twin of :func:`manifest_diff` over two manifest relations."""
+    return f"""
+      SELECT coalesce(o.{key}, n.{key}) AS {key},
+             CASE WHEN o.content_fp IS NULL THEN 'added'
+                  WHEN n.content_fp IS NULL THEN 'removed'
+                  WHEN o.content_fp <> n.content_fp THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             CAST(coalesce(o.n_tokens, 0) AS BIGINT) AS old_n_tokens,
+             CAST(coalesce(n.n_tokens, 0) AS BIGINT) AS new_n_tokens,
+             CAST(coalesce(n.n_tokens, 0) - coalesce(o.n_tokens, 0)
+                  AS BIGINT) AS token_delta
+      FROM {old_table} o FULL OUTER JOIN {new_table} n
+        ON o.{key} = n.{key}
+    """

@@ -1465,3 +1465,22 @@ def source_overlap_sql(
       LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
       ORDER BY source_a, source_b
     """
+
+
+# --------------------------------------------- cluster size histogram ----
+def cluster_size_histogram(assignments: DataFrame) -> DataFrame:
+    """Dedup-audit histogram over a cluster assignment (`(id, component)`
+    rows from :func:`connected_components`): how many clusters of each
+    size, and how many documents they hold. The first thing to read after
+    a dedup run — a fat tail of giant clusters means boilerplate/template
+    content; all-singletons means the banding missed. Two
+    partial-aggregatable groupBys, both over already-reduced relations
+    (components, then sizes) — output bounded by the largest cluster
+    size, never corpus-sized."""
+    sizes = assignments.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).cast("long").alias("n_docs"),
+    )

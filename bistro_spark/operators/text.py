@@ -626,3 +626,132 @@ def messy_text_sql(text_expr: str = "text") -> str:
         f"replace(replace({text_expr}, 'e', 'e' || chr(769)), "
         f"' th', ' ' || chr(9) || '  th')"
     )
+
+
+# ---------------------------------------------------------- BM25 ----
+# Query-relevance selection (Robertson/Spärck Jones; idf in the Lucene
+# form ln(1 + (N-df+0.5)/(df+0.5)), which is always positive, so
+# "document matches" is the integer condition sum(tf) > 0 — floats never
+# gate a row). The corpus statistics a score needs (N, total length, per
+# -term df) reduce to ONE partial-aggregated row that rides a broadcast
+# into the per-document map stage: one scan, one single-row exchange,
+# zero data-sized shuffles at any corpus size.
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(
+    df: DataFrame,
+    queries: dict[int, list[str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-(query, document) BM25 relevance over whitespace terms.
+
+    Output: (query_id, doc_id, n_hits, score) for documents with at
+    least one query-term occurrence. ``score`` is a report column
+    (round 6) — never a sort key (cross-engine float discipline); rank
+    downstream by (n_hits, integer keys) or consume the score as a
+    feature."""
+    words = F.split(F.col(text_col), " ")
+    terms = sorted({t for ts in queries.values() for t in ts})
+    # ONE corpus pass: N, total token count, and df per term (all
+    # partial-aggregatable) -> a single broadcast row.
+    stats = df.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum(F.size(words)).alias("_sum_dl"),
+        *[
+            F.sum(F.array_contains(words, t).cast("long")).alias(f"_df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    dfi = {t: F.col(f"_df_{i}") for i, t in enumerate(terms)}
+    n = F.col("_n_docs")
+    avgdl = F.col("_sum_dl") / n
+    dl = F.size(words)
+
+    def tf(t: str):
+        return F.size(F.filter(words, lambda w: w == F.lit(t))).cast("long")
+
+    def idf(t: str):
+        return F.log(
+            F.lit(1.0) + (n - dfi[t] + F.lit(0.5)) / (dfi[t] + F.lit(0.5))
+        )
+
+    def contrib(t: str):
+        tfe = tf(t)
+        denom = tfe + F.lit(BM25_K1) * (
+            F.lit(1 - BM25_B) + F.lit(BM25_B) * dl / avgdl
+        )
+        return idf(t) * tfe * F.lit(BM25_K1 + 1) / denom
+
+    # one struct per query, inlined — ONE score scan regardless of how
+    # many queries ride it (the naive per-query union re-scans the corpus
+    # per query set)
+    per_query = [
+        F.struct(
+            F.lit(qid).cast("int").alias("query_id"),
+            sum((tf(t) for t in ts), start=F.lit(0).cast("long")).alias(
+                "n_hits"
+            ),
+            F.round(
+                sum((contrib(t) for t in ts), start=F.lit(0.0)), 6
+            ).alias("score"),
+        )
+        for qid, ts in sorted(queries.items())
+    ]
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.inline(F.array(*per_query)))
+        .filter(F.col("n_hits") > 0)
+        .select("query_id", id_col, "n_hits", "score")
+    )
+
+
+def bm25_scores_sql(
+    table: str,
+    queries: dict[int, list[str]],
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """The identical BM25 as DuckDB SQL (stats CTE + per-query selects)."""
+    terms = sorted({t for ts in queries.values() for t in ts})
+    words = f"string_split({text_expr}, ' ')"
+    df_cols = ", ".join(
+        f"sum(CASE WHEN list_contains({words}, '{t}') THEN 1 ELSE 0 END)"
+        f" AS df_{i}"
+        for i, t in enumerate(terms)
+    )
+    stats = (
+        f"SELECT count(*) AS n_docs, sum(len({words})) AS sum_dl, {df_cols} "
+        f"FROM {table}"
+    )
+    idx = {t: i for i, t in enumerate(terms)}
+
+    def tf(t: str) -> str:
+        return f"len(list_filter({words}, w -> w = '{t}'))"
+
+    def idf(t: str) -> str:
+        i = idx[t]
+        return f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+
+    def contrib(t: str) -> str:
+        return (
+            f"({idf(t)}) * ({tf(t)}) * {BM25_K1 + 1} / "
+            f"(({tf(t)}) + {BM25_K1} * ({1 - BM25_B} + {BM25_B} * "
+            f"len({words}) / (sum_dl / n_docs)))"
+        )
+
+    selects = []
+    for qid, ts in sorted(queries.items()):
+        hits = " + ".join(tf(t) for t in ts)
+        score = " + ".join(f"({contrib(t)})" for t in ts)
+        selects.append(
+            f"SELECT {qid} AS query_id, {id_expr} AS doc_id, "
+            f"CAST({hits} AS BIGINT) AS n_hits, "
+            f"round({score}, 6) AS score "
+            f"FROM {table}, stats WHERE ({hits}) > 0"
+        )
+    union = " UNION ALL ".join(selects)
+    return f"WITH stats AS ({stats}) {union}"

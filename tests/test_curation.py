@@ -936,3 +936,33 @@ def test_filter_funnel_single_scan_one_exchange(spark, sf_dir):
     assert plan.count("Exchange") == 1
     assert plan.count("Scan parquet") == 1
     assert "Python" not in plan
+
+
+# ------------------------------------------------------ manifest diff ----
+
+
+def test_manifest_diff_all_four_statuses(spark):
+    from bistro_spark.operators.curation import manifest_diff
+
+    cols = "shard long, n_packs long, n_docs long, n_tokens long, content_fp long"
+    old = spark.createDataFrame(
+        [(0, 2, 10, 100, 111), (1, 2, 10, 100, 222), (2, 1, 5, 50, 333)], cols)
+    new = spark.createDataFrame(
+        [(0, 2, 10, 100, 111), (1, 2, 10, 105, 999), (3, 1, 4, 40, 444)], cols)
+    got = {r.shard: r for r in manifest_diff(old, new).collect()}
+    assert got[0].status == "unchanged" and got[0].token_delta == 0
+    assert got[1].status == "changed" and got[1].token_delta == 5
+    assert got[2].status == "removed" and got[2].new_n_tokens == 0
+    assert got[3].status == "added" and got[3].old_n_tokens == 0
+
+
+def test_manifest_diff_fingerprint_catches_content_swap(spark):
+    """Same token totals, different content -> 'changed' (the case raw
+    counts can never catch)."""
+    from bistro_spark.operators.curation import manifest_diff
+
+    cols = "shard long, n_packs long, n_docs long, n_tokens long, content_fp long"
+    old = spark.createDataFrame([(0, 2, 10, 100, 111)], cols)
+    new = spark.createDataFrame([(0, 2, 10, 100, 112)], cols)
+    [r] = manifest_diff(old, new).collect()
+    assert r.status == "changed" and r.token_delta == 0

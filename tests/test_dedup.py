@@ -593,3 +593,16 @@ def test_source_overlap_empty_and_single_group(spark):
     assert source_overlap(empty).count() == 0
     one = spark.createDataFrame([("A", "a b c d")], ["source", "text"])
     assert source_overlap(one).count() == 0
+
+
+def test_cluster_size_histogram(spark):
+    from bistro_spark.operators.dedup import cluster_size_histogram
+
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "id long, component long",
+    )
+    got = {r.cluster_size: (r.n_clusters, r.n_docs)
+           for r in cluster_size_histogram(assign).collect()}
+    assert got == {3: (1, 3), 1: (1, 1), 2: (1, 2)}
+    assert sum(nd for _, nd in got.values()) == 6

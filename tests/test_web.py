@@ -177,3 +177,42 @@ def test_normalize_text_idempotent_and_single_arrow_stage(spark):
     plan = plan_of(once)
     assert plan.count("ArrowEvalPython") == 1
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------------------- BM25 ----
+# (same curation-stage test session; BM25 lives in operators/text.py)
+
+
+def test_bm25_hand_computed(spark):
+    import math
+    from bistro_spark.operators.text import BM25_B, BM25_K1, bm25_scores
+
+    docs = spark.createDataFrame(
+        [(0, "spark spark join"), (1, "join table"), (2, "other words here")],
+        "doc_id long, text string",
+    )
+    got = {(r.query_id, r.doc_id): r
+           for r in bm25_scores(docs, {0: ["spark"]}).collect()}
+    # only doc 0 contains 'spark'
+    assert set(got) == {(0, 0)}
+    n, df_t, dl, avgdl, tf = 3, 1, 3, 8 / 3, 2
+    idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+    expect = idf * tf * (BM25_K1 + 1) / (
+        tf + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl))
+    assert abs(got[(0, 0)].score - round(expect, 6)) < 1e-9
+    assert got[(0, 0)].n_hits == 2
+
+
+def test_bm25_single_score_scan_any_query_count(spark):
+    """Scoring must scan the corpus once for the stats row and once for
+    the score map — independent of how many query sets ride the pass."""
+    from bistro_spark.operators.text import bm25_scores
+
+    docs = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("spark join w"), F.col("id").cast("string")).alias("text"),
+    )
+    q1 = bm25_scores(docs, {0: ["spark"]})
+    q3 = bm25_scores(docs, {0: ["spark"], 1: ["join"], 2: ["w1", "w2"]})
+    assert plan_of(q1).count("Scan") == plan_of(q3).count("Scan")
+    assert "BroadcastNestedLoopJoin" in plan_of(q3) or "BroadcastExchange" in plan_of(q3)
