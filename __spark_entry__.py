@@ -1214,6 +1214,39 @@ def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return source_overlap(load_table(spark, "documents", sf), n=3)
 
 
+def q_pack_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Packing-efficiency audit: per shard, how full the fixed-capacity
+    packed training sequences are (payload vs padded waste, min/max pack
+    fill). Every wasted slot is a padding token the trainer pays
+    attention-FLOPs for — the report a 100 TB packing run prints before
+    anyone trains on it. One shard-cardinality partial agg over the same
+    materialized-pack pipeline as shard_manifest."""
+    from bistro_spark.operators.curation import (
+        materialize_packs,
+        pack_sequences,
+        pack_stats,
+    )
+    from bistro_spark.operators.ranking import build_vocab, encode_tokens
+
+    docs = load_table(spark, "documents", sf)
+    enc = encode_tokens(docs, build_vocab(docs))
+    packed = pack_sequences(enc, len_col="n_tok", capacity=256, n_shards=4)
+    return pack_stats(materialize_packs(packed, enc), capacity=256)
+
+
+def q_dup_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source EXACT-duplicate matrix: distinct document contents
+    shared by each source pair — the whole-document companion to
+    source_overlap's fuzzy n-gram Jaccard ("source A republishes source
+    B" shows up here even when fuzzy overlap dilutes it away). One
+    map-only md5 projection, one partial-aggregated bit_or shuffle, and
+    a 2^G-bounded mask histogram against the broadcast pair list —
+    never a content-keyed self-join."""
+    from bistro_spark.operators.dedup import dup_matrix
+
+    return dup_matrix(load_table(spark, "documents", sf))
+
+
 def q_domain_quota(spark: SparkSession, sf: str) -> DataFrame:
     """Family composition: per-registered-domain quota — canonicalize URLs
     (map-only web stage), then cap any one domain's share keeping its
@@ -1420,6 +1453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_sizes": q_cluster_sizes,
         "bm25_scores": q_bm25,
         "domain_quota": q_domain_quota,
+        "dup_matrix": q_dup_matrix,
+        "pack_stats": q_pack_stats,
     }
 
 
@@ -2124,6 +2159,19 @@ def oracle_sql() -> dict[str, str]:
             FROM sizes GROUP BY cluster_size
         """,
         "bm25_scores": _text.bm25_scores_sql("documents", BM25_QUERIES),
+        "dup_matrix": _dedup.dup_matrix_sql("documents"),
+        "pack_stats": (
+            "WITH enc AS ("
+            + _ranking.encode_tokens_sql("documents")
+            + "), packs AS ("
+            + _curation.pack_sequences_sql(
+                "enc", len_expr="n_tok", capacity=256, n_shards=4
+            )
+            + "), mat AS ("
+            + _curation.materialize_packs_sql("packs", "enc")
+            + ") "
+            + _curation.pack_stats_sql("mat", capacity=256)
+        ),
         "domain_quota": f"""
           WITH raw AS (
             SELECT doc_id, n_chars, {_web.synth_url_sql('doc_id')} AS url_raw

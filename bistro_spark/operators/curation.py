@@ -1339,6 +1339,54 @@ def filter_funnel_sql(
     """
 
 
+# ----------------------------------------------- packing efficiency ----
+def pack_stats(mat: DataFrame, capacity: int) -> DataFrame:
+    """Packing-efficiency report over materialized packs: per shard, how
+    full the fixed-capacity training sequences actually are. Greedy
+    packing trades fragmentation for a single pass — this is the audit
+    that says what that trade cost (every wasted slot is a padding token
+    the trainer pays attention-FLOPs for).
+
+    Payload = n_tokens - n_docs (materialize_packs counts one EOD
+    separator per document; capacity budgets payload only). One
+    partial-aggregatable groupBy over pack-level rows — shard-cardinality
+    output at any corpus size; fill_ratio is a round-6 report column,
+    never a key."""
+    payload = F.col("n_tokens") - F.col("n_docs")
+    return mat.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_packs"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum(payload).cast("long").alias("payload_tokens"),
+        (F.count(F.lit(1)) * capacity - F.sum(payload))
+        .cast("long")
+        .alias("waste_tokens"),
+        F.min(payload).cast("long").alias("min_pack_fill"),
+        F.max(payload).cast("long").alias("max_pack_fill"),
+        F.round(
+            F.sum(payload) / (F.count(F.lit(1)) * F.lit(float(capacity))), 6
+        ).alias("fill_ratio"),
+    )
+
+
+def pack_stats_sql(mat_table: str, capacity: int) -> str:
+    """DuckDB twin of :func:`pack_stats` over a materialized-packs
+    relation (typically the materialize_packs_sql CTE)."""
+    return f"""
+      SELECT shard,
+             CAST(count(*) AS BIGINT) AS n_packs,
+             CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens - n_docs) AS BIGINT) AS payload_tokens,
+             CAST(count(*) * {capacity} - sum(n_tokens - n_docs)
+                  AS BIGINT) AS waste_tokens,
+             CAST(min(n_tokens - n_docs) AS BIGINT) AS min_pack_fill,
+             CAST(max(n_tokens - n_docs) AS BIGINT) AS max_pack_fill,
+             round(sum(n_tokens - n_docs)
+                   / (count(*) * CAST({capacity} AS DOUBLE)), 6) AS fill_ratio
+      FROM {mat_table}
+      GROUP BY shard
+    """
+
+
 # ------------------------------------------------------ manifest diff ----
 def manifest_diff(old: DataFrame, new: DataFrame, key: str = "shard") -> DataFrame:
     """Cross-version manifest comparison — the incremental-training

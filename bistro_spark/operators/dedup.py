@@ -1361,13 +1361,28 @@ def source_overlap(
     Returns (source_a, source_b, inter_grams, union_grams, jaccard) with
     source_a < source_b, jaccard rounded to 6 (report column, never a key).
     """
-    spark = df.sparkSession
+    groups, bit_of, mask_expr = _group_bits(
+        df, group_col, max_groups, "source_overlap"
+    )
+    gram_masks = (
+        df.select(mask_expr.alias("mask"), F.explode(ngram_set(F.col(text_col), n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.bit_or("mask").alias("mask"))
+    )
+    return _pairwise_mask_overlap(
+        df.sparkSession, gram_masks, groups, bit_of, "inter_grams", "union_grams"
+    )
+
+
+def _group_bits(df: DataFrame, group_col: str, max_groups: int, op: str):
+    """Assign one bit per distinct group value (the mask-histogram
+    precondition); the collect is G rows — dimension-sized by contract."""
     groups = sorted(
         r[0] for r in df.select(group_col).distinct().collect() if r[0] is not None
     )
     if len(groups) > max_groups:
         raise ValueError(
-            f"source_overlap: {len(groups)} groups > max_groups={max_groups}; "
+            f"{op}: {len(groups)} groups > max_groups={max_groups}; "
             "the mask-histogram design needs one bit per group — bump "
             "max_groups (<= 62) or pre-bucket the group column"
         )
@@ -1375,13 +1390,17 @@ def source_overlap(
     mask_expr = F.lit(0)
     for g, i in bit_of.items():
         mask_expr = F.when(F.col(group_col) == g, F.lit(1 << i)).otherwise(mask_expr)
+    return groups, bit_of, mask_expr
 
-    gram_masks = (
-        df.select(mask_expr.alias("mask"), F.explode(ngram_set(F.col(text_col), n)).alias("gram"))
-        .groupBy("gram")
-        .agg(F.bit_or("mask").alias("mask"))
-    )
-    hist = gram_masks.groupBy("mask").agg(F.count(F.lit(1)).alias("cnt"))
+
+def _pairwise_mask_overlap(
+    spark, keyed_masks: DataFrame, groups, bit_of, inter_name: str, union_name: str
+) -> DataFrame:
+    """Pairwise |A∩B| / |A∪B| over a (key -> group-bit mask) relation,
+    without any key-keyed self-join: histogram the masks (output bounded
+    by 2^G rows independent of corpus size), then broadcast the
+    G*(G-1)/2 pair list against the histogram."""
+    hist = keyed_masks.groupBy("mask").agg(F.count(F.lit(1)).alias("cnt"))
 
     pairs = spark.createDataFrame(
         [
@@ -1397,8 +1416,8 @@ def source_overlap(
         hist.join(F.broadcast(pairs), either, "inner")
         .groupBy("source_a", "source_b")
         .agg(
-            F.sum(F.when(both, F.col("cnt")).otherwise(F.lit(0))).alias("inter_grams"),
-            F.sum("cnt").alias("union_grams"),
+            F.sum(F.when(both, F.col("cnt")).otherwise(F.lit(0))).alias(inter_name),
+            F.sum("cnt").alias(union_name),
         )
     )
     return (
@@ -1409,12 +1428,12 @@ def source_overlap(
         .select(
             "source_a",
             "source_b",
-            F.coalesce("inter_grams", F.lit(0)).cast("bigint").alias("inter_grams"),
-            F.coalesce("union_grams", F.lit(0)).cast("bigint").alias("union_grams"),
+            F.coalesce(inter_name, F.lit(0)).cast("bigint").alias(inter_name),
+            F.coalesce(union_name, F.lit(0)).cast("bigint").alias(union_name),
             F.round(
-                F.when(F.coalesce("union_grams", F.lit(0)) == 0, F.lit(0.0)).otherwise(
-                    F.coalesce("inter_grams", F.lit(0))
-                    / F.coalesce("union_grams", F.lit(0))
+                F.when(F.coalesce(union_name, F.lit(0)) == 0, F.lit(0.0)).otherwise(
+                    F.coalesce(inter_name, F.lit(0))
+                    / F.coalesce(union_name, F.lit(0))
                 ),
                 6,
             ).alias("jaccard"),
@@ -1453,6 +1472,80 @@ def source_overlap_sql(
              CAST(coalesce(i.i, 0) AS BIGINT) AS inter_grams,
              CAST(coalesce(za.c, 0) + coalesce(zb.c, 0) - coalesce(i.i, 0)
                   AS BIGINT) AS union_grams,
+             round(CASE WHEN coalesce(za.c,0) + coalesce(zb.c,0)
+                             - coalesce(i.i,0) = 0 THEN 0.0
+                        ELSE CAST(coalesce(i.i, 0) AS DOUBLE)
+                             / (coalesce(za.c,0) + coalesce(zb.c,0)
+                                - coalesce(i.i,0))
+                   END, 6) AS jaccard
+      FROM pairs p
+      LEFT JOIN sz za ON za.grp = p.sa
+      LEFT JOIN sz zb ON zb.grp = p.sb
+      LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+      ORDER BY source_a, source_b
+    """
+
+
+# ------------------------------------- cross-source exact-dup matrix ----
+def dup_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    max_groups: int = 32,
+) -> DataFrame:
+    """Cross-source EXACT-duplicate matrix: for every pair of corpus
+    groups, how many distinct document contents appear in both — the
+    whole-document companion to :func:`source_overlap` (which measures
+    fuzzy n-gram overlap). Reads as "source A republishes source B":
+    a high shared_contents with low n-gram jaccard means verbatim
+    mirroring of a subset, the case fuzzy overlap dilutes away.
+
+    Same 100 TB shape as source_overlap, on a cheaper key: one map-only
+    fingerprint projection (md5 of the content — no explode at all),
+    ONE partial-aggregated bit_or shuffle on the fingerprint, then the
+    2^G-bounded mask histogram joined to the broadcast pair list. No
+    content-keyed self-join, no document pairs ever materialized.
+
+    Returns (source_a, source_b, shared_contents, union_contents,
+    jaccard) with source_a < source_b; jaccard rounded to 6 (report
+    column, never a key)."""
+    groups, bit_of, mask_expr = _group_bits(df, group_col, max_groups, "dup_matrix")
+    fp_masks = (
+        df.select(mask_expr.alias("mask"), F.md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.bit_or("mask").alias("mask"))
+    )
+    return _pairwise_mask_overlap(
+        df.sparkSession, fp_masks, groups, bit_of, "shared_contents", "union_contents"
+    )
+
+
+def dup_matrix_sql(table: str, text_col: str = "text", group_col: str = "source") -> str:
+    """DuckDB oracle for dup_matrix: the textbook formulation — distinct
+    (group, content-fingerprint) relation, per-group sizes, fp-keyed
+    self-join for intersections, |A∪B| = |A| + |B| - |A∩B|."""
+    return f"""
+      WITH dg AS (
+        SELECT DISTINCT {group_col} AS grp, md5({text_col}) AS fp
+        FROM {table}
+        WHERE {group_col} IS NOT NULL
+      ),
+      srcs AS (SELECT DISTINCT {group_col} AS grp FROM {table}
+               WHERE {group_col} IS NOT NULL),
+      sz AS (SELECT grp, count(*) AS c FROM dg GROUP BY grp),
+      pairs AS (
+        SELECT a.grp AS sa, b.grp AS sb
+        FROM srcs a JOIN srcs b ON a.grp < b.grp
+      ),
+      inter AS (
+        SELECT x.grp AS sa, y.grp AS sb, count(*) AS i
+        FROM dg x JOIN dg y ON x.fp = y.fp AND x.grp < y.grp
+        GROUP BY 1, 2
+      )
+      SELECT p.sa AS source_a, p.sb AS source_b,
+             CAST(coalesce(i.i, 0) AS BIGINT) AS shared_contents,
+             CAST(coalesce(za.c, 0) + coalesce(zb.c, 0) - coalesce(i.i, 0)
+                  AS BIGINT) AS union_contents,
              round(CASE WHEN coalesce(za.c,0) + coalesce(zb.c,0)
                              - coalesce(i.i,0) = 0 THEN 0.0
                         ELSE CAST(coalesce(i.i, 0) AS DOUBLE)

@@ -966,3 +966,48 @@ def test_manifest_diff_fingerprint_catches_content_swap(spark):
     new = spark.createDataFrame([(0, 2, 10, 100, 112)], cols)
     [r] = manifest_diff(old, new).collect()
     assert r.status == "changed" and r.token_delta == 0
+
+
+# ------------------------------------------------ packing efficiency ----
+
+
+def test_pack_stats_hand_computed(spark):
+    from bistro_spark.operators.curation import pack_stats
+
+    # mat rows: (shard, pack_id, n_docs, n_tokens, token_ids); n_tokens
+    # includes one EOD per doc, so payload = n_tokens - n_docs
+    mat = spark.createDataFrame(
+        [
+            (0, 0, 2, 10 + 2, "x"),   # payload 10
+            (0, 1, 1, 6 + 1, "x"),    # payload 6
+            (1, 0, 3, 12 + 3, "x"),   # payload 12
+        ],
+        "shard long, pack_id long, n_docs long, n_tokens long, token_ids string",
+    )
+    got = {r.shard: r for r in pack_stats(mat, capacity=16).collect()}
+    s0 = got[0]
+    assert (s0.n_packs, s0.n_docs, s0.payload_tokens) == (2, 3, 16)
+    assert s0.waste_tokens == 2 * 16 - 16
+    assert (s0.min_pack_fill, s0.max_pack_fill) == (6, 10)
+    assert s0.fill_ratio == 0.5
+    assert got[1].fill_ratio == 0.75 and got[1].waste_tokens == 4
+
+
+def test_pack_stats_never_overflows_capacity(spark, sf_dir):
+    """End-to-end over the real pipeline: no pack's payload may exceed
+    capacity, and the report must account for every encoded token."""
+    from bistro_spark.operators.curation import (
+        materialize_packs,
+        pack_sequences,
+        pack_stats,
+    )
+    from bistro_spark.operators.ranking import build_vocab, encode_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    enc = encode_tokens(docs, build_vocab(docs))
+    packed = pack_sequences(enc, len_col="n_tok", capacity=256, n_shards=4)
+    stats = pack_stats(materialize_packs(packed, enc), capacity=256).collect()
+    assert all(r.max_pack_fill <= 256 for r in stats)
+    assert all(0.0 < r.fill_ratio <= 1.0 for r in stats)
+    total_payload = sum(r.payload_tokens for r in stats)
+    assert total_payload == enc.agg({"n_tok": "sum"}).collect()[0][0]

@@ -606,3 +606,58 @@ def test_cluster_size_histogram(spark):
            for r in cluster_size_histogram(assign).collect()}
     assert got == {3: (1, 3), 1: (1, 1), 2: (1, 2)}
     assert sum(nd for _, nd in got.values()) == 6
+
+
+# ------------------------------------------- cross-source dup matrix ----
+
+
+def test_dup_matrix_known_values(spark):
+    from bistro_spark.operators.dedup import dup_matrix
+
+    df = spark.createDataFrame(
+        [
+            ("A", "same doc"),      # shared with B (exact)
+            ("A", "only in a"),
+            ("B", "same doc"),
+            ("B", "same doc"),      # within-B dup collapses to one content
+            ("B", "only in b"),
+            ("C", "unique c"),
+            (None, "same doc"),     # null source -> excluded
+        ],
+        ["source", "text"],
+    )
+    out = {(r.source_a, r.source_b): r for r in dup_matrix(df).collect()}
+    assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = out[("A", "B")]
+    assert (ab.shared_contents, ab.union_contents, ab.jaccard) == (1, 3, 0.333333)
+    assert out[("A", "C")].shared_contents == 0
+    assert out[("B", "C")].union_contents == 3
+
+
+def test_dup_matrix_matches_duckdb(spark):
+    import duckdb
+
+    from bistro_spark.operators.dedup import dup_matrix, dup_matrix_sql
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    spark_rows = sorted(
+        tuple(r) for r in dup_matrix(spark.read.parquet(path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    duck_rows = sorted(
+        tuple(r) for r in con.sql(dup_matrix_sql("documents")).fetchall()
+    )
+    assert spark_rows == duck_rows
+
+
+def test_dup_matrix_no_content_self_join(spark):
+    """The fingerprint relation must never join itself — the only joins in
+    the plan are broadcasts of the pair list / per-pair aggregate."""
+    from bistro_spark.operators.dedup import dup_matrix
+
+    df = spark.createDataFrame(
+        [("A", "x y"), ("B", "x y"), ("C", "q")], ["source", "text"]
+    )
+    plan = dup_matrix(df)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
