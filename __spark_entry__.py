@@ -1200,6 +1200,18 @@ def q_bpe_encode_fixed(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_encode(docs, FIXED_MERGES)
 
 
+def q_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source tokenizer fertility (pieces/word, chars/piece): the
+    tokenizer × mixture sanity report — a slice whose fertility is 2×
+    the rest silently doubles its effective token cost under any token
+    budget. One map-only Arrow encode stage (word/char counts ride the
+    same projection via bpe_encode(keep=...), no id re-join) into one
+    partial-aggregated source-cardinality groupBy."""
+    from bistro_spark.operators.bpe import fertility_stats
+
+    return fertility_stats(load_table(spark, "documents", sf))
+
+
 def q_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-overlap audit: exact pairwise n-gram Jaccard between every
     pair of sources, computed without joining data to data — each distinct
@@ -1455,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quota": q_domain_quota,
         "dup_matrix": q_dup_matrix,
         "pack_stats": q_pack_stats,
+        "fertility": q_fertility,
     }
 
 
@@ -2160,6 +2173,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_scores": _text.bm25_scores_sql("documents", BM25_QUERIES),
         "dup_matrix": _dedup.dup_matrix_sql("documents"),
+        "fertility": _bpe.fertility_stats_sql("documents"),
         "pack_stats": (
             "WITH enc AS ("
             + _ranking.encode_tokens_sql("documents")

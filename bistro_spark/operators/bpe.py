@@ -123,11 +123,16 @@ def bpe_encode(
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Encode each document into BPE pieces under ``merges``:
     (id, n_pieces, pieces) with ``pieces`` the space-joined subword
     sequence (``</w>`` marking word ends — lossless round-trip). One
-    map-only Arrow stage; per-batch word memo (see module docstring)."""
+    map-only Arrow stage; per-batch word memo (see module docstring).
+
+    ``keep`` passes extra input columns through unchanged (appended
+    after ``pieces``) — lets downstream aggregations (fertility stats)
+    stay in the same map stage instead of re-joining on the id."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -149,12 +154,15 @@ def bpe_encode(
         return pd.Series([enc_doc(t) for t in texts])
 
     enc = df.select(
-        F.col(id_col), encode(F.col(text_col)).alias("_pieces")
+        F.col(id_col),
+        encode(F.col(text_col)).alias("_pieces"),
+        *[F.col(c) for c in (keep or [])],
     )
     return enc.select(
         id_col,
         F.size("_pieces").cast("int").alias("n_pieces"),
         F.concat_ws(" ", "_pieces").alias("pieces"),
+        *(keep or []),
     )
 
 
@@ -263,4 +271,109 @@ def bpe_encode_fixed_sql(
              coalesce(a.pieces, '') AS pieces
       FROM {table} d
       LEFT JOIN agg a USING ({id_col})
+    """
+
+
+# ------------------------------------------------ tokenizer fertility ----
+def fertility_stats(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group tokenizer fertility report: how many subword pieces the
+    tokenizer spends per word / per character in each corpus slice. THE
+    pre-training sanity check on a tokenizer × mixture pairing — a slice
+    with fertility 2× the rest (unseen script, heavy code, wrong vocab)
+    silently doubles its effective token cost, skewing every
+    token-budgeted mixture decision downstream.
+
+    100 TB shape: ONE map-only Arrow encode stage (the per-doc word/char
+    counts ride the same projection via ``bpe_encode(keep=...)`` — no
+    re-join on the id) into ONE partial-aggregated groupBy; output is
+    group-cardinality. All sums exact BIGINT; the ratios are round-6
+    report columns, never keys.
+
+    Returns (group, n_docs, n_words, n_chars, n_pieces, fertility
+    [pieces/word], chars_per_piece, pieces_per_doc)."""
+    merges = FIXED_MERGES if merges is None else merges
+    pre = df.select(
+        id_col,
+        text_col,
+        F.col(group_col),
+        F.length(text_col).cast("long").alias("_chars"),
+        F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != ""))
+        .cast("long")
+        .alias("_words"),
+    )
+    enc = bpe_encode(pre, merges, id_col, text_col, keep=[group_col, "_chars", "_words"])
+    agg = enc.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_words").cast("long").alias("n_words"),
+        F.sum("_chars").cast("long").alias("n_chars"),
+        F.sum("n_pieces").cast("long").alias("n_pieces"),
+    )
+    return agg.select(
+        group_col,
+        "n_docs",
+        "n_words",
+        "n_chars",
+        "n_pieces",
+        F.round(
+            F.when(F.col("n_words") == 0, F.lit(0.0)).otherwise(
+                F.col("n_pieces") / F.col("n_words")
+            ),
+            6,
+        ).alias("fertility"),
+        F.round(
+            F.when(F.col("n_pieces") == 0, F.lit(0.0)).otherwise(
+                F.col("n_chars") / F.col("n_pieces")
+            ),
+            6,
+        ).alias("chars_per_piece"),
+        F.round(F.col("n_pieces") / F.col("n_docs"), 6).alias("pieces_per_doc"),
+    )
+
+
+def fertility_stats_sql(
+    table: str = "documents",
+    merges: list[tuple[str, str]] | None = None,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`fertility_stats`: reuse the recursive-CTE
+    fixed-merge encode (:func:`bpe_encode_fixed_sql`) for per-doc piece
+    counts, join back to the base table for word/char counts (the SQL
+    twin pays an id join the Spark side avoids via ``keep``), aggregate
+    per group. Word count = non-empty whitespace splits, matching
+    Spark's filtered ``split`` exactly."""
+    enc = bpe_encode_fixed_sql(table, merges, id_col, text_col)
+    return f"""
+      WITH enc AS ({enc}),
+      perdoc AS (
+        SELECT d.{group_col} AS grp,
+               len(list_filter(string_split_regex(d.{text_col}, '\\s+'),
+                               w -> w <> '')) AS words,
+               length(d.{text_col}) AS chars,
+               e.n_pieces
+        FROM {table} d JOIN enc e USING ({id_col})
+      ),
+      agg AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(words) AS BIGINT) AS n_words,
+               CAST(sum(chars) AS BIGINT) AS n_chars,
+               CAST(sum(n_pieces) AS BIGINT) AS n_pieces
+        FROM perdoc GROUP BY grp
+      )
+      SELECT grp AS {group_col}, n_docs, n_words, n_chars, n_pieces,
+             round(CASE WHEN n_words = 0 THEN 0.0
+                        ELSE CAST(n_pieces AS DOUBLE) / n_words END,
+                   6) AS fertility,
+             round(CASE WHEN n_pieces = 0 THEN 0.0
+                        ELSE CAST(n_chars AS DOUBLE) / n_pieces END,
+                   6) AS chars_per_piece,
+             round(CAST(n_pieces AS DOUBLE) / n_docs, 6) AS pieces_per_doc
+      FROM agg
     """

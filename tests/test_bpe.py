@@ -122,3 +122,57 @@ def test_fixed_merges_have_creation_order_property(spark):
         for comp in (a, b):
             assert len(comp) == 1 or comp == END or comp in created, comp
         created.add(a + b)
+
+
+# ------------------------------------------------ tokenizer fertility ----
+
+
+def test_fertility_stats_hand_computed(spark):
+    from bistro_spark.operators.bpe import fertility_stats
+
+    # merges: ("a","b") only -> "ab" becomes [ab, </w>] (2 pieces),
+    # any other word of length L becomes L+1 pieces.
+    df = spark.createDataFrame(
+        [
+            (0, "ab ab", "s1"),     # 2 words, 5 chars, 4 pieces
+            (1, "xy", "s1"),        # 1 word, 2 chars, 3 pieces
+            (2, "", "s2"),          # empty doc: 0 words, 0 pieces
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {r.source: r for r in fertility_stats(df, [("a", "b")]).collect()}
+    s1 = got["s1"]
+    assert (s1.n_docs, s1.n_words, s1.n_chars, s1.n_pieces) == (2, 3, 7, 7)
+    assert s1.fertility == round(7 / 3, 6)
+    assert s1.chars_per_piece == 1.0
+    assert s1.pieces_per_doc == 3.5
+    s2 = got["s2"]
+    assert (s2.n_words, s2.n_pieces, s2.fertility, s2.chars_per_piece) == (
+        0, 0, 0.0, 0.0,
+    )
+
+
+def test_fertility_stats_matches_duckdb(spark):
+    import duckdb
+
+    from bistro_spark.operators.bpe import fertility_stats, fertility_stats_sql
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    spark_rows = sorted(
+        tuple(r) for r in fertility_stats(spark.read.parquet(path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    duck_rows = sorted(
+        tuple(r) for r in con.sql(fertility_stats_sql("documents")).fetchall()
+    )
+    assert spark_rows == duck_rows
+
+
+def test_bpe_encode_keep_passthrough(spark):
+    from bistro_spark.operators.bpe import bpe_encode
+
+    df = spark.createDataFrame([(0, "ab", "s1", 7)], ["doc_id", "text", "source", "extra"])
+    [r] = bpe_encode(df, [("a", "b")], keep=["source", "extra"]).collect()
+    assert (r.source, r.extra) == ("s1", 7)
+    assert r.n_pieces == 2
