@@ -1200,6 +1200,30 @@ def q_bpe_encode_fixed(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_encode(docs, FIXED_MERGES)
 
 
+def q_dsir(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) toward the English
+    slice: hashed-ngram bag-of-words log-likelihood ratio per document.
+    Fit = one partial-aggregated groupBy down to 64 bucket rows; score =
+    zero-shuffle Catalyst map stage with the integer-frozen log-ratio
+    table shipped as a literal array (exact order-independent BIGINT
+    sums — the repo's float discipline)."""
+    from bistro_spark.operators.curation import dsir_logweights
+
+    return dsir_logweights(load_table(spark, "documents", sf), "lang = 'en'")
+
+
+def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR resampling: Gumbel-top-k draw of 200 raw docs proportional
+    to their importance weight — deterministic (Gumbel noise from the
+    doc id's md5) and oracle-exact (the perturbed sort key is an exact
+    BIGINT, never a raw double; TakeOrderedAndProject, no global sort)."""
+    from bistro_spark.operators.curation import dsir_select
+
+    return dsir_select(
+        load_table(spark, "documents", sf), "lang = 'en'", n=200
+    )
+
+
 def q_fertility(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source tokenizer fertility (pieces/word, chars/piece): the
     tokenizer × mixture sanity report — a slice whose fertility is 2×
@@ -1468,6 +1492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_matrix": q_dup_matrix,
         "pack_stats": q_pack_stats,
         "fertility": q_fertility,
+        "dsir_weights": q_dsir,
+        "dsir_select": q_dsir_select,
     }
 
 
@@ -2174,6 +2200,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": _text.bm25_scores_sql("documents", BM25_QUERIES),
         "dup_matrix": _dedup.dup_matrix_sql("documents"),
         "fertility": _bpe.fertility_stats_sql("documents"),
+        "dsir_weights": _curation.dsir_logweights_sql("documents", "lang = 'en'"),
+        "dsir_select": _curation.dsir_select_sql("documents", "lang = 'en'", n=200),
         "pack_stats": (
             "WITH enc AS ("
             + _ranking.encode_tokens_sql("documents")

@@ -1441,3 +1441,274 @@ def manifest_diff_sql(
       FROM {old_table} o FULL OUTER JOIN {new_table} n
         ON o.{key} = n.{key}
     """
+
+
+# --------------------------------------- DSIR importance weighting ----
+def _hashed_feats(text_col: str):
+    """Word unigrams + adjacent bigrams (single-space split — the repo's
+    portable tokenizer convention, same as text.classifier_score)."""
+    words = F.split(F.col(text_col), " ")
+    bigrams = F.when(
+        F.size(words) > 1,
+        F.expr(
+            f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
+            f"i -> concat(split({text_col}, ' ')[i - 1], ' ', "
+            f"split({text_col}, ' ')[i]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(words, bigrams)
+
+
+def dsir_logweights(
+    df: DataFrame,
+    target_expr: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the log-likelihood ratio of its hashed n-gram features under a
+    target-slice bag-of-words model vs the raw-corpus model —
+    log w(x) = Σ_f [ln p_target(bucket(f)) − ln p_raw(bucket(f))].
+    High log_importance = "looks like the target distribution"; the
+    weights drive importance resampling of the raw corpus toward the
+    target mixture (``target_expr`` is a boolean SQL predicate naming
+    the target slice, e.g. ``lang = 'en'``).
+
+    100 TB shape, two passes both map-heavy:
+    (1) FIT — explode hashed features once, ONE partial-aggregated
+        groupBy down to ``n_buckets`` rows (the hashed model is
+        fixed-size by construction — DSIR's whole trick), collect B rows
+        driver-side (dimension-sized by contract, like the IVF fit).
+    (2) SCORE — zero shuffle, zero Python: the B-entry log-ratio table
+        ships as a literal array into one Catalyst map stage
+        (aggregate() HOF over the feature array, md5 dominates).
+    Float discipline: per-bucket log-ratio is frozen to an INTEGER
+    (round-9 × 10⁹) so the per-doc sum is exact and order-independent;
+    the only floats are the two ln() at fit time (round-9 absorbs libm
+    ulp skew — repo standard) and the final round(…, 6) report column.
+
+    Returns (id, is_target, n_feats, log_importance).
+    """
+    scored = _dsir_scored(df, target_expr, n_buckets, id_col, text_col)
+    return scored.select(
+        id_col,
+        "is_target",
+        "n_feats",
+        F.round(F.col("_wsum") / F.lit(1_000_000_000.0), 6).alias("log_importance"),
+    )
+
+
+def _dsir_scored(
+    df: DataFrame,
+    target_expr: str,
+    n_buckets: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Shared DSIR core: fit the integer-frozen bucket log-ratio table,
+    return (id, is_target, n_feats, _wsum) with ``_wsum`` the exact
+    BIGINT feature-sum of round-9 × 10⁹ log-ratios."""
+    import math
+
+    B = n_buckets
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_t")), 1, 8), 16, 10).cast("bigint") % B
+    )
+    exploded = (
+        df.select(
+            F.expr(target_expr).alias("_tgt"),
+            F.explode(_hashed_feats(text_col)).alias("_t"),
+        )
+        .select(bucket.alias("b"), "_tgt")
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).cast("long").alias("tc"),
+            F.sum(F.when(F.col("_tgt"), 0).otherwise(1)).cast("long").alias("sc"),
+        )
+    )
+    counts = {int(r["b"]): (int(r["tc"]), int(r["sc"])) for r in exploded.collect()}
+    T = sum(tc for tc, _ in counts.values())
+    S = sum(sc for _, sc in counts.values())
+    llr = [0] * B
+    for b in range(B):
+        tc, sc = counts.get(b, (0, 0))
+        x = math.log((tc + 1) / (T + B)) - math.log((sc + 1) / (S + B))
+        llr[b] = int(round(x * 1_000_000_000))
+
+    # cast every element: |llr| can exceed int32 (ln ratios × 10⁹), and a
+    # mixed int/long literal array fails to resolve
+    arr = F.array([F.lit(v).cast("bigint") for v in llr])
+    feats = _hashed_feats(text_col)
+    scored = df.select(
+        F.col(id_col),
+        F.expr(target_expr).alias("is_target"),
+        feats.alias("_feats"),
+    ).select(
+        id_col,
+        "is_target",
+        F.size("_feats").cast("int").alias("n_feats"),
+        F.aggregate(
+            "_feats",
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc
+            + F.element_at(
+                arr,
+                (
+                    F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint") % B
+                    + 1
+                ).cast("int"),
+            ),
+        ).alias("_wsum"),
+    )
+    return scored
+
+
+def dsir_select(
+    df: DataFrame,
+    target_expr: str,
+    n: int,
+    temperature: float = 1.0,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR's resampling half: pick ``n`` RAW documents (the target
+    slice itself is excluded — it defined the distribution) with the
+    Gumbel-top-k trick, which draws WITHOUT replacement proportionally
+    to w(x)^(1/temperature): key = log w / T + Gumbel(0,1), take the n
+    largest. The Gumbel noise is DETERMINISTIC — u from the doc id's
+    md5 (same id ⇒ same draw on any cluster shape / retry), g =
+    −ln(−ln(u)) — so a resumed 100 TB job selects the SAME corpus.
+
+    Float discipline for the oracle: the sort key is an exact BIGINT —
+    round(wsum/T) + round(g × 10⁹) — never a raw double (two libm ulp
+    skews cannot reorder an integer key; the rounds absorb them). The
+    top-n is a TakeOrderedAndProject (per-partition heads merged on the
+    driver), never a full global sort.
+
+    Returns (id, n_feats, log_importance, sample_key), the selected n.
+    """
+    s = _dsir_scored(df, target_expr, n_buckets, id_col, text_col).filter(
+        ~F.col("is_target")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    g_int = F.round(-F.log(-F.log(u)) * F.lit(1_000_000_000.0), 0).cast("bigint")
+    key = (
+        F.round(F.col("_wsum") / F.lit(float(temperature)), 0).cast("bigint")
+        + g_int
+    )
+    return (
+        s.select(
+            id_col,
+            "n_feats",
+            F.round(F.col("_wsum") / F.lit(1_000_000_000.0), 6).alias(
+                "log_importance"
+            ),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(n)
+    )
+
+
+def dsir_logweights_sql(
+    table: str = "documents",
+    target_expr: str = "lang = 'en'",
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`dsir_logweights` — the textbook exploded
+    formulation: fit the bucket log-ratio table in a CTE (same
+    integer-frozen round-9 × 10⁹ weights), join it back onto the
+    exploded features, exact BIGINT sum per doc."""
+    ctes = _dsir_scored_ctes(table, target_expr, n_buckets, id_col, text_col)
+    return f"""
+      WITH {ctes}
+      SELECT {id_col}, is_target, n_feats,
+             round(CAST(wsum AS DOUBLE) / 1000000000.0, 6) AS log_importance
+      FROM scored
+    """
+
+
+def dsir_select_sql(
+    table: str = "documents",
+    target_expr: str = "lang = 'en'",
+    n: int = 100,
+    temperature: float = 1.0,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`dsir_select`: same exact-BIGINT perturbed
+    key (round(wsum/T) + round(Gumbel(md5(id)) × 10⁹)), ORDER BY key
+    DESC, id LIMIT n."""
+    ctes = _dsir_scored_ctes(table, target_expr, n_buckets, id_col, text_col)
+    return f"""
+      WITH {ctes},
+      keyed AS (
+        SELECT {id_col}, n_feats,
+               round(CAST(wsum AS DOUBLE) / 1000000000.0, 6)
+                 AS log_importance,
+               CAST(round(wsum / {float(temperature)}, 0) AS BIGINT)
+               + CAST(round(-ln(-ln(
+                     (CAST(concat('0x',
+                        substr(md5(CAST({id_col} AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 0.5) / 4294967296.0))
+                     * 1000000000.0, 0) AS BIGINT) AS sample_key
+        FROM scored WHERE NOT is_target)
+      SELECT * FROM keyed
+      ORDER BY sample_key DESC, {id_col}
+      LIMIT {n}
+    """
+
+
+def _dsir_scored_ctes(
+    table: str, target_expr: str, n_buckets: int, id_col: str, text_col: str
+) -> str:
+    """Shared CTE chain ending in ``scored(id, is_target, n_feats,
+    wsum)`` — the SQL mirror of :func:`_dsir_scored`."""
+    B = n_buckets
+    return f"""f AS (
+        SELECT {id_col}, ({target_expr}) AS is_target,
+               string_split({text_col}, ' ') AS w
+        FROM {table}),
+      g AS (
+        SELECT {id_col}, is_target,
+               list_concat(
+                 w,
+                 list_transform(range(1, len(w)),
+                                i -> w[i] || ' ' || w[i + 1])) AS feats
+        FROM f),
+      e AS (
+        SELECT {id_col}, is_target,
+               CAST(concat('0x', substr(md5(unnest(feats)), 1, 8)) AS BIGINT)
+                 % {B} AS b
+        FROM g),
+      cnt AS (
+        SELECT b,
+               CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+               CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS sc
+        FROM e GROUP BY b),
+      tot AS (SELECT CAST(sum(tc) AS BIGINT) AS t_tot,
+                     CAST(sum(sc) AS BIGINT) AS s_tot FROM cnt),
+      llr AS (
+        SELECT b,
+               CAST(round((ln((tc + 1.0) / (t_tot + {B}))
+                           - ln((sc + 1.0) / (s_tot + {B})))
+                          * 1000000000, 0) AS BIGINT) AS w
+        FROM cnt, tot),
+      scored AS (
+        SELECT e.{id_col} AS {id_col},
+               any_value(e.is_target) AS is_target,
+               CAST(count(*) AS INTEGER) AS n_feats,
+               CAST(sum(llr.w) AS BIGINT) AS wsum
+        FROM e JOIN llr USING (b)
+        GROUP BY e.{id_col})"""

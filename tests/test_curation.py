@@ -1011,3 +1011,102 @@ def test_pack_stats_never_overflows_capacity(spark, sf_dir):
     assert all(0.0 < r.fill_ratio <= 1.0 for r in stats)
     total_payload = sum(r.payload_tokens for r in stats)
     assert total_payload == enc.agg({"n_tok": "sum"}).collect()[0][0]
+
+
+# ---------------------------------------------- DSIR importance weights ----
+
+
+def test_dsir_logweights_directional(spark):
+    """Docs made of target-slice vocabulary must score higher than docs
+    made of raw-only vocabulary, and target membership is flagged."""
+    from bistro_spark.operators.curation import dsir_logweights
+
+    rows = [(i, "alpha beta gamma alpha beta", "en") for i in range(6)]
+    rows += [(10 + i, "zeta eta theta zeta eta", "de") for i in range(6)]
+    rows += [(20, "alpha beta gamma alpha beta", "de"),   # target-like raw doc
+             (21, "zeta eta theta zeta eta", "fr")]       # raw-like raw doc
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {r.doc_id: r for r in dsir_logweights(df, "lang = 'en'").collect()}
+    assert got[0].is_target and not got[20].is_target
+    assert got[20].log_importance > got[21].log_importance
+    assert got[20].n_feats == 9  # 5 unigrams + 4 bigrams
+
+
+def test_dsir_logweights_matches_duckdb(spark):
+    import duckdb
+
+    from bistro_spark.operators.curation import (
+        dsir_logweights,
+        dsir_logweights_sql,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    spark_rows = sorted(
+        tuple(r)
+        for r in dsir_logweights(
+            spark.read.parquet(path), "lang = 'en'"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    duck_rows = sorted(
+        tuple(r)
+        for r in con.sql(dsir_logweights_sql("documents", "lang = 'en'")).fetchall()
+    )
+    assert spark_rows == duck_rows
+
+
+def test_dsir_logweights_partitioning_invariant(spark):
+    """Same weights whatever the input split — the integer-frozen
+    log-ratio table and exact BIGINT sums make the score reproducible
+    on any cluster shape."""
+    from bistro_spark.operators.curation import dsir_logweights
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(tuple(r) for r in dsir_logweights(df, "lang = 'en'").collect())
+    b = sorted(
+        tuple(r)
+        for r in dsir_logweights(df.repartition(17), "lang = 'en'").collect()
+    )
+    assert a == b
+
+
+def test_dsir_select_matches_duckdb_and_is_biased(spark):
+    import duckdb
+
+    from bistro_spark.operators.curation import dsir_select, dsir_select_sql
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    df = spark.read.parquet(path)
+    sel = dsir_select(df, "lang = 'en'", n=60)
+    spark_rows = sorted(tuple(r) for r in sel.collect())
+    assert len(spark_rows) == 60
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    duck_rows = sorted(
+        tuple(r)
+        for r in con.sql(dsir_select_sql("documents", "lang = 'en'", n=60)).fetchall()
+    )
+    assert spark_rows == duck_rows
+    # the draw must tilt toward high-importance docs: selected mean
+    # log-importance above the raw-pool mean
+    from bistro_spark.operators.curation import dsir_logweights
+
+    pool = dsir_logweights(df, "lang = 'en'").filter("NOT is_target")
+    pool_mean = pool.agg({"log_importance": "avg"}).collect()[0][0]
+    sel_mean = sum(r[2] for r in spark_rows) / 60
+    assert sel_mean > pool_mean
+
+
+def test_dsir_select_excludes_target_and_is_partition_invariant(spark):
+    from bistro_spark.operators.curation import dsir_select
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(tuple(r) for r in dsir_select(df, "lang = 'en'", n=40).collect())
+    b = sorted(
+        tuple(r)
+        for r in dsir_select(df.repartition(13), "lang = 'en'", n=40).collect()
+    )
+    assert a == b
+    en_ids = {r.doc_id for r in df.filter("lang = 'en'").select("doc_id").collect()}
+    assert not ({r[0] for r in a} & en_ids)
