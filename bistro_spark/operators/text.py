@@ -654,18 +654,40 @@ def bm25_scores(
     (round 6) — never a sort key (cross-engine float discipline); rank
     downstream by (n_hits, integer keys) or consume the score as a
     feature."""
-    words = F.split(F.col(text_col), " ")
     terms = sorted({t for ts in queries.values() for t in ts})
-    # ONE corpus pass: N, total token count, and df per term (all
-    # partial-aggregatable) -> a single broadcast row.
-    stats = df.agg(
-        F.count(F.lit(1)).alias("_n_docs"),
-        F.sum(F.size(words)).alias("_sum_dl"),
+    stats = bm25_stats(df, terms, text_col)
+    return bm25_apply(df, queries, stats, text_col, id_col)
+
+
+def bm25_stats(df: DataFrame, terms: list[str], text_col: str = "text") -> DataFrame:
+    """BM25's sufficient statistics as ONE corpus pass -> one row:
+    (N, total token count, df per term) — all partial-aggregatable AND
+    additive across corpus splits, which is what makes the exact
+    streaming twin (`streaming.bm25`) possible with O(#terms) state."""
+    words = F.split(F.col(text_col), " ")
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("_n_docs"),
+        F.sum(F.size(words)).cast("long").alias("_sum_dl"),
         *[
-            F.sum(F.array_contains(words, t).cast("long")).alias(f"_df_{i}")
+            F.sum(F.array_contains(words, t).cast("long"))
+            .cast("long")
+            .alias(f"_df_{i}")
             for i, t in enumerate(terms)
         ],
     )
+
+
+def bm25_apply(
+    df: DataFrame,
+    queries: dict[int, list[str]],
+    stats: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score ``df`` against a pre-computed one-row stats relation
+    (broadcast crossJoin — the stats row is the only non-map input)."""
+    words = F.split(F.col(text_col), " ")
+    terms = sorted({t for ts in queries.values() for t in ts})
     dfi = {t: F.col(f"_df_{i}") for i, t in enumerate(terms)}
     n = F.col("_n_docs")
     avgdl = F.col("_sum_dl") / n
