@@ -1510,13 +1510,27 @@ def _dsir_scored(
     """Shared DSIR core: fit the integer-frozen bucket log-ratio table,
     return (id, is_target, n_feats, _wsum) with ``_wsum`` the exact
     BIGINT feature-sum of round-9 × 10⁹ log-ratios."""
-    import math
+    counts = {
+        int(r["b"]): (int(r["tc"]), int(r["sc"]))
+        for r in dsir_bucket_counts(df, target_expr, n_buckets, text_col).collect()
+    }
+    llr = dsir_llr(counts, n_buckets)
+    return dsir_apply(df, llr, target_expr, id_col, text_col)
 
+
+def dsir_bucket_counts(
+    df: DataFrame, target_expr: str, n_buckets: int, text_col: str = "text"
+) -> DataFrame:
+    """DSIR's sufficient statistics: per hash bucket, the target-slice
+    and raw-corpus feature counts — ONE partial-aggregated pass down to
+    ``n_buckets`` rows. ADDITIVE across corpus splits (they are plain
+    counts), which is what makes the exact streaming twin
+    (`streaming.dsir`) possible with O(n_buckets) state."""
     B = n_buckets
     bucket = (
         F.conv(F.substring(F.md5(F.col("_t")), 1, 8), 16, 10).cast("bigint") % B
     )
-    exploded = (
+    return (
         df.select(
             F.expr(target_expr).alias("_tgt"),
             F.explode(_hashed_feats(text_col)).alias("_t"),
@@ -1528,7 +1542,16 @@ def _dsir_scored(
             F.sum(F.when(F.col("_tgt"), 0).otherwise(1)).cast("long").alias("sc"),
         )
     )
-    counts = {int(r["b"]): (int(r["tc"]), int(r["sc"])) for r in exploded.collect()}
+
+
+def dsir_llr(counts: dict[int, tuple[int, int]], n_buckets: int) -> list[int]:
+    """Freeze the bucket log-likelihood-ratio table to integers
+    (round-9 × 10⁹): llr[b] = ln p̂_target(b) − ln p̂_raw(b), +1
+    smoothing. Deterministic given the counts — any engine / cluster
+    shape reproduces the same table."""
+    import math
+
+    B = n_buckets
     T = sum(tc for tc, _ in counts.values())
     S = sum(sc for _, sc in counts.values())
     llr = [0] * B
@@ -1536,7 +1559,20 @@ def _dsir_scored(
         tc, sc = counts.get(b, (0, 0))
         x = math.log((tc + 1) / (T + B)) - math.log((sc + 1) / (S + B))
         llr[b] = int(round(x * 1_000_000_000))
+    return llr
 
+
+def dsir_apply(
+    df: DataFrame,
+    llr: list[int],
+    target_expr: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score ``df`` under a frozen log-ratio table: zero shuffle, zero
+    Python — the B-entry table ships as a literal array into one
+    Catalyst map stage (aggregate() HOF over the feature array)."""
+    B = len(llr)
     # cast every element: |llr| can exceed int32 (ln ratios × 10⁹), and a
     # mixed int/long literal array fails to resolve
     arr = F.array([F.lit(v).cast("bigint") for v in llr])
