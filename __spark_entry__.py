@@ -23,6 +23,7 @@ from bistro_spark.operators import dedup as _dedup
 from bistro_spark.operators import drift as _drift
 from bistro_spark.operators import ranking as _ranking
 from bistro_spark.operators import similarity as _similarity
+from bistro_spark.operators import temporal as _temporal
 from bistro_spark.operators import text as _text
 from bistro_spark.operators import web as _web
 from bistro_spark.sources.tokens import (
@@ -1200,6 +1201,58 @@ def q_bpe_encode_fixed(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_encode(docs, FIXED_MERGES)
 
 
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands sessionization over the events stream (30-min
+    gap): one shuffle on user_id serves the lag flag, the running
+    session index, AND the per-session rollup (the groupBy's clustering
+    is satisfied by the window's hash partitioning). Integer-µs time
+    math; decimal-exact value sums."""
+    from bistro_spark.operators.temporal import sessionize
+
+    return sessionize(load_table(spark, "events", sf), gap_s=1800.0)
+
+
+def q_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transitions over per-user event streams: the
+    lag window shares sessionize's single key shuffle; the (from, to)
+    rollup is one partial agg bounded by #event-types^2."""
+    from bistro_spark.operators.temporal import transition_matrix
+
+    return transition_matrix(load_table(spark, "events", sf))
+
+
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort-retention triangle over the events stream: exact
+    integer epoch-weeks (no calendar week-start disputes), two
+    co-partitioned key-level aggs + one triangle-bounded rollup."""
+    from bistro_spark.operators.temporal import cohort_retention
+
+    return cohort_retention(load_table(spark, "events", sf))
+
+
+def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-size sizing curve: share of token occurrences covered
+    by the top-k terms at log-spaced k. Two-phase ranked vocab ->
+    integer bin()-length log2 buckets -> one partial agg to <=64 rows;
+    the cumsum window runs over those rows only (log-bounded by
+    construction, never vocabulary-sized)."""
+    from bistro_spark.operators.ranking import vocab_coverage
+
+    return vocab_coverage(load_table(spark, "documents", sf))
+
+
+def q_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source OOV rate under a top-10 vocabulary — the per-slice
+    companion to vocab_coverage (corpus coverage can look fine while one
+    slice is half-OOV). Broadcast k-term vocab onto the exploded corpus,
+    one partial-agg groupBy per source. k=10 because the synthetic
+    corpus has a ~31-term vocabulary — the cap must bite to exercise
+    the OOV path."""
+    from bistro_spark.operators.ranking import oov_rate
+
+    return oov_rate(load_table(spark, "documents", sf), k=10)
+
+
 def q_dsir(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023) toward the English
     slice: hashed-ngram bag-of-words log-likelihood ratio per document.
@@ -1494,6 +1547,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fertility": q_fertility,
         "dsir_weights": q_dsir,
         "dsir_select": q_dsir_select,
+        "vocab_coverage": q_vocab_coverage,
+        "oov_rate": q_oov_rate,
+        "sessionize": q_sessionize,
+        "transition_matrix": q_transition_matrix,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -2202,6 +2260,11 @@ def oracle_sql() -> dict[str, str]:
         "fertility": _bpe.fertility_stats_sql("documents"),
         "dsir_weights": _curation.dsir_logweights_sql("documents", "lang = 'en'"),
         "dsir_select": _curation.dsir_select_sql("documents", "lang = 'en'", n=200),
+        "vocab_coverage": _ranking.vocab_coverage_sql("documents"),
+        "oov_rate": _ranking.oov_rate_sql("documents", k=10),
+        "sessionize": _temporal.sessionize_sql("events", gap_s=1800.0),
+        "transition_matrix": _temporal.transition_matrix_sql("events"),
+        "cohort_retention": _temporal.cohort_retention_sql("events"),
         "pack_stats": (
             "WITH enc AS ("
             + _ranking.encode_tokens_sql("documents")

@@ -207,3 +207,170 @@ def encode_tokens_sql(
       FROM t JOIN ranked t2 USING (term)
       GROUP BY t.{id_col}
     """
+
+
+# -------------------------------------------- vocabulary coverage curve ----
+def vocab_coverage(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Vocabulary-size sizing curve: what share of all token occurrences
+    the top-k most frequent terms cover, at log-spaced k — THE plot that
+    picks a tokenizer/vocab size before training (Zipf means the curve
+    saturates fast; the knee is the budget answer).
+
+    Shape at 100 TB: the vocabulary comes from :func:`build_vocab`
+    (two-phase global rank, never one reducer); ranks collapse to
+    log2-buckets via integer bin()-length (exact on both engines — no
+    float log2 edge disputes), ONE partial-aggregated groupBy down to
+    ≤ 64 bucket rows, and the cumulative sum runs a window over those
+    ≤ 64 rows only (single tiny partition BY CONSTRUCTION — log-bounded,
+    never vocabulary-sized). All counts exact BIGINT; coverage is a
+    round-6 report column.
+
+    Returns (top_k, n_terms, covered, total_occurrences, coverage) —
+    one row per occupied log2 bucket, top_k = 2^(b+1)−1 clipped to the
+    vocabulary size (the largest rank the bucket can hold).
+    """
+    from pyspark.sql import Window
+
+    vocab = build_vocab(df, text_col=text_col)  # (term, cnt, token_id)
+    rank = F.col("token_id") + 1
+    bucket = (F.length(F.bin(rank)) - F.lit(1)).cast("int")
+    per_bucket = (
+        vocab.select(bucket.alias("b"), "cnt")
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("terms"),
+            F.sum("cnt").cast("long").alias("occ"),
+        )
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per_bucket.agg(
+        F.sum("terms").cast("long").alias("_v"),
+        F.sum("occ").cast("long").alias("_tot"),
+    )
+    return (
+        per_bucket.crossJoin(F.broadcast(tot))
+        .select(
+            # SQL expr: pyspark's F.shiftleft only takes a literal shift
+            F.least(
+                F.expr("shiftleft(1L, b + 1) - 1L"), F.col("_v")
+            ).alias("top_k"),
+            F.sum("terms").over(w).cast("long").alias("n_terms"),
+            F.sum("occ").over(w).cast("long").alias("covered"),
+            F.col("_tot").alias("total_occurrences"),
+            F.round(F.sum("occ").over(w) / F.col("_tot"), 6).alias("coverage"),
+        )
+    )
+
+
+def vocab_coverage_sql(table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB twin of :func:`vocab_coverage` (row_number vocabulary,
+    same integer bin()-length buckets, window cumsum)."""
+    return f"""
+      WITH t AS (
+        SELECT unnest(string_split({text_col}, ' ')) AS term FROM {table}
+      ),
+      tt AS (SELECT term FROM t WHERE term <> ''),
+      vocab AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tt GROUP BY term
+      ),
+      ranked AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank
+        FROM vocab
+      ),
+      pb AS (
+        SELECT CAST(length(bin(rank)) - 1 AS INTEGER) AS b,
+               CAST(count(*) AS BIGINT) AS terms,
+               CAST(sum(cnt) AS BIGINT) AS occ
+        FROM ranked GROUP BY 1
+      ),
+      tot AS (SELECT CAST(sum(terms) AS BIGINT) AS v,
+                     CAST(sum(occ) AS BIGINT) AS tot FROM pb)
+      SELECT CAST(least((1::BIGINT << (b + 1)) - 1, tot.v) AS BIGINT)
+               AS top_k,
+             CAST(sum(terms) OVER (ORDER BY b) AS BIGINT) AS n_terms,
+             CAST(sum(occ) OVER (ORDER BY b) AS BIGINT) AS covered,
+             tot.tot AS total_occurrences,
+             round(CAST(sum(occ) OVER (ORDER BY b) AS DOUBLE) / tot.tot, 6)
+               AS coverage
+      FROM pb, tot
+    """
+
+
+# ---------------------------------------------------- per-slice OOV rate ----
+def oov_rate(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-slice out-of-vocabulary rate under a top-``k`` frequency
+    vocabulary: the share of a slice's token occurrences that a
+    k-capped tokenizer would map to <unk>. The per-slice companion to
+    :func:`vocab_coverage` — corpus-level coverage can look fine while
+    one slice (code, another script) is half-OOV.
+
+    The k-term vocabulary is dimension-sized by construction —
+    broadcast to the exploded corpus (left join, no shuffle of the fact
+    side), then ONE partial-aggregated groupBy per slice. Exact BIGINT
+    counts; oov_rate is a round-6 report column.
+
+    Returns (group, n_tokens, n_oov, oov_terms, oov_rate)."""
+    vocab = build_vocab(df, text_col=text_col, max_vocab=k).select("term")
+    terms = df.select(
+        F.col(group_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    joined = terms.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), "term", "left"
+    )
+    return joined.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.countDistinct(
+            F.when(F.col("_in").isNull(), F.col("term"))
+        ).cast("long").alias("oov_terms"),
+        F.round(
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+def oov_rate_sql(
+    table: str = "documents",
+    k: int = 100,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`oov_rate` (same (cnt DESC, term ASC)
+    vocabulary cut)."""
+    return f"""
+      WITH t AS (
+        SELECT {group_col} AS grp,
+               unnest(string_split({text_col}, ' ')) AS term
+        FROM {table}
+      ),
+      tt AS (SELECT * FROM t WHERE term <> ''),
+      vocab AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tt GROUP BY term
+      ),
+      topk AS (
+        SELECT term FROM vocab
+        ORDER BY cnt DESC, term ASC LIMIT {k}
+      )
+      SELECT tt.grp AS {group_col},
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN topk.term IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_oov,
+             CAST(count(DISTINCT CASE WHEN topk.term IS NULL
+                                      THEN tt.term END) AS BIGINT)
+               AS oov_terms,
+             round(CAST(sum(CASE WHEN topk.term IS NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*), 6) AS oov_rate
+      FROM tt LEFT JOIN topk USING (term)
+      GROUP BY tt.grp
+    """

@@ -171,3 +171,260 @@ def cep_followed_by(
         F.col("_fb.b_ts").alias("b_ts"),
         (F.col("_fb._bus") - F.col("_aus")).cast("long").alias("gap_us"),
     )
+
+
+# -------------------------------------------------------- sessionization ----
+def sessionize(
+    df: DataFrame,
+    gap_s: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): split each key's event
+    stream into maximal runs where consecutive events are ≤ ``gap_s``
+    apart, and report one row per session. The batch mirror of the
+    session window (`streaming/windows.py`) and the analytics query
+    behind every DAU/engagement report.
+
+    Plan shape at 100 TB: ONE shuffle total — the lag flag and the
+    running session index are two window passes over the SAME
+    (key, ts, id) sort order (no second exchange), and the per-session
+    groupBy's (key, session_idx) clustering is satisfied by the existing
+    hash partitioning on key, so Catalyst adds no exchange there either.
+    Per-key data must fit a partition (the inherent window constraint —
+    same note as the as-of link); AQE skew handling applies to the one
+    exchange. Time arithmetic is integer microseconds; the value sum is
+    decimal-cast (exact, order-independent) and emitted as double.
+
+    Returns (key, session_idx, session_start, session_end, n_events,
+    duration_s, sum_value) with session_idx 1-based per key in time
+    order."""
+    gap_us = int(round(gap_s * 1_000_000))
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    lag_us = F.lag(us).over(w)
+    new_sess = F.when(
+        lag_us.isNull() | (us - lag_us > F.lit(gap_us)), 1
+    ).otherwise(0)
+    run = Window.partitionBy(key_col).orderBy(ts_col, id_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    flagged = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(id_col),
+        F.col(val_col),
+        F.sum(new_sess).over(run).cast("long").alias("session_idx"),
+    )
+    return (
+        flagged.groupBy(key_col, "session_idx")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(
+                (
+                    F.unix_micros(F.max(ts_col).cast("timestamp"))
+                    - F.unix_micros(F.min(ts_col).cast("timestamp"))
+                )
+                / F.lit(1_000_000.0),
+                6,
+            ).alias("duration_s"),
+            F.round(
+                F.sum(F.col(val_col).cast("decimal(30,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+    )
+
+
+def sessionize_sql(
+    table: str = "events",
+    gap_s: float = 1800.0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`sessionize` — the textbook gaps-and-islands
+    lag + cumulative-sum formulation on ``epoch_us``."""
+    gap_us = int(round(gap_s * 1_000_000))
+    return f"""
+      WITH lagged AS (
+        SELECT {key_col}, {ts_col}, {id_col}, {val_col},
+               CASE WHEN lag(epoch_us({ts_col})) OVER w IS NULL
+                         OR epoch_us({ts_col})
+                            - lag(epoch_us({ts_col})) OVER w > {gap_us}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM {table}
+        WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {id_col})
+      ),
+      runs AS (
+        SELECT *,
+               CAST(sum(new_sess) OVER (
+                 PARTITION BY {key_col} ORDER BY {ts_col}, {id_col}
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        FROM lagged
+      )
+      SELECT {key_col}, session_idx,
+             min({ts_col}) AS session_start,
+             max({ts_col}) AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round((epoch_us(max({ts_col})) - epoch_us(min({ts_col})))
+                   / 1000000.0, 6) AS duration_s,
+             round(CAST(sum(CAST({val_col} AS DECIMAL(30,6))) AS DOUBLE), 6)
+               AS sum_value
+      FROM runs
+      GROUP BY {key_col}, session_idx
+    """
+
+
+# -------------------------------------------- event transition matrix ----
+def transition_matrix(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event streams:
+    for every consecutive pair of events of the same key (time order),
+    count (from_type → to_type) and report each row's share among its
+    from_type's outgoing transitions. The behavioral-analytics companion
+    to :func:`cep_followed_by` (which detects ONE pattern; this reports
+    ALL adjacent-pair structure).
+
+    100 TB shape: the lag window shares sessionize's single key shuffle
+    (per-key data in one partition — the inherent window constraint,
+    AQE skew handling on the one exchange), then ONE partial-aggregated
+    groupBy whose output is bounded by #event-types² — report-sized, not
+    corpus-sized. Counts exact BIGINT; the probability is a round-6
+    report column.
+
+    Returns (from_type, to_type, n_transitions, p)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    pairs = (
+        df.select(
+            F.lag(F.col(type_col)).over(w).alias("from_type"),
+            F.col(type_col).alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    out = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(out), 6
+        ).alias("p"),
+    )
+
+
+def transition_matrix_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB twin of :func:`transition_matrix`."""
+    return f"""
+      WITH lagged AS (
+        SELECT lag({type_col}) OVER (
+                 PARTITION BY {key_col} ORDER BY {ts_col}, {id_col}
+               ) AS from_type,
+               {type_col} AS to_type
+        FROM {table}
+      ),
+      cnt AS (
+        SELECT from_type, to_type,
+               CAST(count(*) AS BIGINT) AS n_transitions
+        FROM lagged WHERE from_type IS NOT NULL
+        GROUP BY from_type, to_type
+      )
+      SELECT from_type, to_type, n_transitions,
+             round(CAST(n_transitions AS DOUBLE)
+                   / sum(n_transitions) OVER (PARTITION BY from_type), 6)
+               AS p
+      FROM cnt
+    """
+
+
+# --------------------------------------------------- cohort retention ----
+def cohort_retention(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort-retention triangle: users grouped by first-seen
+    week; for each (cohort, weeks-since) cell, how many of the cohort
+    were active. The classic engagement report, in the exact integer
+    week arithmetic both engines agree on (week = epoch_µs // (7·86400·10⁶)
+    — no calendar/locale week-start disputes).
+
+    100 TB shape: distinct (key, week) activity and the per-key min week
+    are two partial-aggregated passes keyed on the SAME column, their
+    equi-join stays co-partitioned (no third shuffle of fact data), and
+    the final rollup is triangle-bounded (#weeks²/2 rows — report-sized).
+    Counts exact BIGINT; retention is a round-6 report column.
+
+    Returns (cohort_week, week_index, n_active, cohort_size, retention);
+    week_index 0 is the cohort's own week (retention 1.0 by definition
+    only when every cohort user is active that week — which week 0 is)."""
+    wk = (
+        F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(604_800_000_000))
+    ).cast("long")
+    activity = df.select(F.col(key_col), wk.alias("week")).distinct()
+    cohorts = activity.groupBy(key_col).agg(F.min("week").alias("cohort_week"))
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    cells = (
+        activity.join(cohorts, key_col)
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_index"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        F.col("week_index").cast("long").alias("week_index"),
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+    )
+
+
+def cohort_retention_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`cohort_retention` (same integer epoch-week)."""
+    return f"""
+      WITH activity AS (
+        SELECT DISTINCT {key_col} AS k,
+               CAST(epoch_us({ts_col}) // 604800000000 AS BIGINT) AS week
+        FROM {table}
+      ),
+      cohorts AS (
+        SELECT k, min(week) AS cohort_week FROM activity GROUP BY k
+      ),
+      sizes AS (
+        SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM cohorts GROUP BY cohort_week
+      ),
+      cells AS (
+        SELECT c.cohort_week, a.week - c.cohort_week AS week_index,
+               CAST(count(*) AS BIGINT) AS n_active
+        FROM activity a JOIN cohorts c USING (k)
+        GROUP BY 1, 2
+      )
+      SELECT cells.cohort_week,
+             CAST(week_index AS BIGINT) AS week_index,
+             n_active, cohort_size,
+             round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+      FROM cells JOIN sizes USING (cohort_week)
+    """

@@ -265,3 +265,78 @@ def test_encode_tokens_stream_static_vocab_parity(spark, tmp_path):
         for r in encode_tokens(spark.read.parquet(src), vocab).collect()
     )
     assert sorted(got) == want and len(want) > 0
+
+
+# ------------------------------------------- vocabulary coverage curve ----
+
+
+def test_vocab_coverage_hand_computed(spark):
+    from bistro_spark.operators.ranking import vocab_coverage
+
+    # term counts: a=4, b=2, c=1, d=1 -> ranks 1..4; buckets:
+    # b0 = {rank 1} (a, 4 occ), b1 = {ranks 2-3} (b+c, 3), b2 = {rank 4} (d, 1)
+    df = spark.createDataFrame(
+        [(0, "a a b c"), (1, "a a b d")], ["doc_id", "text"]
+    )
+    rows = {r.top_k: r for r in vocab_coverage(df).collect()}
+    assert set(rows) == {1, 3, 4}
+    assert (rows[1].n_terms, rows[1].covered) == (1, 4)
+    assert (rows[3].n_terms, rows[3].covered) == (3, 7)
+    assert (rows[4].n_terms, rows[4].covered, rows[4].coverage) == (4, 8, 1.0)
+    assert rows[1].coverage == 0.5 and rows[1].total_occurrences == 8
+
+
+def test_vocab_coverage_matches_duckdb(spark):
+    import duckdb
+
+    from bistro_spark.operators.ranking import vocab_coverage, vocab_coverage_sql
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    spark_rows = sorted(
+        tuple(r) for r in vocab_coverage(spark.read.parquet(path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    duck_rows = sorted(
+        tuple(r) for r in con.sql(vocab_coverage_sql("documents")).fetchall()
+    )
+    assert spark_rows == duck_rows
+    assert spark_rows[-1][4] <= 1.0  # monotone curve tops out at 1
+
+
+# ------------------------------------------------------- per-slice OOV ----
+
+
+def test_oov_rate_hand_computed(spark):
+    from bistro_spark.operators.ranking import oov_rate
+
+    # vocab k=1 keeps only 'a' (most frequent); slice s1: 3 of 4 tokens
+    # OOV over 2 distinct terms; s2: all in-vocab
+    df = spark.createDataFrame(
+        [
+            (0, "a b b c", "s1"),
+            (1, "a a a", "s2"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {r.source: r for r in oov_rate(df, k=1).collect()}
+    assert (got["s1"].n_tokens, got["s1"].n_oov, got["s1"].oov_terms) == (4, 3, 2)
+    assert got["s1"].oov_rate == 0.75
+    assert (got["s2"].n_oov, got["s2"].oov_rate) == (0, 0.0)
+
+
+def test_oov_rate_matches_duckdb(spark):
+    import duckdb
+
+    from bistro_spark.operators.ranking import oov_rate, oov_rate_sql
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    spark_rows = sorted(
+        tuple(r) for r in oov_rate(spark.read.parquet(path), k=25).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    duck_rows = sorted(
+        tuple(r) for r in con.sql(oov_rate_sql("documents", k=25)).fetchall()
+    )
+    assert spark_rows == duck_rows

@@ -144,3 +144,166 @@ def test_cep_streaming_hardening_parity(spark):
         for a_id, b_id in prev.items():
             assert cur[a_id] == b_id  # an established match never changes
         prev = cur
+
+
+# --------------------------------------------------------- sessionization ----
+
+
+def test_sessionize_hand_computed(spark):
+    from datetime import datetime as dt
+
+    from bistro_spark.operators.temporal import sessionize
+
+    rows = [
+        # user 1: two sessions (gap 100s splits at t=0..30 vs t=200..210)
+        (0, dt(2024, 1, 1, 0, 0, 0), 1, 1.5),
+        (1, dt(2024, 1, 1, 0, 0, 30), 1, 2.0),
+        (2, dt(2024, 1, 1, 0, 3, 20), 1, 0.25),
+        (3, dt(2024, 1, 1, 0, 3, 30), 1, 1.0),
+        # user 2: one single-event session
+        (4, dt(2024, 1, 1, 0, 0, 10), 2, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    got = {
+        (r.user_id, r.session_idx): r
+        for r in sessionize(df, gap_s=100.0).collect()
+    }
+    assert set(got) == {(1, 1), (1, 2), (2, 1)}
+    s11 = got[(1, 1)]
+    assert (s11.n_events, s11.duration_s, s11.sum_value) == (2, 30.0, 3.5)
+    s12 = got[(1, 2)]
+    assert (s12.n_events, s12.duration_s, s12.sum_value) == (2, 10.0, 1.25)
+    assert got[(2, 1)].duration_s == 0.0
+
+
+def test_sessionize_gap_boundary_is_inclusive(spark):
+    """Events exactly gap_s apart stay in ONE session (<= not <)."""
+    from datetime import datetime as dt
+
+    from bistro_spark.operators.temporal import sessionize
+
+    df = spark.createDataFrame(
+        [(0, dt(2024, 1, 1, 0, 0, 0), 1, 0.0), (1, dt(2024, 1, 1, 0, 1, 0), 1, 0.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    assert sessionize(df, gap_s=60.0).count() == 1
+    assert sessionize(df, gap_s=59.999).count() == 2
+
+
+def test_sessionize_matches_duckdb(spark):
+    import duckdb
+
+    from bistro_spark.operators.temporal import sessionize, sessionize_sql
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    spark_rows = sorted(
+        tuple(r)
+        for r in sessionize(spark.read.parquet(path), gap_s=1800.0).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    duck_rows = sorted(
+        tuple(r) for r in con.sql(sessionize_sql("events", 1800.0)).fetchall()
+    )
+    assert spark_rows == duck_rows
+    assert len(spark_rows) > 0
+
+
+# ---------------------------------------------- event transition matrix ----
+
+
+def test_transition_matrix_hand_computed(spark):
+    from datetime import datetime as dt
+
+    from bistro_spark.operators.temporal import transition_matrix
+
+    rows = [
+        (0, dt(2024, 1, 1, 0, 0, 0), 1, "view"),
+        (1, dt(2024, 1, 1, 0, 0, 10), 1, "view"),
+        (2, dt(2024, 1, 1, 0, 0, 20), 1, "buy"),
+        (3, dt(2024, 1, 1, 0, 0, 5), 2, "view"),
+        (4, dt(2024, 1, 1, 0, 0, 15), 2, "buy"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n_transitions, r.p)
+        for r in transition_matrix(df).collect()
+    }
+    # view->view once, view->buy twice; no cross-user pair (1's buy
+    # never links to 2's view)
+    assert got == {("view", "view"): (1, round(1 / 3, 6)),
+                   ("view", "buy"): (2, round(2 / 3, 6))}
+
+
+def test_transition_matrix_matches_duckdb(spark):
+    import duckdb
+
+    from bistro_spark.operators.temporal import (
+        transition_matrix,
+        transition_matrix_sql,
+    )
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    spark_rows = sorted(
+        tuple(r) for r in transition_matrix(spark.read.parquet(path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    duck_rows = sorted(
+        tuple(r) for r in con.sql(transition_matrix_sql("events")).fetchall()
+    )
+    assert spark_rows == duck_rows
+    assert len(spark_rows) > 0
+
+
+# ------------------------------------------------------ cohort retention ----
+
+
+def test_cohort_retention_hand_computed(spark):
+    from datetime import datetime as dt
+
+    from bistro_spark.operators.temporal import cohort_retention
+
+    # epoch-week boundaries: 1970-01-01 is week 0; use +7d offsets.
+    w0, w1, w2 = dt(2024, 1, 3), dt(2024, 1, 10), dt(2024, 1, 17)
+    rows = [
+        (0, w0, 1), (1, w1, 1), (2, w2, 1),   # user 1: weeks 0,1,2
+        (3, w0, 2), (4, w2, 2),               # user 2: weeks 0,2
+        (5, w1, 3),                           # user 3: cohort w1 only
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    got = {
+        (r.cohort_week, r.week_index): (r.n_active, r.cohort_size, r.retention)
+        for r in cohort_retention(df).collect()
+    }
+    cw = sorted({k[0] for k in got})
+    a, b = cw[0], cw[1]
+    assert b == a + 1
+    assert got[(a, 0)] == (2, 2, 1.0)
+    assert got[(a, 1)] == (1, 2, 0.5)
+    assert got[(a, 2)] == (2, 2, 1.0)
+    assert got[(b, 0)] == (1, 1, 1.0)
+    assert set(got) == {(a, 0), (a, 1), (a, 2), (b, 0)}
+
+
+def test_cohort_retention_matches_duckdb(spark):
+    import duckdb
+
+    from bistro_spark.operators.temporal import (
+        cohort_retention,
+        cohort_retention_sql,
+    )
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    spark_rows = sorted(
+        tuple(r) for r in cohort_retention(spark.read.parquet(path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    duck_rows = sorted(
+        tuple(r) for r in con.sql(cohort_retention_sql("events")).fetchall()
+    )
+    assert spark_rows == duck_rows
+    assert len(spark_rows) > 0
