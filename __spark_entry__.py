@@ -21,6 +21,7 @@ from bistro_spark.operators import bpe as _bpe
 from bistro_spark.operators import curation as _curation
 from bistro_spark.operators import dedup as _dedup
 from bistro_spark.operators import drift as _drift
+from bistro_spark.operators import olap as _olap
 from bistro_spark.operators import ranking as _ranking
 from bistro_spark.operators import similarity as _similarity
 from bistro_spark.operators import temporal as _temporal
@@ -1253,6 +1254,54 @@ def q_oov_rate(spark: SparkSession, sf: str) -> DataFrame:
     return oov_rate(load_table(spark, "documents", sf), k=10)
 
 
+PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]  # fixed corpus lang domain
+
+
+def q_rollup_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical (source, lang) rollup — cell, subtotal, grand total
+    in ONE shuffle via Spark's native rollup grouping sets; '(all)'
+    labels from grouping() so NULL data can't collide with subtotals."""
+    from bistro_spark.operators.olap import rollup_report
+
+    return rollup_report(load_table(spark, "documents", sf))
+
+
+def q_pivot_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Source × lang cross-tab via native pivot with an EXPLICIT value
+    list (data-independent schema, no blind distinct scan) — one
+    partial-aggregated shuffle on source."""
+    from bistro_spark.operators.olap import pivot_report
+
+    return pivot_report(load_table(spark, "documents", sf), values=PIVOT_LANGS)
+
+
+def q_decile_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Equal-population length deciles WITHOUT ntile: bucket =
+    (rank-1)·10 DIV N over the two-phase global_rank — no single-reducer
+    sort; identical boundaries to the oracle's row_number formula."""
+    from bistro_spark.operators.olap import decile_report
+
+    return decile_report(load_table(spark, "documents", sf))
+
+
+def q_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source Shannon entropy of the term distribution — template
+    spam vs varied prose. Exact counts; c·ln(c) rounded to 9 digits and
+    decimal-summed (order-independent cross-engine)."""
+    from bistro_spark.operators.olap import token_entropy
+
+    return token_entropy(load_table(spark, "documents", sf))
+
+
+def q_signal_correlations(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source Pearson(n_chars, word count) from exact BIGINT/decimal
+    sufficient statistics in one partial-agg pass — float appears only
+    in the final assembled expression."""
+    from bistro_spark.operators.olap import signal_correlations
+
+    return signal_correlations(load_table(spark, "documents", sf))
+
+
 def q_dsir(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023) toward the English
     slice: hashed-ngram bag-of-words log-likelihood ratio per document.
@@ -1552,6 +1601,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "transition_matrix": q_transition_matrix,
         "cohort_retention": q_cohort_retention,
+        "rollup_report": q_rollup_report,
+        "pivot_report": q_pivot_report,
+        "decile_report": q_decile_report,
+        "token_entropy": q_token_entropy,
+        "signal_correlations": q_signal_correlations,
     }
 
 
@@ -2265,6 +2319,11 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _temporal.sessionize_sql("events", gap_s=1800.0),
         "transition_matrix": _temporal.transition_matrix_sql("events"),
         "cohort_retention": _temporal.cohort_retention_sql("events"),
+        "rollup_report": _olap.rollup_report_sql("documents"),
+        "pivot_report": _olap.pivot_report_sql("documents", values=PIVOT_LANGS),
+        "decile_report": _olap.decile_report_sql("documents"),
+        "token_entropy": _olap.token_entropy_sql("documents"),
+        "signal_correlations": _olap.signal_correlations_sql("documents"),
         "pack_stats": (
             "WITH enc AS ("
             + _ranking.encode_tokens_sql("documents")

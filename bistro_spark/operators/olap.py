@@ -1,0 +1,365 @@
+"""OLAP reporting operators: rollup cube margins, pivoted cross-tabs,
+scalable decile tables, distributional entropy, and exact-arithmetic
+correlation — the interactive-analytics layer every engine comparison
+table lists (reference scope: asavinov/bistro's column calculus has no
+multi-dimensional reporting; these are the standard-category extensions
+SURVEY.md §2.5 tracks).
+
+Scale notes common to all five:
+
+- Every operator is ONE partial-aggregated groupBy over the fact table
+  (rollup/pivot/corr) or reuses the two-phase ``global_rank`` (deciles)
+  — report-sized outputs, no corpus-sized window, no driver loop.
+- Float discipline (the oracle-gate rule): counts and sums are exact
+  BIGINT/decimal; any transcendental is rounded per-row to 9 digits and
+  summed as decimal (order-independent), ratios are round-6 report
+  columns computed once at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_ALL = "(all)"
+
+
+# ------------------------------------------------------- rollup report ----
+def rollup_report(
+    df: DataFrame,
+    dims: tuple[str, str] = ("source", "lang"),
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Hierarchical rollup over two dimensions: per (d1, d2), per d1
+    subtotal, and the grand total in one pass — Spark's native
+    ``rollup`` (a single shuffle computing all three grouping sets with
+    partial aggregation; Catalyst expands the sets map-side, it does NOT
+    rescan per level). Rolled-up positions are labeled ``(all)`` via
+    ``grouping()`` so a genuine NULL dimension value can never collide
+    with a subtotal row.
+
+    Returns (d1, d2, n_rows, total_len) with exact BIGINT measures."""
+    d1, d2 = dims
+    g = (
+        df.rollup(d1, d2)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col(len_col).cast("long")).cast("long").alias("total_len"),
+            F.grouping(d1).alias("_g1"),
+            F.grouping(d2).alias("_g2"),
+        )
+    )
+    return g.select(
+        F.when(F.col("_g1") == 1, F.lit(_ALL)).otherwise(F.col(d1)).alias(d1),
+        F.when(F.col("_g2") == 1, F.lit(_ALL)).otherwise(F.col(d2)).alias(d2),
+        "n_rows",
+        "total_len",
+    )
+
+
+def rollup_report_sql(
+    table: str = "documents",
+    dims: tuple[str, str] = ("source", "lang"),
+    len_col: str = "n_chars",
+) -> str:
+    """DuckDB twin of :func:`rollup_report` (GROUP BY ROLLUP)."""
+    d1, d2 = dims
+    return f"""
+      SELECT CASE WHEN GROUPING({d1}) = 1 THEN '{_ALL}' ELSE {d1} END AS {d1},
+             CASE WHEN GROUPING({d2}) = 1 THEN '{_ALL}' ELSE {d2} END AS {d2},
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST({len_col} AS BIGINT)) AS BIGINT) AS total_len
+      FROM {table}
+      GROUP BY ROLLUP ({d1}, {d2})
+    """
+
+
+# -------------------------------------------------------- pivot report ----
+def pivot_report(
+    df: DataFrame,
+    row_dim: str = "source",
+    col_dim: str = "lang",
+    values: list[str] | None = None,
+) -> DataFrame:
+    """Cross-tab: one row per ``row_dim``, one count column per
+    ``col_dim`` value — Spark's native ``pivot`` with an EXPLICIT value
+    list (the two-argument form; the list is either caller-fixed or one
+    dimension-sized distinct collect). Without the list Spark runs a
+    blind distinct scan AND the output schema becomes data-dependent —
+    the classic pivot footgun at scale. The pivot itself stays one
+    partial-aggregated shuffle on ``row_dim``.
+
+    Returns (row_dim, n_<v1>, n_<v2>, ..., n_total); absent cells are 0."""
+    if values is None:
+        values = sorted(
+            r[0] for r in df.select(col_dim).distinct().collect()
+        )
+    p = (
+        df.groupBy(row_dim)
+        .pivot(col_dim, values)
+        .agg(F.count(F.lit(1)))
+    )
+    out = p.select(
+        row_dim,
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long").alias(f"n_{v}")
+            for v in values
+        ],
+    )
+    total = None
+    for v in values:
+        c = F.col(f"n_{v}")
+        total = c if total is None else total + c
+    return out.withColumn("n_total", total.cast("long"))
+
+
+def pivot_report_sql(
+    table: str = "documents",
+    row_dim: str = "source",
+    col_dim: str = "lang",
+    values: list[str] | None = None,
+) -> str:
+    """DuckDB twin: conditional aggregation (the portable pivot)."""
+    assert values, "oracle needs the explicit value list"
+    cells = ",\n             ".join(
+        f"CAST(count(*) FILTER (WHERE {col_dim} = '{v}') AS BIGINT) AS n_{v}"
+        for v in values
+    )
+    return f"""
+      SELECT {row_dim},
+             {cells},
+             CAST(count(*) FILTER (WHERE {col_dim} IN ({
+                 ", ".join(f"'{v}'" for v in values)
+             })) AS BIGINT) AS n_total
+      FROM {table}
+      GROUP BY {row_dim}
+    """
+
+
+# ------------------------------------------------------- decile report ----
+def decile_report(
+    df: DataFrame,
+    order_cols: list[str] | None = None,
+    len_col: str = "n_chars",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Equal-population quantile buckets WITHOUT ``ntile`` — a global
+    ntile window is a single-reducer sort (the whole corpus through one
+    task), so bucket = ``(rank-1)·k // N`` over the two-phase
+    :func:`ranking.global_rank` instead: range-partitioned rank, one
+    #partitions-row driver collect, identical bucket boundaries to
+    ntile's when N % k == 0 and deterministic always (the order key is
+    totalized by the id tie-break).
+
+    Returns (bucket, n_rows, min_len, max_len) — bucket 0 holds the
+    largest ``len_col`` values (rank ascends by length DESC)."""
+    from bistro_spark.operators.ranking import global_rank
+
+    order_cols = order_cols or ["_neg_len", "doc_id"]
+    base = df.select(
+        F.col("doc_id"),
+        F.col(len_col).cast("long").alias("_len"),
+        (-F.col(len_col)).cast("long").alias("_neg_len"),
+    )
+    n = base.count()
+    ranked = global_rank(base, order_cols, rank_col="_r")
+    return (
+        ranked.select(
+            # integer DIV, not float /: a boundary rank must never land
+            # in the wrong bucket by one ulp of double rounding
+            F.expr(f"CAST(((_r - 1) * {n_buckets}) DIV {n} AS BIGINT)").alias(
+                "bucket"
+            ),
+            "_len",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("_len").cast("long").alias("min_len"),
+            F.max("_len").cast("long").alias("max_len"),
+        )
+    )
+
+
+def decile_report_sql(
+    table: str = "documents",
+    len_col: str = "n_chars",
+    n_buckets: int = 10,
+) -> str:
+    """DuckDB twin: the same (rank-1)·k // N formula over a plain
+    row_number (fine at oracle scale)."""
+    return f"""
+      WITH ranked AS (
+        SELECT CAST({len_col} AS BIGINT) AS _len,
+               row_number() OVER (
+                 ORDER BY -{len_col}, doc_id
+               ) AS _r,
+               count(*) OVER () AS _n
+        FROM {table}
+      )
+      SELECT CAST(({n_buckets} * (_r - 1)) // _n AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(min(_len) AS BIGINT) AS min_len,
+             CAST(max(_len) AS BIGINT) AS max_len
+      FROM ranked
+      GROUP BY 1
+    """
+
+
+# ------------------------------------------------------- token entropy ----
+def token_entropy(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group Shannon entropy of the term distribution (nats) — the
+    diversity score that separates varied prose from template spam
+    before any model runs: H = ln(N) − (Σ c·ln c)/N over exact term
+    counts c.
+
+    One explode + two partial-aggregated groupBys, both keyed so the
+    second reuses the first's (group, term) clustering. The only float
+    is ln: each c·ln(c) is rounded to 9 digits and summed as decimal —
+    order-independent, so engines and cluster shapes agree bit-for-bit
+    (the `unigram_logprob` discipline).
+
+    Returns (group, n_terms, n_tokens, entropy)."""
+    counts = (
+        df.select(
+            F.col(group_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy(group_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per_group = counts.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(
+            F.round(F.col("c") * F.log("c"), 9).cast("decimal(38,9)")
+        ).alias("_clnc"),
+    )
+    return per_group.select(
+        group_col,
+        "n_terms",
+        "n_tokens",
+        F.round(
+            F.log("n_tokens") - F.col("_clnc").cast("double") / F.col("n_tokens"),
+            6,
+        ).alias("entropy"),
+    )
+
+
+def token_entropy_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`token_entropy` (same round-9 decimal sum)."""
+    return f"""
+      WITH terms AS (
+        SELECT {group_col} AS grp, unnest(string_split({text_col}, ' ')) AS term
+        FROM {table}
+      ),
+      counts AS (
+        SELECT grp, term, CAST(count(*) AS BIGINT) AS c
+        FROM terms WHERE term <> '' GROUP BY grp, term
+      ),
+      agg AS (
+        SELECT grp AS {group_col},
+               CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               sum(CAST(round(c * ln(c), 9) AS DECIMAL(38,9))) AS _clnc
+        FROM counts GROUP BY grp
+      )
+      SELECT {group_col}, n_terms, n_tokens,
+             round(ln(n_tokens) - CAST(_clnc AS DOUBLE) / n_tokens, 6)
+               AS entropy
+      FROM agg
+    """
+
+
+# ------------------------------------------------- signal correlations ----
+def signal_correlations(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Per-group Pearson correlation between two per-document signals
+    (character length vs whitespace word count) from EXACT sufficient
+    statistics: n, Σx, Σy, Σxy, Σx², Σy² as BIGINT/decimal in one
+    partial-aggregated pass, the correlation assembled once at the end
+    (single double expression over exact inputs — nothing accumulates in
+    float, so partitioning cannot change the answer).
+
+    Returns (group, n, corr) — the template for any signal pair a
+    quality dashboard tracks."""
+    xy = df.select(
+        F.col(group_col),
+        F.col(len_col).cast("long").alias("x"),
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), " "), lambda w: w != ""
+            )
+        ).cast("long").alias("y"),
+    )
+    s = xy.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy").cast("double") - (
+        F.col("sx").cast("double") * F.col("sy").cast("double")
+    )
+    den = F.sqrt(
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        F.col("n") * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    return s.select(
+        group_col,
+        "n",
+        F.round(num / den, 6).alias("corr"),
+    )
+
+
+def signal_correlations_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+    len_col: str = "n_chars",
+) -> str:
+    """DuckDB twin of :func:`signal_correlations` (same exact sums)."""
+    return f"""
+      WITH xy AS (
+        SELECT {group_col} AS grp,
+               CAST({len_col} AS BIGINT) AS x,
+               CAST(len(list_filter(string_split({text_col}, ' '),
+                                    w -> w <> '')) AS BIGINT) AS y
+        FROM {table}
+      ),
+      s AS (
+        SELECT grp AS {group_col},
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+               CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+               CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+               CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+               CAST(sum(y * y) AS DECIMAL(38,0)) AS syy
+        FROM xy GROUP BY grp
+      )
+      SELECT {group_col}, n,
+             round(
+               (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+               6) AS corr
+      FROM s
+    """
