@@ -1302,6 +1302,56 @@ def q_signal_correlations(spark: SparkSession, sf: str) -> DataFrame:
     return signal_correlations(load_table(spark, "documents", sf))
 
 
+def q_load_heatmap(spark: SparkSession, sf: str) -> DataFrame:
+    """Hour-of-week load heatmap: ONE partial-agg groupBy to ≤168 rows,
+    pure integer epoch DIV/mod time math (no calendar layer), exact
+    decimal value sums."""
+    from bistro_spark.operators.temporal import load_heatmap
+
+    return load_heatmap(load_table(spark, "events", sf))
+
+
+def q_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 adjacent-word PMI collocations: linear pair explode, two
+    partial-agg groupBys, broadcast unigram counts, distributed top-k
+    (TakeOrderedAndProject) ranked on exact (count, pair) keys — PMI is
+    a round-6 report column."""
+    from bistro_spark.operators.text import collocations_pmi
+
+    return collocations_pmi(load_table(spark, "documents", sf))
+
+
+FUNNEL_STEPS = ["signup", "view", "click", "purchase", "error"]
+
+
+def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """5-step first-touch funnel over the events stream: per-key
+    min-struct cascade, co-partitioned joins after one key shuffle,
+    struct-total-order tie-breaks identical across engines."""
+    from bistro_spark.operators.temporal import funnel_conversion
+
+    return funnel_conversion(load_table(spark, "events", sf), steps=FUNNEL_STEPS)
+
+
+def q_expanding_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event anomaly score vs the key's own strictly-prior history
+    (prior-exclusive expanding window — the only form an exactly-once
+    streaming scorer can reproduce). One key shuffle; exact decimal
+    running sums; z assembled in one final double expression."""
+    from bistro_spark.operators.temporal import expanding_zscore
+
+    return expanding_zscore(load_table(spark, "events", sf))
+
+
+def q_length_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source Gini of the length distribution via ONE global
+    two-phase rank minus broadcast group offsets — no per-group window
+    (a 20-source corpus would push corpus/20 through single tasks)."""
+    from bistro_spark.operators.olap import length_gini
+
+    return length_gini(load_table(spark, "documents", sf))
+
+
 def q_dsir(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023) toward the English
     slice: hashed-ngram bag-of-words log-likelihood ratio per document.
@@ -1606,6 +1656,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decile_report": q_decile_report,
         "token_entropy": q_token_entropy,
         "signal_correlations": q_signal_correlations,
+        "expanding_zscore": q_expanding_zscore,
+        "length_gini": q_length_gini,
+        "funnel_conversion": q_funnel_conversion,
+        "collocations_pmi": q_collocations,
+        "load_heatmap": q_load_heatmap,
     }
 
 
@@ -2324,6 +2379,13 @@ def oracle_sql() -> dict[str, str]:
         "decile_report": _olap.decile_report_sql("documents"),
         "token_entropy": _olap.token_entropy_sql("documents"),
         "signal_correlations": _olap.signal_correlations_sql("documents"),
+        "expanding_zscore": _temporal.expanding_zscore_sql("events"),
+        "length_gini": _olap.length_gini_sql("documents"),
+        "funnel_conversion": _temporal.funnel_conversion_sql(
+            "events", steps=FUNNEL_STEPS
+        ),
+        "collocations_pmi": _text.collocations_pmi_sql("documents"),
+        "load_heatmap": _temporal.load_heatmap_sql("events"),
         "pack_stats": (
             "WITH enc AS ("
             + _ranking.encode_tokens_sql("documents")

@@ -363,3 +363,108 @@ def signal_correlations_sql(
                6) AS corr
       FROM s
     """
+
+
+# ------------------------------------------------------- length Gini ----
+def length_gini(
+    df: DataFrame,
+    group_col: str = "source",
+    len_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group Gini coefficient of the length distribution — the
+    concentration audit that says whether a source's token budget is a
+    few giant documents or many small ones:
+    G = (2·Σ rᵢxᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ), ranks ascending by
+    (length, id).
+
+    The scale trick: the classical formula needs a PER-GROUP rank, but a
+    per-group window puts each group's whole corpus through one task
+    (with ~20 sources that is corpus/20 per task — the skew mistake).
+    Instead rank ONCE globally over (group, len, id) with the two-phase
+    ``global_rank`` (range-partitioned, no single reducer), subtract the
+    group's cumulative offset — the global order is group-major, so
+    rank_in_group = global_rank − rows_before_group, with the offsets a
+    #groups-row broadcast. Σrx and Σx are exact integer/decimal sums;
+    one float division at the end (round-6).
+
+    Returns (group, n, total_len, gini)."""
+    from bistro_spark.operators.ranking import global_rank
+
+    base = df.select(
+        F.col(group_col),
+        F.col(len_col).cast("long").alias("_x"),
+        F.col(id_col).alias("_id"),
+    )
+    ranked = global_rank(base, [group_col, "_x", "_id"], rank_col="_gr")
+    counts = (
+        ranked.groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    # group-major global order ⇒ offset = Σ counts of lexically-smaller
+    # groups: a #groups-row cumulative sum (tiny window over the dim)
+    from pyspark.sql import Window as _W
+
+    woff = _W.orderBy(group_col).rowsBetween(
+        _W.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        group_col,
+        "n",
+        F.coalesce(F.sum("n").over(woff), F.lit(0)).cast("long").alias("_off"),
+    )
+    rg = ranked.join(F.broadcast(offsets), group_col).select(
+        group_col,
+        "_x",
+        (F.col("_gr") - F.col("_off")).alias("_r"),
+        "n",
+    )
+    s = rg.groupBy(group_col).agg(
+        F.max("n").alias("n"),
+        F.sum("_x").cast("decimal(38,0)").alias("_sx"),
+        F.sum(F.col("_r") * F.col("_x")).cast("decimal(38,0)").alias("_srx"),
+    )
+    return s.select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        F.col("_sx").cast("long").alias("total_len"),
+        F.round(
+            (
+                2 * F.col("_srx").cast("double")
+                - (F.col("n") + 1) * F.col("_sx").cast("double")
+            )
+            / (F.col("n") * F.col("_sx").cast("double")),
+            6,
+        ).alias("gini"),
+    )
+
+
+def length_gini_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    len_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin: plain per-group row_number (fine at oracle scale)."""
+    return f"""
+      WITH ranked AS (
+        SELECT {group_col} AS grp,
+               CAST({len_col} AS BIGINT) AS x,
+               row_number() OVER (
+                 PARTITION BY {group_col} ORDER BY {len_col}, {id_col}
+               ) AS r
+        FROM {table}
+      ),
+      s AS (
+        SELECT grp AS {group_col},
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+               CAST(sum(r * x) AS DECIMAL(38,0)) AS srx
+        FROM ranked GROUP BY grp
+      )
+      SELECT {group_col}, n,
+             CAST(sx AS BIGINT) AS total_len,
+             round((2 * CAST(srx AS DOUBLE) - (n + 1) * CAST(sx AS DOUBLE))
+                   / (n * CAST(sx AS DOUBLE)), 6) AS gini
+      FROM s
+    """

@@ -428,3 +428,258 @@ def cohort_retention_sql(
              round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
       FROM cells JOIN sizes USING (cohort_week)
     """
+
+
+# ------------------------------------------------ expanding z-score ----
+def expanding_zscore(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    min_prev: int = 2,
+) -> DataFrame:
+    """Per-event anomaly score against the key's OWN history: z = (x − μ)
+    / σ over all strictly-prior events of the same key (expanding window,
+    exclusive of the current row). Prior-exclusive is the deliberate
+    choice — it is the only form an exactly-once streaming scorer can
+    reproduce (the score of an event never changes after emission), and
+    it is the honest one (the current point must not dilute its own
+    baseline).
+
+    100 TB shape: ONE key shuffle; the three running statistics
+    (count, Σx, Σx²) are cumulative window sums over the same
+    (key, ts, id) sort order — no second exchange, no self-join. Float
+    discipline: x is cast once to decimal(30,6), both running sums stay
+    exact decimal, and z is assembled in ONE final double expression
+    (round-6) — partitioning cannot change a single emitted score.
+
+    Returns (id, key, ts, value, n_prev, z); z is NULL until ``min_prev``
+    prior events exist or while the prior variance is zero."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    xd = F.col(val_col).cast("decimal(30,6)")
+    n = F.count(F.lit(1)).over(w).cast("long")
+    sx = F.sum(xd).over(w).cast("decimal(38,6)")
+    sxx = F.sum((xd * xd).cast("decimal(38,12)")).over(w).cast("decimal(38,12)")
+    mean = sx.cast("double") / n
+    var = (sxx.cast("double") - sx.cast("double") * sx.cast("double") / n) / n
+    z = (F.col(val_col) - mean) / F.sqrt(var)
+    return df.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(val_col),
+        F.coalesce(n, F.lit(0)).alias("n_prev"),
+        F.round(
+            F.when((n >= F.lit(min_prev)) & (var > 0), z), 6
+        ).alias("z"),
+    )
+
+
+def expanding_zscore_sql(
+    table: str = "events",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    min_prev: int = 2,
+) -> str:
+    """DuckDB twin of :func:`expanding_zscore` (same exclusive frame and
+    decimal-exact running sums)."""
+    return f"""
+      WITH stats AS (
+        SELECT {id_col}, {key_col}, {ts_col}, {val_col},
+               count(*) OVER w AS n,
+               CAST(sum(CAST({val_col} AS DECIMAL(30,6))) OVER w
+                    AS DECIMAL(38,6)) AS sx,
+               CAST(sum(CAST(CAST({val_col} AS DECIMAL(30,6))
+                             * CAST({val_col} AS DECIMAL(30,6))
+                             AS DECIMAL(38,12))) OVER w
+                    AS DECIMAL(38,12)) AS sxx
+        FROM {table}
+        WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col}, {id_col}
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      )
+      SELECT {id_col}, {key_col}, {ts_col}, {val_col},
+             CAST(coalesce(n, 0) AS BIGINT) AS n_prev,
+             round(CASE WHEN n >= {min_prev}
+                         AND (CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                             / n > 0
+                        THEN ({val_col} - CAST(sx AS DOUBLE) / n)
+                             / sqrt((CAST(sxx AS DOUBLE)
+                                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                                    / n)
+                   END, 6) AS z
+      FROM stats
+    """
+
+
+# ---------------------------------------------------- funnel conversion ----
+def funnel_conversion(
+    df: DataFrame,
+    steps: list[str] | None = None,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered multi-step funnel: how many keys performed step 1, then
+    step 2 strictly after their FIRST step-1 event, then step 3 strictly
+    after that, ... (the standard product-analytics funnel, first-touch
+    semantics, unbounded horizon — :func:`cep_followed_by` is the
+    two-step bounded-horizon cousin).
+
+    "After" is total-order on (ts, id) via struct comparison, so same-µs
+    ties break identically on every engine and run. Each step is one
+    type-pruned pass over the fact table aggregated to per-key min-struct
+    (partial-aggregatable), equi-joined to the previous step's survivors
+    — all keyed on ``key_col``, so after the first shuffle the joins stay
+    co-partitioned, and each step's input only shrinks. No windows, no
+    driver-side loops over data (the step list drives plan construction
+    only); counts land in ONE lazy union plan.
+
+    Returns (step, n_keys, conversion) — conversion is the share of
+    step-1 keys surviving through this step (round-6; step 1 ⇒ 1.0)."""
+    steps = steps or ["view", "click", "purchase"]
+    mark = F.struct(F.col(ts_col), F.col(id_col)).alias("_m")
+    survivors = []  # per step: DataFrame (key, _m) of keys that reached it
+    cur = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(key_col)
+        .agg(F.min(mark).alias("_m"))
+    )
+    survivors.append(cur)
+    for s in steps[1:]:
+        nxt = (
+            df.filter(F.col(type_col) == s)
+            .join(cur.select(key_col, F.col("_m").alias("_prev")), key_col)
+            .filter(F.struct(F.col(ts_col), F.col(id_col)) > F.col("_prev"))
+            .groupBy(key_col)
+            .agg(F.min(mark).alias("_m"))
+        )
+        survivors.append(nxt)
+        cur = nxt
+    counts = None
+    for i, (s, d) in enumerate(zip(steps, survivors)):
+        c = d.agg(F.count(F.lit(1)).cast("long").alias("n_keys")).select(
+            F.lit(f"{i + 1}_{s}").alias("step"), "n_keys"
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    base = (
+        survivors[0]
+        .agg(F.count(F.lit(1)).cast("long").alias("_n1"))
+    )
+    return counts.crossJoin(F.broadcast(base)).select(
+        "step",
+        "n_keys",
+        F.round(F.col("n_keys") / F.col("_n1"), 6).alias("conversion"),
+    )
+
+
+def funnel_conversion_sql(
+    table: str = "events",
+    steps: list[str] | None = None,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB twin of :func:`funnel_conversion` (struct min + row
+    comparison have the same lexicographic semantics)."""
+    steps = steps or ["view", "click", "purchase"]
+    ctes = [
+        f"""s1 AS (
+        SELECT {key_col} AS k,
+               min({{'ts': {ts_col}, 'id': {id_col}}}) AS m
+        FROM {table} WHERE {type_col} = '{steps[0]}' GROUP BY {key_col}
+      )"""
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"""s{i} AS (
+        SELECT e.{key_col} AS k,
+               min({{'ts': e.{ts_col}, 'id': e.{id_col}}}) AS m
+        FROM {table} e JOIN s{i - 1} p ON e.{key_col} = p.k
+        WHERE e.{type_col} = '{s}'
+          AND {{'ts': e.{ts_col}, 'id': e.{id_col}}} > p.m
+        GROUP BY e.{key_col}
+      )"""
+        )
+    selects = "\n      UNION ALL\n".join(
+        f"      SELECT '{i + 1}_{s}' AS step,"
+        f" CAST(count(*) AS BIGINT) AS n_keys FROM s{i + 1}"
+        for i, s in enumerate(steps)
+    )
+    return f"""
+      WITH {", ".join(ctes)},
+      counts AS (
+{selects}
+      ),
+      base AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM s1)
+      SELECT step, n_keys,
+             round(CAST(n_keys AS DOUBLE) / n1, 6) AS conversion
+      FROM counts CROSS JOIN base
+    """
+
+
+# ------------------------------------------------- hour-of-week load ----
+def load_heatmap(
+    df: DataFrame,
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Operational load heatmap: event count and exact value sum per
+    (day-of-week, hour-of-day) cell — the capacity-planning view of any
+    event stream. Time math is pure integer epoch arithmetic
+    (hour = µs // 3600·10⁶ mod 24; dow = (µs // 86400·10⁶ + 4) mod 7,
+    0 = Sunday — the 1970-01-01-was-Thursday shift), so no engine's
+    calendar/locale/timezone layer is consulted at all.
+
+    ONE partial-aggregated groupBy to a ≤168-row output; sums exact
+    decimal → round-6 double report. Returns (dow, hour, n_events,
+    sum_value)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return (
+        df.select(
+            # integer DIV, not float /: epoch-boundary µs must never
+            # round across a day/hour edge
+            us.alias("_us"),
+            F.col(val_col),
+        )
+        .select(
+            (F.expr("_us DIV 86400000000") + F.lit(4)).alias("_d"),
+            F.expr("_us DIV 3600000000").alias("_h"),
+            F.col(val_col),
+        )
+        .groupBy(
+            (F.col("_d") % 7).cast("long").alias("dow"),
+            (F.col("_h") % 24).cast("long").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(
+                F.sum(F.col(val_col).cast("decimal(30,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+    )
+
+
+def load_heatmap_sql(table: str = "events", ts_col: str = "ts",
+                     val_col: str = "value") -> str:
+    """DuckDB twin of :func:`load_heatmap` (same integer epoch math)."""
+    return f"""
+      SELECT CAST((epoch_us({ts_col}) // 86400000000 + 4) % 7 AS BIGINT)
+               AS dow,
+             CAST((epoch_us({ts_col}) // 3600000000) % 24 AS BIGINT)
+               AS hour,
+             CAST(count(*) AS BIGINT) AS n_events,
+             round(CAST(sum(CAST({val_col} AS DECIMAL(30,6))) AS DOUBLE), 6)
+               AS sum_value
+      FROM {table}
+      GROUP BY 1, 2
+    """

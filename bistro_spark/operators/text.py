@@ -777,3 +777,127 @@ def bm25_scores_sql(
         )
     union = " UNION ALL ".join(selects)
     return f"WITH stats AS ({stats}) {union}"
+
+
+# ------------------------------------------------- collocation mining ----
+def collocations_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k adjacent-word collocations by PMI (pointwise mutual
+    information): pairs that co-occur far more than their unigram
+    frequencies predict — multi-word expressions, boilerplate phrases,
+    template artifacts. The lexical companion to the Gopher repetition
+    signals: repetition finds WITHIN-doc loops, PMI finds CORPUS-level
+    glue phrases.
+
+    Shape at 100 TB: one explode into adjacent pairs (size-1 per doc,
+    linear — never the within-doc n² co-occurrence matrix), two
+    partial-aggregated groupBys (pair counts, unigram counts), unigram
+    totals broadcast back onto the vocabulary-sized pair table, and the
+    top-k via ``orderBy(...).limit(k)`` — Spark compiles that to
+    TakeOrderedAndProject (per-partition heaps + driver merge of k rows),
+    NOT a single-reducer global sort. Ranking keys are (count DESC,
+    pair ASC): exact integers/strings, never the float PMI; the PMI is a
+    round-6 report column assembled in ONE double expression from exact
+    BIGINT counts (both engines see identical inputs and association, so
+    they round identically).
+
+    Returns top_k rows (term_a, term_b, n_pair, pmi), count-ranked."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    pairs = (
+        df.select(words.alias("_w"))
+        .filter(F.size("_w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_w) - 1),"
+                    " i -> struct(_w[i-1] AS a, _w[i] AS b))"
+                )
+            ).alias("_p")
+        )
+        .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+    )
+    pair_counts = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    uni = (
+        df.select(F.explode(words).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = uni.agg(
+        F.sum("c").cast("long").alias("_n"),
+    )
+    m = pairs.agg(F.count(F.lit(1)).cast("long").alias("_m"))
+    scored = (
+        pair_counts.join(
+            F.broadcast(uni.select(F.col("t").alias("a"), F.col("c").alias("_ca"))),
+            "a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("t").alias("b"), F.col("c").alias("_cb"))),
+            "b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(m))
+    )
+    pmi = F.log(
+        (F.col("n_pair").cast("double") * F.col("_n") * F.col("_n"))
+        / (F.col("_m").cast("double") * F.col("_ca") * F.col("_cb"))
+    )
+    return (
+        scored.select(
+            F.col("a").alias("term_a"),
+            F.col("b").alias("term_b"),
+            "n_pair",
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("n_pair").desc(), "term_a", "term_b")
+        .limit(top_k)
+    )
+
+
+def collocations_pmi_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    top_k: int = 20,
+    min_count: int = 5,
+) -> str:
+    """DuckDB twin of :func:`collocations_pmi` (same single-expression
+    PMI assembly and (count, pair) ranking)."""
+    return f"""
+      WITH w AS (
+        SELECT list_filter(string_split({text_col}, ' '), x -> x <> '') AS w
+        FROM {table}
+      ),
+      pairs AS (
+        SELECT w[i] AS a, w[i + 1] AS b
+        FROM w, unnest(range(1, len(w))) AS t(i)
+        WHERE len(w) >= 2
+      ),
+      pc AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n_pair
+        FROM pairs GROUP BY a, b
+        HAVING count(*) >= {min_count}
+      ),
+      uni AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(w) AS t FROM w) GROUP BY t
+      ),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs)
+      SELECT pc.a AS term_a, pc.b AS term_b, n_pair,
+             round(ln((CAST(n_pair AS DOUBLE) * n * n)
+                      / (CAST(m AS DOUBLE) * ua.c * ub.c)), 6) AS pmi
+      FROM pc
+      JOIN uni ua ON pc.a = ua.t
+      JOIN uni ub ON pc.b = ub.t
+      CROSS JOIN tot CROSS JOIN m
+      ORDER BY n_pair DESC, term_a, term_b
+      LIMIT {top_k}
+    """

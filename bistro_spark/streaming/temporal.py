@@ -412,3 +412,265 @@ def _first_merges(j: DataFrame, gap_us: int):
         (F.col("local_idx") == 1) & F.col("_sidx").isNotNull() & gap_ok, 1
     ).otherwise(0)
     return F.max(first_merge).over(_W.partitionBy(j.columns[0])) == 1
+
+
+class StreamingZScorer:
+    """Exactly-once per-event anomaly scoring — the streaming twin of
+    :func:`operators.temporal.expanding_zscore`. The batch op is
+    prior-EXCLUSIVE by design, which makes it perfectly incremental: an
+    event's score depends only on its key's history strictly before it,
+    so the score emitted at arrival time never needs revision.
+
+    State: per key, the three running statistics (n, Σx, Σx²) as exact
+    BIGINT/decimal — ONE row per key, independent of stream length.
+    Per trigger: scores = state offsets + within-batch prior-exclusive
+    cumulative sums (the batch op's own window, seeded); state update =
+    one delta-sized partial agg merged additively. Under the package's
+    cross-batch event-time-order contract, emissions over any batch
+    split equal the batch operator row-for-row (pytest-pinned — decimal
+    sums make this bit-exact, not approximately so).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        key_col: str = "user_id",
+        ts_col: str = "ts",
+        id_col: str = "event_id",
+        val_col: str = "value",
+        min_prev: int = 2,
+    ):
+        self.spark = spark
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.id_col = id_col
+        self.val_col = val_col
+        self.min_prev = min_prev
+        self._stats: DataFrame | None = None  # (key, _n0, _sx0, _sxx0)
+        self._pin_ids: set[int] = set()
+        self.batches_seen = 0
+
+    def state_rows(self) -> int:
+        return 0 if self._stats is None else self._stats.count()
+
+    def process_batch(self, batch_df: DataFrame) -> DataFrame:
+        self.batches_seen += 1
+        k, t, i, v = self.key_col, self.ts_col, self.id_col, self.val_col
+        st = (
+            self._stats
+            if self._stats is not None
+            else self.spark.createDataFrame(
+                [], "k long, _n0 long, _sx0 decimal(38,6), _sxx0 decimal(38,12)"
+            )
+            .withColumnRenamed("k", k)
+            .withColumn(k, F.col(k).cast(batch_df.schema[k].dataType))
+        )
+        xd = F.col(v).cast("decimal(30,6)")
+        w = (
+            Window.partitionBy(k)
+            .orderBy(t, i)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        seeded = batch_df.join(st, k, "left").select(
+            F.col(i),
+            F.col(k),
+            F.col(t),
+            F.col(v),
+            (
+                F.coalesce(F.col("_n0"), F.lit(0))
+                + F.coalesce(F.count(F.lit(1)).over(w), F.lit(0))
+            ).cast("long").alias("_n"),
+            (
+                F.coalesce(F.col("_sx0"), F.lit(0).cast("decimal(38,6)"))
+                + F.coalesce(F.sum(xd).over(w), F.lit(0).cast("decimal(38,6)"))
+            ).cast("decimal(38,6)").alias("_sx"),
+            (
+                F.coalesce(F.col("_sxx0"), F.lit(0).cast("decimal(38,12)"))
+                + F.coalesce(
+                    F.sum((xd * xd).cast("decimal(38,12)")).over(w),
+                    F.lit(0).cast("decimal(38,12)"),
+                )
+            ).cast("decimal(38,12)").alias("_sxx"),
+        )
+        n = F.col("_n")
+        mean = F.col("_sx").cast("double") / n
+        var = (
+            F.col("_sxx").cast("double")
+            - F.col("_sx").cast("double") * F.col("_sx").cast("double") / n
+        ) / n
+        z = (F.col(v) - mean) / F.sqrt(var)
+        out, out_ids = pin(
+            seeded.select(
+                i,
+                k,
+                t,
+                v,
+                n.alias("n_prev"),
+                F.round(
+                    F.when((n >= F.lit(self.min_prev)) & (var > 0), z), 6
+                ).alias("z"),
+            )
+        )
+
+        # additive state update: delta partial agg + full-outer merge
+        delta = batch_df.groupBy(k).agg(
+            F.count(F.lit(1)).cast("long").alias("_dn"),
+            F.sum(xd).cast("decimal(38,6)").alias("_dsx"),
+            F.sum((xd * xd).cast("decimal(38,12)"))
+            .cast("decimal(38,12)")
+            .alias("_dsxx"),
+        )
+        merged = st.join(delta, k, "full_outer").select(
+            F.col(k),
+            (
+                F.coalesce(F.col("_n0"), F.lit(0))
+                + F.coalesce(F.col("_dn"), F.lit(0))
+            ).cast("long").alias("_n0"),
+            (
+                F.coalesce(F.col("_sx0"), F.lit(0).cast("decimal(38,6)"))
+                + F.coalesce(F.col("_dsx"), F.lit(0).cast("decimal(38,6)"))
+            ).cast("decimal(38,6)").alias("_sx0"),
+            (
+                F.coalesce(F.col("_sxx0"), F.lit(0).cast("decimal(38,12)"))
+                + F.coalesce(F.col("_dsxx"), F.lit(0).cast("decimal(38,12)"))
+            ).cast("decimal(38,12)").alias("_sxx0"),
+        )
+        old = self._pin_ids
+        self._stats, st_ids = pin(merged)
+        self._pin_ids = st_ids | out_ids
+        release(self.spark, old)
+        return out
+
+    def close(self) -> None:
+        release(self.spark, self._pin_ids)
+        self._pin_ids = set()
+        self._stats = None
+
+
+class StreamingCohortTracker:
+    """Per-trigger cohort-retention triangle of the stream seen so far —
+    the streaming twin of :func:`operators.temporal.cohort_retention`.
+
+    Sufficient statistics, all merged incrementally:
+
+    - ``_cohorts`` (key → first-seen epoch-week): one row per key,
+      immutable once assigned (the cross-batch event-time-order contract
+      makes first sight = earliest week);
+    - ``_seen`` distinct (key, week) pairs — the dedup set that keeps a
+      key's repeat activity in a week from double-counting. This is the
+      op's TRUE sufficient statistic: activity-relation-sized (distinct
+      key-weeks), much smaller than the event stream but — honestly —
+      not constant: the retention triangle itself grows with calendar
+      time, and so must any exact maintainer of it;
+    - ``_grid`` additive (cohort_week, week_index, n_active) — triangle-
+      sized.
+
+    Per trigger: delta → distinct pairs (one partial agg), anti-join the
+    seen set (the only state-sized work), assign cohorts to new keys,
+    bump the grid, emit the full report (grid ⋈ cohort sizes). After k
+    in-order triggers the report equals the batch op on the union of all
+    deltas EXACTLY (pytest-pinned)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        key_col: str = "user_id",
+        ts_col: str = "ts",
+    ):
+        self.spark = spark
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self._cohorts: DataFrame | None = None
+        self._seen: DataFrame | None = None
+        self._grid: DataFrame | None = None
+        self._pin_ids: set[int] = set()
+        self.batches_seen = 0
+
+    def state_rows(self) -> int:
+        n = 0
+        for df in (self._cohorts, self._seen, self._grid):
+            if df is not None:
+                n += df.count()
+        return n
+
+    def process_batch(self, batch_df: DataFrame) -> DataFrame:
+        self.batches_seen += 1
+        k = self.key_col
+        wk = (
+            F.floor(
+                F.unix_micros(F.col(self.ts_col).cast("timestamp"))
+                / F.lit(604_800_000_000)
+            )
+        ).cast("long")
+        pairs = batch_df.select(F.col(k), wk.alias("week")).distinct()
+        new_pairs = (
+            pairs
+            if self._seen is None
+            else pairs.join(self._seen, [k, "week"], "left_anti")
+        )
+        new_keys = (
+            new_pairs
+            if self._cohorts is None
+            else new_pairs.join(self._cohorts.select(k), k, "left_anti")
+        ).groupBy(k).agg(F.min("week").alias("cohort_week"))
+        cohorts = (
+            new_keys
+            if self._cohorts is None
+            else self._cohorts.unionByName(new_keys)
+        )
+        bump = (
+            new_pairs.join(cohorts, k)
+            .groupBy(
+                "cohort_week",
+                (F.col("week") - F.col("cohort_week")).cast("long").alias(
+                    "week_index"
+                ),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        )
+        grid = (
+            bump
+            if self._grid is None
+            else self._grid.unionByName(bump)
+            .groupBy("cohort_week", "week_index")
+            .agg(F.sum("n_active").cast("long").alias("n_active"))
+        )
+        seen = (
+            new_pairs
+            if self._seen is None
+            else self._seen.unionByName(new_pairs)
+        )
+        old = self._pin_ids
+        self._cohorts, c_ids = pin(cohorts)
+        self._seen, s_ids = pin(seen)
+        self._grid, g_ids = pin(grid)
+        self._pin_ids = c_ids | s_ids | g_ids
+        release(self.spark, old)
+        return self.report()
+
+    def report(self) -> DataFrame:
+        if self._grid is None:
+            return self.spark.createDataFrame(
+                [],
+                "cohort_week long, week_index long, n_active long,"
+                " cohort_size long, retention double",
+            )
+        sizes = self._cohorts.groupBy("cohort_week").agg(
+            F.count(F.lit(1)).cast("long").alias("cohort_size")
+        )
+        return self._grid.join(F.broadcast(sizes), "cohort_week").select(
+            "cohort_week",
+            "week_index",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+
+    def close(self) -> None:
+        release(self.spark, self._pin_ids)
+        self._pin_ids = set()
+        self._cohorts = None
+        self._seen = None
+        self._grid = None

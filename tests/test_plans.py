@@ -369,3 +369,81 @@ def test_source_overlap_single_data_shuffle_bounded_tail(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "ReadSchema: struct<text:string,source:string>" in plan
+
+
+def test_sessionize_single_exchange(spark):
+    """Gaps-and-islands: the lag flag, the running session index, and
+    the per-session rollup all ride ONE hash exchange on the key — the
+    groupBy's (key, session_idx) clustering is satisfied by the window's
+    partitioning, so Catalyst must not add a second shuffle."""
+    from bistro_spark.operators.temporal import sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = plan_of(sessionize(ev, gap_s=1800.0))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_rollup_is_one_expand_one_exchange_no_join(spark):
+    """Native rollup = grouping-set Expand + ONE partial+final agg pair;
+    a per-level rescan or a union-of-groupBys would show extra scans."""
+    from bistro_spark.operators.olap import rollup_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(rollup_report(docs))
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_token_entropy_no_window(spark):
+    """Entropy is two partial-aggregated groupBys — any Window node here
+    means someone reintroduced a per-group running pass."""
+    from bistro_spark.operators.olap import token_entropy
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(token_entropy(docs))
+    assert "Window" not in plan
+    assert "partial" in plan.lower() or "HashAggregate" in plan
+
+
+def test_expanding_zscore_single_exchange_no_join(spark):
+    """All three running statistics share one (key, ts, id) window pass:
+    one exchange, no self-join."""
+    from bistro_spark.operators.temporal import expanding_zscore
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = plan_of(expanding_zscore(ev))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_funnel_no_cartesian_on_fact_side(spark):
+    """The per-step joins are key-equi (broadcast or co-partitioned);
+    the only nested-loop is the final single-row conversion base — a
+    1-row broadcast side, sanctioned."""
+    from bistro_spark.operators.temporal import funnel_conversion
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = plan_of(funnel_conversion(ev))
+    assert "CartesianProduct" not in plan
+    # every scan is type-pruned: the step filter reaches parquet
+    assert "PushedFilters" in plan_of(
+        funnel_conversion(ev), mode="formatted"
+    ) or "Filter" in plan
+
+
+def test_decile_report_no_single_partition_sort(spark):
+    """Deciles ride the two-phase global_rank: no global (empty
+    partition-by) window, no Exchange SinglePartition for data rows."""
+    from bistro_spark.operators.olap import decile_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(decile_report(docs))
+    assert "Exchange SinglePartition" not in plan
+    # the rank phase ran through global_rank's eager checkpoint (lineage
+    # truncates there), so the tail plan reads the materialized RDD and
+    # only re-aggregates — the window it contains is per-_pid, not global
+    assert "Scan ExistingRDD" in plan

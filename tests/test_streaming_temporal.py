@@ -151,3 +151,49 @@ def test_streaming_temporal_close_releases_all_pins(spark):
     ctr.close()
     szr.close()
     assert pinned_ids(spark) <= before
+
+
+# ---------------------------------------------------- cohort tracker ----
+def test_streaming_cohort_matches_batch_at_every_trigger(spark):
+    """Cohorts freeze at first sight, the seen-set dedups repeat
+    activity, the grid is additive → after k in-order triggers the
+    report equals the batch op on the union of the first k batches."""
+    from bistro_spark.operators.temporal import cohort_retention
+    from bistro_spark.streaming.temporal import StreamingCohortTracker
+
+    ev, deltas = _time_split(spark, n=4)
+    trk = StreamingCohortTracker(spark)
+    seen = None
+    try:
+        for d in deltas:
+            got = _rows(trk.process_batch(d))
+            seen = d if seen is None else seen.unionByName(d)
+            assert got == _rows(cohort_retention(seen))
+    finally:
+        trk.close()
+
+
+def test_streaming_cohort_state_is_activity_bounded(spark):
+    """State ≤ distinct key-weeks + keys + triangle cells — replaying
+    the same batches adds NOTHING (the seen-set absorbs repeats)."""
+    from bistro_spark.streaming.temporal import StreamingCohortTracker
+
+    ev, deltas = _time_split(spark, n=3)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    n_pairs = (
+        ev.select("user_id", F.floor(us / 604_800_000_000).alias("w"))
+        .distinct()
+        .count()
+    )
+    n_keys = ev.select("user_id").distinct().count()
+    trk = StreamingCohortTracker(spark)
+    try:
+        for d in deltas:
+            trk.process_batch(d)
+        size1 = trk.state_rows()
+        for d in deltas:  # replay: pure no-op for the state
+            trk.process_batch(d)
+        assert trk.state_rows() == size1
+        assert size1 <= n_pairs + n_keys + n_pairs  # seen + cohorts + grid
+    finally:
+        trk.close()

@@ -307,3 +307,54 @@ def test_cohort_retention_matches_duckdb(spark):
     )
     assert spark_rows == duck_rows
     assert len(spark_rows) > 0
+
+
+# ---------------------------------------------------- funnel conversion ----
+def test_funnel_order_matters(spark):
+    """A key whose click precedes its first view must NOT convert at the
+    click step — first-touch ordered semantics, not set-membership."""
+    import datetime as dt
+
+    from bistro_spark.operators.temporal import funnel_conversion
+
+    t0 = dt.datetime(2026, 1, 1)
+    mk = lambda uid, eid, sec, ty: (uid, t0 + dt.timedelta(seconds=sec), eid, ty)
+    rows = [
+        # u1: view → click → purchase (full conversion)
+        mk(1, 1, 0, "view"), mk(1, 2, 10, "click"), mk(1, 3, 20, "purchase"),
+        # u2: click BEFORE view, purchase after — drops at click
+        mk(2, 4, 0, "click"), mk(2, 5, 10, "view"), mk(2, 6, 20, "purchase"),
+        # u3: view only
+        mk(3, 7, 0, "view"),
+        # u4: never views — not even in step 1
+        mk(4, 8, 0, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {r.step: r for r in funnel_conversion(df).collect()}
+    assert out["1_view"].n_keys == 3
+    assert out["2_click"].n_keys == 1 and out["2_click"].conversion == round(1 / 3, 6)
+    assert out["3_purchase"].n_keys == 1
+
+
+def test_funnel_same_timestamp_tiebreak(spark):
+    """Ties at the same µs break on event_id via struct total order —
+    a click with the same ts but larger id than the first view counts
+    ('after' in the (ts, id) order), same as the DuckDB oracle."""
+    import datetime as dt
+
+    from bistro_spark.operators.temporal import funnel_conversion
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 10, "view"),
+        (1, t0, 11, "click"),      # same ts, id AFTER the view → counts
+        (2, t0, 21, "view"),
+        (2, t0, 20, "click"),      # same ts, id BEFORE the view → drops
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {r.step: r.n_keys for r in funnel_conversion(df, ["view", "click"]).collect()}
+    assert out == {"1_view": 2, "2_click": 1}
