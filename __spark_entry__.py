@@ -1352,6 +1352,36 @@ def q_length_gini(spark: SparkSession, sf: str) -> DataFrame:
     return length_gini(load_table(spark, "documents", sf))
 
 
+def q_ks_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source exact two-sample KS statistic vs the rest of the
+    corpus: integer-only max/argmax over a dimension-sized
+    (source × length) CDF grid — one corpus-reducing partial agg, no
+    float in any aggregate or comparison."""
+    from bistro_spark.operators.olap import ks_drift
+
+    return ks_drift(load_table(spark, "documents", sf))
+
+
+def q_source_kl(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source KL divergence of the word-unigram distribution from
+    the corpus distribution: round-9 decimal contribution sums over the
+    (source, term) grid (token_entropy's float discipline), vocab-sized
+    shuffle only, group totals broadcast."""
+    from bistro_spark.operators.olap import source_kl
+
+    return source_kl(load_table(spark, "documents", sf))
+
+
+def q_contingency(spark: SparkSession, sf: str) -> DataFrame:
+    """χ² contingency of language × log₂-length-bucket: exact bit-length
+    buckets, one partial-agg groupBy to the ≤|langs|×|buckets| grid,
+    margins as grid-sized window sums, expected/contrib as single
+    round-6 double expressions per cell."""
+    from bistro_spark.operators.olap import contingency_report
+
+    return contingency_report(load_table(spark, "documents", sf))
+
+
 def q_dsir(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023) toward the English
     slice: hashed-ngram bag-of-words log-likelihood ratio per document.
@@ -1661,6 +1691,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": q_funnel_conversion,
         "collocations_pmi": q_collocations,
         "load_heatmap": q_load_heatmap,
+        "ks_drift": q_ks_drift,
+        "source_kl": q_source_kl,
+        "contingency_report": q_contingency,
     }
 
 
@@ -2386,6 +2419,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "collocations_pmi": _text.collocations_pmi_sql("documents"),
         "load_heatmap": _temporal.load_heatmap_sql("events"),
+        "ks_drift": _olap.ks_drift_sql("documents"),
+        "source_kl": _olap.source_kl_sql("documents"),
+        "contingency_report": _olap.contingency_report_sql("documents"),
         "pack_stats": (
             "WITH enc AS ("
             + _ranking.encode_tokens_sql("documents")

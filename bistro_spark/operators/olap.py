@@ -468,3 +468,356 @@ def length_gini_sql(
                    / (n * CAST(sx AS DOUBLE)), 6) AS gini
       FROM s
     """
+
+
+# ---------------------------------------------------- KS length drift ----
+def ks_drift(
+    df: DataFrame,
+    group_col: str = "source",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between each
+    group's length distribution and the REST of the corpus — the
+    distribution-shift audit that flags a source whose documents stopped
+    looking like everyone else's (complements the histogram-L1
+    `length_drift`, which compares snapshots, not sources).
+
+    The whole computation is INTEGER arithmetic until the final report
+    division: at every distinct length L,
+    ``|CDF_g(L) − CDF_rest(L)| = |cum_g·(N−n_g) − (cum_all−cum_g)·n_g|
+    / (n_g·(N−n_g))`` — the numerator is an exact product of counts
+    (decimal(38,0): at 10¹² rows the cross-product exceeds BIGINT), the
+    denominator is constant per group, so the max and its argmax
+    (smallest length on ties) are decided on exact integers. No float
+    ever enters an aggregate or a comparison.
+
+    Scale shape: one partial-aggregated groupBy reduces the corpus to
+    the (group × length) grid; the length dim and the group dim are
+    re-aggregations of that grid; the evaluation grid is their cross
+    join — dimension-sized (|lengths|·|groups|), never corpus-sized. The
+    per-group CDF window runs over |lengths| rows per partition.
+
+    Returns (group, n, ks_len, ks_stat)."""
+    from pyspark.sql import Window as _W
+
+    per = df.groupBy(
+        F.col(group_col), F.col(len_col).cast("long").alias("_len")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    groups = per.groupBy(group_col).agg(
+        F.sum("_c").cast("long").alias("_ng")
+    )
+    lens = per.groupBy("_len").agg(F.sum("_c").cast("long").alias("_call"))
+    wall = _W.orderBy("_len").rowsBetween(_W.unboundedPreceding, 0)
+    lens = lens.select(
+        "_len", F.sum("_call").over(wall).cast("long").alias("_cumall")
+    )
+    ntot = F.max(F.col("_cumall")).over(_W.partitionBy())
+    grid = (
+        groups.crossJoin(lens)
+        .join(per, [group_col, "_len"], "left")
+        .select(
+            group_col,
+            "_len",
+            "_ng",
+            "_cumall",
+            F.coalesce(F.col("_c"), F.lit(0)).alias("_c"),
+        )
+    )
+    wg = (
+        _W.partitionBy(group_col)
+        .orderBy("_len")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    scored = grid.select(
+        group_col,
+        "_len",
+        "_ng",
+        ntot.alias("_n"),
+        F.sum("_c").over(wg).cast("long").alias("_cumg"),
+        "_cumall",
+    ).select(
+        group_col,
+        "_len",
+        "_ng",
+        "_n",
+        F.abs(
+            F.col("_cumg").cast("decimal(38,0)")
+            * (F.col("_n") - F.col("_ng")).cast("decimal(38,0)")
+            - (F.col("_cumall") - F.col("_cumg")).cast("decimal(38,0)")
+            * F.col("_ng").cast("decimal(38,0)")
+        ).alias("_num"),
+    )
+    best = scored.groupBy(group_col).agg(
+        F.max("_ng").alias("n"),
+        F.max("_n").alias("_n"),
+        # exact argmax, smallest length on ties: max over (num, -len)
+        F.max(F.struct(F.col("_num"), (-F.col("_len")).alias("_nl"))).alias(
+            "_b"
+        ),
+    )
+    denom = (
+        F.col("n").cast("double")
+        * (F.col("_n") - F.col("n")).cast("double")
+    )
+    return best.select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        (-F.col("_b._nl")).cast("long").alias("ks_len"),
+        F.round(
+            F.when(denom > 0, F.col("_b._num").cast("double") / denom), 6
+        ).alias("ks_stat"),
+    )
+
+
+def ks_drift_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    len_col: str = "n_chars",
+) -> str:
+    """DuckDB twin of :func:`ks_drift` (same exact-integer max/argmax)."""
+    return f"""
+      WITH per AS (
+        SELECT {group_col} AS grp, CAST({len_col} AS BIGINT) AS len,
+               CAST(count(*) AS BIGINT) AS c
+        FROM {table} GROUP BY 1, 2
+      ),
+      groups AS (
+        SELECT grp, CAST(sum(c) AS BIGINT) AS ng FROM per GROUP BY grp
+      ),
+      lens AS (
+        SELECT len,
+               CAST(sum(sum(c)) OVER (
+                 ORDER BY len ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumall
+        FROM per GROUP BY len
+      ),
+      tot AS (SELECT max(cumall) AS n FROM lens),
+      grid AS (
+        SELECT g.grp, l.len, g.ng, l.cumall, t.n,
+               COALESCE(p.c, 0) AS c
+        FROM groups g CROSS JOIN lens l CROSS JOIN tot t
+        LEFT JOIN per p ON p.grp = g.grp AND p.len = l.len
+      ),
+      scored AS (
+        SELECT grp, len, ng, n,
+               abs(CAST(sum(c) OVER (PARTITION BY grp ORDER BY len
+                                     ROWS UNBOUNDED PRECEDING)
+                        AS DECIMAL(38,0)) * (n - ng)
+                   - (cumall - CAST(sum(c) OVER (PARTITION BY grp
+                        ORDER BY len ROWS UNBOUNDED PRECEDING)
+                        AS DECIMAL(38,0))) * ng) AS num
+        FROM grid
+      ),
+      best AS (
+        SELECT grp AS {group_col}, max(ng) AS n, max(n) AS ntot,
+               max(struct_pack(num := num, nl := -len)) AS b
+        FROM scored GROUP BY grp
+      )
+      SELECT {group_col}, CAST(n AS BIGINT) AS n,
+             CAST(-(b.nl) AS BIGINT) AS ks_len,
+             round(CASE WHEN CAST(n AS DOUBLE) * (ntot - n) > 0 THEN
+               CAST(b.num AS DOUBLE) / (CAST(n AS DOUBLE) * (ntot - n))
+             END, 6) AS ks_stat
+      FROM best
+    """
+
+
+# ------------------------------------------------ per-source KL drift ----
+def source_kl(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group KL divergence KL(P_g ‖ Q) of the group's word-unigram
+    distribution from the whole-corpus distribution — the
+    mixture-quality number that says HOW differently a source writes,
+    where `token_entropy` only says how diversely. No smoothing is
+    needed: every group term is by construction in the corpus, so Q > 0
+    wherever P > 0.
+
+    Float discipline (`token_entropy`'s): per (group, term) cell the
+    contribution c·ln(c·N / (n_g·C_t)) is one double expression over
+    exact counts (multiplied in double — the integer cross-product c·N
+    would overflow BIGINT at 10¹² tokens), rounded to 9 digits, summed
+    as decimal; KL = Σ/n_g is the one final round-6 division.
+
+    Scale shape: corpus → (group, term) grid in one partial-aggregated
+    explode-groupBy; term totals and group totals are re-aggregations of
+    the grid; the grid↔term-totals join shuffles vocabulary-sized data
+    only; group totals ride a broadcast. Returns (group, n_tokens, kl)."""
+    counts = (
+        df.select(
+            F.col(group_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy(group_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tt = counts.groupBy("term").agg(F.sum("c").cast("long").alias("ct"))
+    gt = counts.groupBy(group_col).agg(
+        F.sum("c").cast("long").alias("ng")
+    )
+    ntot = gt.agg(F.sum("ng").cast("long").alias("nn"))
+    cells = (
+        counts.join(tt, "term")
+        .join(F.broadcast(gt), group_col)
+        .crossJoin(F.broadcast(ntot))
+    )
+    contrib = F.round(
+        F.col("c")
+        * F.log(
+            (F.col("c").cast("double") * F.col("nn").cast("double"))
+            / (F.col("ng").cast("double") * F.col("ct").cast("double"))
+        ),
+        9,
+    ).cast("decimal(38,9)")
+    s = cells.groupBy(group_col).agg(
+        F.max("ng").alias("n_tokens"),
+        F.sum(contrib).alias("_s"),
+    )
+    return s.select(
+        group_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.col("_s").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("kl"),
+    )
+
+
+def source_kl_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`source_kl` (same round-9 decimal sum)."""
+    return f"""
+      WITH terms AS (
+        SELECT {group_col} AS grp,
+               unnest(string_split({text_col}, ' ')) AS term
+        FROM {table}
+      ),
+      counts AS (
+        SELECT grp, term, CAST(count(*) AS BIGINT) AS c
+        FROM terms WHERE term <> '' GROUP BY grp, term
+      ),
+      tt AS (SELECT term, CAST(sum(c) AS BIGINT) AS ct
+             FROM counts GROUP BY term),
+      gt AS (SELECT grp, CAST(sum(c) AS BIGINT) AS ng
+             FROM counts GROUP BY grp),
+      tot AS (SELECT CAST(sum(ng) AS BIGINT) AS nn FROM gt),
+      s AS (
+        SELECT counts.grp AS {group_col},
+               max(ng) AS n_tokens,
+               sum(CAST(round(c * ln((CAST(c AS DOUBLE) * nn)
+                                     / (CAST(ng AS DOUBLE) * ct)), 9)
+                        AS DECIMAL(38,9))) AS _s
+        FROM counts
+        JOIN tt USING (term) JOIN gt USING (grp) CROSS JOIN tot
+        GROUP BY 1
+      )
+      SELECT {group_col}, CAST(n_tokens AS BIGINT) AS n_tokens,
+             round(CAST(_s AS DOUBLE) / n_tokens, 6) AS kl
+      FROM s
+    """
+
+
+# ------------------------------------------- χ² contingency report ----
+def contingency_report(
+    df: DataFrame,
+    dim1_col: str = "lang",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Independence audit of a categorical dimension against
+    log₂-bucketed document length: the per-cell χ² contingency table
+    (observed, margins, expected, contribution) that tells a curation
+    pipeline whether e.g. language and length are entangled before it
+    samples on either.
+
+    Buckets are EXACT integer bit-lengths (``length(bin(len))`` =
+    ⌊log₂ len⌋+1) — no float log at a bucket boundary, both engines
+    bucket identically by construction. Margins are window sums over the
+    ≤|dim|×|buckets| cell grid (grid-sized, one task is fine at any
+    corpus size — the corpus itself was reduced by ONE partial-agg
+    groupBy). `expected` and `contrib` are single double expressions
+    over exact integers, round-6, emitted per cell: no float aggregation
+    anywhere, the scalar χ² is the (exact-ratio) sum of a 25-row report
+    column downstream dashboards take.
+
+    Returns (len_bucket, dim, observed, row_total, col_total,
+    grand_total, expected, contrib)."""
+    from pyspark.sql import Window as _W
+
+    bucket = F.when(
+        F.col(len_col) > 0, F.length(F.bin(F.col(len_col).cast("long")))
+    ).otherwise(F.lit(0)).cast("long")
+    cells = df.groupBy(
+        bucket.alias("len_bucket"), F.col(dim1_col).alias("dim")
+    ).agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    wr = _W.partitionBy("len_bucket")
+    wc = _W.partitionBy("dim")
+    wg = _W.partitionBy()
+    m = cells.select(
+        "len_bucket",
+        "dim",
+        "observed",
+        F.sum("observed").over(wr).cast("long").alias("row_total"),
+        F.sum("observed").over(wc).cast("long").alias("col_total"),
+        F.sum("observed").over(wg).cast("long").alias("grand_total"),
+    )
+    e = (
+        F.col("row_total").cast("double")
+        * F.col("col_total").cast("double")
+        / F.col("grand_total").cast("double")
+    )
+    return m.select(
+        "len_bucket",
+        "dim",
+        "observed",
+        "row_total",
+        "col_total",
+        "grand_total",
+        F.round(e, 6).alias("expected"),
+        F.round(
+            (F.col("observed").cast("double") - e)
+            * (F.col("observed").cast("double") - e)
+            / e,
+            6,
+        ).alias("contrib"),
+    )
+
+
+def contingency_report_sql(
+    table: str = "documents",
+    dim1_col: str = "lang",
+    len_col: str = "n_chars",
+) -> str:
+    """DuckDB twin of :func:`contingency_report` (same bit-length
+    buckets, same single-expression expected/contrib)."""
+    return f"""
+      WITH cells AS (
+        SELECT CASE WHEN {len_col} > 0
+                    THEN CAST(length(bin({len_col})) AS BIGINT)
+                    ELSE 0 END AS len_bucket,
+               {dim1_col} AS dim,
+               CAST(count(*) AS BIGINT) AS observed
+        FROM {table} GROUP BY 1, 2
+      ),
+      m AS (
+        SELECT len_bucket, dim, observed,
+               CAST(sum(observed) OVER (PARTITION BY len_bucket)
+                    AS BIGINT) AS row_total,
+               CAST(sum(observed) OVER (PARTITION BY dim)
+                    AS BIGINT) AS col_total,
+               CAST(sum(observed) OVER () AS BIGINT) AS grand_total
+        FROM cells
+      ),
+      e AS (
+        SELECT *, CAST(row_total AS DOUBLE) * col_total / grand_total AS ex
+        FROM m
+      )
+      SELECT len_bucket, dim, observed, row_total, col_total, grand_total,
+             round(ex, 6) AS expected,
+             round((CAST(observed AS DOUBLE) - ex)
+                   * (CAST(observed AS DOUBLE) - ex) / ex, 6) AS contrib
+      FROM e
+    """

@@ -107,3 +107,85 @@ class StreamingCubeMonitor:
         release(self.spark, self._pin_ids)
         self._pin_ids = set()
         self._grid = None
+
+
+class StreamingHeatmap:
+    """Streaming twin of :func:`operators.temporal.load_heatmap` — the
+    live capacity dashboard. Same easy-exact shape as the cube monitor:
+    the heatmap's sufficient statistic is the additive
+    (dow, hour, count, Σvalue) grid, bounded at 168 cells forever, with
+    the value sum carried UNROUNDED (``decimal(30,6)``) so the per-
+    trigger report's round-6 ``sum_value`` equals the batch operator's
+    bit-for-bit regardless of batching. Per trigger: one partial-
+    aggregated groupBy reduces the delta to ≤168 rows; merge is a
+    union+re-agg of two grids. The integer epoch time math is the batch
+    operator's own (no calendar layer)."""
+
+    def __init__(self, spark: SparkSession, ts_col: str = "ts",
+                 val_col: str = "value"):
+        self.spark = spark
+        self.ts_col = ts_col
+        self.val_col = val_col
+        self._grid: DataFrame | None = None
+        self._pin_ids: set[int] = set()
+        self.batches_seen = 0
+
+    def state_rows(self) -> int:
+        return 0 if self._grid is None else self._grid.count()
+
+    def _cells(self, df: DataFrame) -> DataFrame:
+        us = F.unix_micros(F.col(self.ts_col).cast("timestamp"))
+        return (
+            df.select(
+                us.alias("_us"),
+                F.col(self.val_col).cast("decimal(30,6)").alias("_v"),
+            )
+            .groupBy(
+                ((F.expr("_us DIV 86400000000") + F.lit(4)) % 7)
+                .cast("long")
+                .alias("dow"),
+                (F.expr("_us DIV 3600000000") % 24).cast("long").alias("hour"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum("_v").cast("decimal(30,6)").alias("_sum"),
+            )
+        )
+
+    def process_batch(self, batch_df: DataFrame) -> DataFrame:
+        self.batches_seen += 1
+        delta = self._cells(batch_df)
+        merged = (
+            delta
+            if self._grid is None
+            else self._grid.unionByName(delta)
+            .groupBy("dow", "hour")
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("_sum").cast("decimal(30,6)").alias("_sum"),
+            )
+        )
+        old = self._pin_ids
+        self._grid, self._pin_ids = pin(merged)
+        release(self.spark, old)
+        return self.report()
+
+    def report(self) -> DataFrame:
+        g = (
+            self._grid
+            if self._grid is not None
+            else self.spark.createDataFrame(
+                [], "dow long, hour long, n_events long, _sum decimal(30,6)"
+            )
+        )
+        return g.select(
+            "dow",
+            "hour",
+            "n_events",
+            F.round(F.col("_sum").cast("double"), 6).alias("sum_value"),
+        )
+
+    def close(self) -> None:
+        release(self.spark, self._pin_ids)
+        self._pin_ids = set()
+        self._grid = None

@@ -97,3 +97,75 @@ def test_signal_correlation_closed_forms(spark):
     got = {r.source: r.corr for r in signal_correlations(df).collect()}
     assert got["lin"] == 1.0
     assert got["inv"] == -1.0
+
+
+def test_ks_drift_closed_form_two_groups(spark):
+    """Hand-checked 5-row corpus: both groups of a two-group corpus see
+    the same D (KS is symmetric when 'rest' is the other group), max at
+    the first length step."""
+    from bistro_spark.operators.olap import ks_drift
+
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 1), ("A", 2), ("B", 2), ("B", 3)],
+        "source string, n_chars long",
+    )
+    got = {r["source"]: r for r in ks_drift(df).collect()}
+    assert got["A"]["ks_stat"] == round(4 / 6, 6)
+    assert got["B"]["ks_stat"] == round(4 / 6, 6)
+    assert got["A"]["ks_len"] == 1 and got["B"]["ks_len"] == 1
+    assert got["A"]["n"] == 3 and got["B"]["n"] == 2
+
+
+def test_ks_drift_identical_distribution_is_zero(spark):
+    from bistro_spark.operators.olap import ks_drift
+
+    rows = [("A", v) for v in (1, 2, 3)] + [("B", v) for v in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    for r in ks_drift(df).collect():
+        assert r["ks_stat"] == 0.0
+
+
+def test_source_kl_closed_form_and_nonnegative(spark):
+    """KL against the corpus mixture, computed by hand with the same
+    round-9-then-sum discipline; every group's KL ≥ 0 on real data."""
+    from bistro_spark.operators.olap import source_kl
+
+    df = spark.createDataFrame(
+        [("A", "a a b"), ("B", "b b")], "source string, text string"
+    )
+    got = {r["source"]: r for r in source_kl(df).collect()}
+    kl_a = (
+        round(2 * math.log(2 * 5 / (3 * 2)), 9)
+        + round(1 * math.log(1 * 5 / (3 * 3)), 9)
+    ) / 3
+    kl_b = round(2 * math.log(2 * 5 / (2 * 3)), 9) / 2
+    assert got["A"]["kl"] == round(kl_a, 6)
+    assert got["B"]["kl"] == round(kl_b, 6)
+    assert got["A"]["n_tokens"] == 3 and got["B"]["n_tokens"] == 2
+
+    real = source_kl(spark.read.parquet(DOCS)).collect()
+    assert len(real) == 20 and all(r["kl"] >= 0 for r in real)
+
+
+def test_contingency_report_margins(spark):
+    """Observed sums to the margins; expected preserves the row margin;
+    contributions are non-negative."""
+    from bistro_spark.operators.olap import contingency_report
+
+    rep = contingency_report(spark.read.parquet(DOCS)).collect()
+    grand = rep[0]["grand_total"]
+    assert sum(r["observed"] for r in rep) == grand
+    by_row = {}
+    for r in rep:
+        by_row.setdefault(r["len_bucket"], []).append(r)
+    for rows in by_row.values():
+        rt = rows[0]["row_total"]
+        assert sum(r["observed"] for r in rows) == rt
+    for r in rep:
+        # per-cell identity over exact margins (empty cells are not
+        # emitted, so row-sums of `expected` need a dense grid — the
+        # identity itself is the invariant)
+        assert r["expected"] == round(
+            r["row_total"] * r["col_total"] / grand, 6
+        )
+    assert all(r["contrib"] >= 0 for r in rep)

@@ -60,3 +60,41 @@ def test_streaming_cube_empty_start(spark):
         assert mon.process_batch(empty).collect() == []
     finally:
         mon.close()
+
+
+def _event_batches(spark, n=3):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "ts", "value"
+    )
+    return [ev.filter(f"event_id % {n} = {i}") for i in range(n)]
+
+
+def test_streaming_heatmap_matches_batch_at_every_trigger(spark):
+    """The 168-cell grid is additive and carries exact decimal sums →
+    after k triggers the report equals the batch load_heatmap on the
+    union of the first k deltas bit-for-bit (round-6 incl.)."""
+    from bistro_spark.operators.temporal import load_heatmap
+    from bistro_spark.streaming.cube import StreamingHeatmap
+
+    deltas = _event_batches(spark)
+    mon = StreamingHeatmap(spark)
+    seen = None
+    try:
+        for d in deltas:
+            got = _rows(mon.process_batch(d))
+            seen = d if seen is None else seen.unionByName(d)
+            assert got == _rows(load_heatmap(seen))
+    finally:
+        mon.close()
+
+
+def test_streaming_heatmap_state_bound_and_pin_release(spark):
+    from bistro_spark.streaming.cube import StreamingHeatmap
+
+    before = pinned_ids(spark)
+    mon = StreamingHeatmap(spark)
+    for d in _event_batches(spark, n=2):
+        mon.process_batch(d)
+    assert mon.state_rows() <= 168
+    mon.close()
+    assert pinned_ids(spark) == before
