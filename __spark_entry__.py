@@ -1382,6 +1382,15 @@ def q_contingency(spark: SparkSession, sf: str) -> DataFrame:
     return contingency_report(load_table(spark, "documents", sf))
 
 
+def q_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-vs-exact-Jaccard calibration curve over the LSH candidate
+    set: the data-driven banding audit. Candidate-bounded joins, per-pair
+    O(k+|ngrams|) work, round-9 decimal bucket sums."""
+    from bistro_spark.operators.dedup import minhash_calibration
+
+    return minhash_calibration(_dup_corpus(spark, sf), k=16, bands=2)
+
+
 def q_dsir(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023) toward the English
     slice: hashed-ngram bag-of-words log-likelihood ratio per document.
@@ -1694,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "source_kl": q_source_kl,
         "contingency_report": q_contingency,
+        "minhash_calibration": q_minhash_calibration,
     }
 
 
@@ -2419,6 +2429,32 @@ def oracle_sql() -> dict[str, str]:
         ),
         "collocations_pmi": _text.collocations_pmi_sql("documents"),
         "load_heatmap": _temporal.load_heatmap_sql("events"),
+        "minhash_calibration": f"""
+            WITH cand AS ({_minhash_lsh_sql(bands=2, rows=8)}),
+            {_DUP_CTE},
+            feat AS (
+              SELECT doc_id, {_dedup.minhash_sig_sql('text', 16)} AS sig,
+                     {_dedup.ngram_set_sql('text', 1)} AS ng
+              FROM u
+              WHERE doc_id IN (SELECT id_a FROM cand
+                               UNION SELECT id_b FROM cand)
+            ),
+            scored AS (
+              SELECT CAST(len(list_filter(range(1, 17),
+                       i -> a.sig[i] = b.sig[i])) AS BIGINT) AS est_matches,
+                     CAST(round(
+                       {_dedup.ngram_jaccard_sql('a.ng', 'b.ng')}, 9)
+                       AS DECIMAL(38,9)) AS j
+              FROM cand c JOIN feat a ON a.doc_id = c.id_a
+                          JOIN feat b ON b.doc_id = c.id_b
+            )
+            SELECT est_matches, CAST(count(*) AS BIGINT) AS n_pairs,
+                   round(est_matches / 16.0, 6) AS est_jaccard,
+                   round(CAST(sum(j) AS DOUBLE) / count(*), 6) AS mean_exact,
+                   round(CAST(min(j) AS DOUBLE), 6) AS min_exact,
+                   round(CAST(max(j) AS DOUBLE), 6) AS max_exact
+            FROM scored GROUP BY est_matches
+        """,
         "ks_drift": _olap.ks_drift_sql("documents"),
         "source_kl": _olap.source_kl_sql("documents"),
         "contingency_report": _olap.contingency_report_sql("documents"),

@@ -1577,3 +1577,86 @@ def cluster_size_histogram(assignments: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
         (F.count(F.lit(1)) * F.col("cluster_size")).cast("long").alias("n_docs"),
     )
+
+
+def minhash_calibration(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 2,
+) -> DataFrame:
+    """Sketch-quality audit: for every LSH candidate pair, compare the
+    MinHash ESTIMATE of Jaccard (matching signature components / k)
+    against the EXACT Jaccard of the same sets the sketch hashes — the
+    distinct word (1-gram) sets — aggregated into the ≤k+1-row
+    calibration curve a dedup operator's threshold is tuned on. This is
+    the measurement that justifies a banding choice with data instead of
+    the textbook formula; estimator and ground truth MUST range over the
+    same shingle space or the curve means nothing.
+
+    Cost shape is the verified-pairs flow's: candidates come from the
+    banded bucket join (never all pairs), signatures and n-gram sets are
+    computed only for candidate members (semi-join), per-pair work is
+    O(k + |ngrams|). Float discipline: the per-pair exact Jaccard is one
+    double expression over exact set sizes, rounded to 9 and summed as
+    decimal per bucket (order-independent); the estimate column is an
+    exact integer ratio rounded once.
+
+    Returns (est_matches, n_pairs, est_jaccard, mean_exact, min_exact,
+    max_exact) sorted by the caller if needed."""
+    pairs = lsh_candidate_pairs(df, text_col, id_col, k=k, bands=bands)
+    members = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    feat = minhash_signature(
+        df.join(members, id_col, "left_semi"), text_col, k
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col("sig"),
+        ngram_set(F.col(text_col), n=1).alias("_ng"),
+    )
+    a = feat.select(
+        F.col("_id").alias("id_a"),
+        F.col("sig").alias("_sig_a"),
+        F.col("_ng").alias("_ng_a"),
+    )
+    b = feat.select(
+        F.col("_id").alias("id_b"),
+        F.col("sig").alias("_sig_b"),
+        F.col("_ng").alias("_ng_b"),
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y),
+            lambda v: v,
+        )
+    ).cast("long")
+    jx = F.round(
+        ngram_jaccard(F.col("_ng_a"), F.col("_ng_b")), 9
+    ).cast("decimal(38,9)")
+    scored = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(est.alias("est_matches"), jx.alias("_j"))
+    )
+    g = scored.groupBy("est_matches").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("_j").alias("_sj"),
+        F.min("_j").alias("_mn"),
+        F.max("_j").alias("_mx"),
+    )
+    return g.select(
+        "est_matches",
+        "n_pairs",
+        F.round(F.col("est_matches") / F.lit(float(k)), 6).alias(
+            "est_jaccard"
+        ),
+        F.round(F.col("_sj").cast("double") / F.col("n_pairs"), 6).alias(
+            "mean_exact"
+        ),
+        F.round(F.col("_mn").cast("double"), 6).alias("min_exact"),
+        F.round(F.col("_mx").cast("double"), 6).alias("max_exact"),
+    )

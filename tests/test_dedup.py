@@ -661,3 +661,38 @@ def test_dup_matrix_no_content_self_join(spark):
     )
     plan = dup_matrix(df)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_minhash_calibration_identical_docs_hit_the_top_bucket(spark):
+    """A pair of identical documents must land in the est_matches=k
+    bucket with exact Jaccard 1.0; the estimate column is the exact
+    integer ratio; mean stays inside [min, max]."""
+    from bistro_spark.caching import pin_scope
+    from bistro_spark.operators.dedup import minhash_calibration
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, text), (2, text), (3, "completely different words here xyz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pin_scope(spark):
+        got = {
+            r["est_matches"]: r
+            for r in minhash_calibration(df, k=16, bands=2).collect()
+        }
+    top = got[16]
+    assert top["n_pairs"] >= 1
+    assert top["est_jaccard"] == 1.0
+    assert top["mean_exact"] == 1.0
+    for r in got.values():
+        assert r["est_jaccard"] == round(r["est_matches"] / 16.0, 6)
+        assert r["min_exact"] <= r["mean_exact"] <= r["max_exact"]
+
+
+def test_minhash_calibration_pins_are_scope_released(spark):
+    from bistro_spark.caching import pin_scope, pinned_ids
+    from bistro_spark.operators.dedup import minhash_calibration
+
+    before = pinned_ids(spark)
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with pin_scope(spark):
+        minhash_calibration(df, k=16, bands=2).collect()
+    assert pinned_ids(spark) == before
