@@ -1391,6 +1391,15 @@ def q_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_calibration(_dup_corpus(spark, sf), k=16, bands=2)
 
 
+def q_winsorized_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source winsorized vs raw mean length: round-6 exact-percentile
+    clip bounds broadcast into one clip+decimal-sum pass (approx-sketch
+    variant is the 100 TB path, pytest-pinned within tolerance)."""
+    from bistro_spark.operators.curation import winsorized_stats
+
+    return winsorized_stats(load_table(spark, "documents", sf))
+
+
 def q_dsir(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023) toward the English
     slice: hashed-ngram bag-of-words log-likelihood ratio per document.
@@ -1704,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_kl": q_source_kl,
         "contingency_report": q_contingency,
         "minhash_calibration": q_minhash_calibration,
+        "winsorized_stats": q_winsorized_stats,
     }
 
 
@@ -2458,6 +2468,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_drift": _olap.ks_drift_sql("documents"),
         "source_kl": _olap.source_kl_sql("documents"),
         "contingency_report": _olap.contingency_report_sql("documents"),
+        "winsorized_stats": _curation.winsorized_stats_sql("documents"),
         "pack_stats": (
             "WITH enc AS ("
             + _ranking.encode_tokens_sql("documents")

@@ -1748,3 +1748,115 @@ def _dsir_scored_ctes(
                CAST(sum(llr.w) AS BIGINT) AS wsum
         FROM e JOIN llr USING (b)
         GROUP BY e.{id_col})"""
+
+
+# ------------------------------------------------- winsorized stats ----
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str = "source",
+    len_col: str = "n_chars",
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    exact: bool = True,
+) -> DataFrame:
+    """Outlier-robust per-group length report: clip each value at the
+    group's own [lo_q, hi_q] quantiles, then report the winsorized mean
+    next to the raw mean — the pair a curation dashboard compares to see
+    how much of a source's token budget is tail.
+
+    Determinism: quantiles are Spark exact ``percentile`` (== DuckDB
+    ``quantile_cont`` bit-for-bit on integer inputs), ROUNDED to 6 before
+    they become clip bounds, so every clipped value is either the original
+    integer or a 6-decimal bound — exactly representable in
+    ``decimal(30,6)``; sums are decimal (order-independent), means are one
+    final round-6 division. ``exact=False`` swaps in the mergeable
+    ``approx_percentile`` sketch — the 100 TB path (no per-group sort
+    state), same schema.
+
+    Two passes over the grouped data: bounds (one partial-agg groupBy),
+    then a broadcast of the #groups-row bounds into the clip+sum pass.
+    Returns (group, n, lo, hi, n_clipped_low, n_clipped_high, raw_mean,
+    winsorized_mean)."""
+    pfn = "percentile" if exact else "approx_percentile"
+    x = F.col(len_col).cast("long")
+    pcts = F.expr(f"{pfn}(_x, array({lo_q}D, {hi_q}D))")
+    bounds = (
+        df.select(F.col(group_col), x.alias("_x"))
+        .groupBy(group_col)
+        .agg(
+            F.round(pcts[0].cast("double"), 6).alias("_lo"),
+            F.round(pcts[1].cast("double"), 6).alias("_hi"),
+        )
+    )
+    clipped = df.select(F.col(group_col), x.alias("_x")).join(
+        F.broadcast(bounds), group_col
+    )
+    w = F.least(
+        F.greatest(F.col("_x").cast("double"), F.col("_lo")), F.col("_hi")
+    ).cast("decimal(30,6)")
+    s = clipped.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("_lo").alias("lo"),
+        F.max("_hi").alias("hi"),
+        F.sum(
+            F.when(F.col("_x") < F.col("_lo"), 1).otherwise(0)
+        ).cast("long").alias("n_clipped_low"),
+        F.sum(
+            F.when(F.col("_x") > F.col("_hi"), 1).otherwise(0)
+        ).cast("long").alias("n_clipped_high"),
+        F.sum(F.col("_x")).cast("decimal(38,0)").alias("_sraw"),
+        F.sum(w).cast("decimal(38,6)").alias("_sw"),
+    )
+    return s.select(
+        group_col,
+        "n",
+        "lo",
+        "hi",
+        "n_clipped_low",
+        "n_clipped_high",
+        F.round(F.col("_sraw").cast("double") / F.col("n"), 6).alias(
+            "raw_mean"
+        ),
+        F.round(F.col("_sw").cast("double") / F.col("n"), 6).alias(
+            "winsorized_mean"
+        ),
+    )
+
+
+def winsorized_stats_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    len_col: str = "n_chars",
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> str:
+    """DuckDB twin of :func:`winsorized_stats` (same round-6 bounds,
+    same decimal sums)."""
+    return f"""
+      WITH bounds AS (
+        SELECT {group_col} AS grp,
+               round(CAST(quantile_cont({len_col}, {lo_q}) AS DOUBLE), 6)
+                 AS lo,
+               round(CAST(quantile_cont({len_col}, {hi_q}) AS DOUBLE), 6)
+                 AS hi
+        FROM {table} GROUP BY 1
+      ),
+      c AS (
+        SELECT b.grp, CAST(t.{len_col} AS BIGINT) AS x, b.lo, b.hi,
+               CAST(least(greatest(CAST(t.{len_col} AS DOUBLE), b.lo), b.hi)
+                    AS DECIMAL(30,6)) AS w
+        FROM {table} t JOIN bounds b ON b.grp = t.{group_col}
+      )
+      SELECT grp AS {group_col},
+             CAST(count(*) AS BIGINT) AS n,
+             max(lo) AS lo, max(hi) AS hi,
+             CAST(sum(CASE WHEN x < lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_low,
+             CAST(sum(CASE WHEN x > hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_high,
+             round(CAST(CAST(sum(x) AS DECIMAL(38,0)) AS DOUBLE) / count(*), 6)
+               AS raw_mean,
+             round(CAST(CAST(sum(w) AS DECIMAL(38,6)) AS DOUBLE) / count(*), 6)
+               AS winsorized_mean
+      FROM c GROUP BY 1
+    """

@@ -498,11 +498,18 @@ def ks_drift(
     per-group CDF window runs over |lengths| rows per partition.
 
     Returns (group, n, ks_len, ks_stat)."""
-    from pyspark.sql import Window as _W
-
     per = df.groupBy(
         F.col(group_col), F.col(len_col).cast("long").alias("_len")
     ).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    return ks_from_grid(per, group_col)
+
+
+def ks_from_grid(per: DataFrame, group_col: str = "source") -> DataFrame:
+    """The grid→report core of :func:`ks_drift`, shared with the
+    streaming twin (whose state IS the additive (group, _len, _c) grid).
+    Everything here is dimension-sized."""
+    from pyspark.sql import Window as _W
+
     groups = per.groupBy(group_col).agg(
         F.sum("_c").cast("long").alias("_ng")
     )

@@ -91,3 +91,67 @@ class StreamingDriftMonitor:
         self._pin_ids = set()
         self._ref_ids = set()
         self._grid = None
+
+
+class StreamingKSMonitor:
+    """Streaming twin of :func:`operators.olap.ks_drift` — the live
+    source-vs-rest distribution-shift dashboard. The KS statistic's
+    sufficient statistic is the additive (group, length, count) grid
+    (dimension-sized: |groups|·|distinct lengths|, independent of stream
+    length), so state is ONE pinned grid; per trigger the delta reduces
+    to its grid in one partial-aggregated groupBy, the merge is a
+    union+re-agg, and the report is the batch operator's own
+    ``ks_from_grid`` over the retained grid — exact full-history parity
+    at every trigger by construction (integer counts never lose
+    anything to batching)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        group_col: str = "source",
+        len_col: str = "n_chars",
+    ):
+        self.spark = spark
+        self.group_col = group_col
+        self.len_col = len_col
+        self._grid: DataFrame | None = None
+        self._pin_ids: set[int] = set()
+        self.batches_seen = 0
+
+    def state_rows(self) -> int:
+        return 0 if self._grid is None else self._grid.count()
+
+    def process_batch(self, batch_df: DataFrame) -> DataFrame:
+        self.batches_seen += 1
+        g = self.group_col
+        delta = batch_df.groupBy(
+            F.col(g), F.col(self.len_col).cast("long").alias("_len")
+        ).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        merged = (
+            delta
+            if self._grid is None
+            else self._grid.unionByName(delta)
+            .groupBy(g, "_len")
+            .agg(F.sum("_c").cast("long").alias("_c"))
+        )
+        old = self._pin_ids
+        self._grid, self._pin_ids = pin(merged)
+        release(self.spark, old)
+        return self.report()
+
+    def report(self) -> DataFrame:
+        from bistro_spark.operators.olap import ks_from_grid
+
+        g = (
+            self._grid
+            if self._grid is not None
+            else self.spark.createDataFrame(
+                [], f"{self.group_col} string, _len long, _c long"
+            )
+        )
+        return ks_from_grid(g, self.group_col)
+
+    def close(self) -> None:
+        release(self.spark, self._pin_ids)
+        self._pin_ids = set()
+        self._grid = None

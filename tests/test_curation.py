@@ -1110,3 +1110,33 @@ def test_dsir_select_excludes_target_and_is_partition_invariant(spark):
     assert a == b
     en_ids = {r.doc_id for r in df.filter("lang = 'en'").select("doc_id").collect()}
     assert not ({r[0] for r in a} & en_ids)
+
+
+def test_winsorized_stats_closed_form_and_sketch_variant(spark):
+    """Hand-checked group: bounds, clip counts, and winsorized mean on a
+    known 5-value distribution; the approx_percentile variant keeps the
+    schema and lands within tolerance on real data."""
+    from bistro_spark.operators.curation import winsorized_stats
+
+    df = spark.createDataFrame(
+        [("A", v) for v in (1, 2, 3, 4, 100)],
+        "source string, n_chars long",
+    )
+    r = winsorized_stats(df, lo_q=0.25, hi_q=0.75).collect()[0]
+    # quantile_cont on [1,2,3,4,100]: q25 = 2.0, q75 = 4.0
+    assert (r["lo"], r["hi"]) == (2.0, 4.0)
+    assert (r["n_clipped_low"], r["n_clipped_high"]) == (1, 1)
+    assert r["raw_mean"] == 22.0
+    assert r["winsorized_mean"] == round((2 + 2 + 3 + 4 + 4) / 5, 6)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ex = {
+        r["source"]: r for r in winsorized_stats(docs, exact=True).collect()
+    }
+    ap = {
+        r["source"]: r for r in winsorized_stats(docs, exact=False).collect()
+    }
+    assert set(ex) == set(ap)
+    for s in ex:
+        assert ex[s]["n"] == ap[s]["n"]
+        assert abs(ex[s]["winsorized_mean"] - ap[s]["winsorized_mean"]) < 20

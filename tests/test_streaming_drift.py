@@ -102,3 +102,42 @@ def test_streaming_drift_empty_delta_keeps_parity(spark):
         assert first == again
     finally:
         mon.close()
+
+
+def test_streaming_ks_matches_batch_at_every_trigger(spark):
+    """The (group, length, count) grid is additive → after k triggers
+    the KS report equals the batch ks_drift on the union of the first k
+    deltas exactly (integer max/argmax: no float tolerance needed)."""
+    from bistro_spark.operators.olap import ks_drift
+    from bistro_spark.streaming.drift import StreamingKSMonitor
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "n_chars")
+    deltas = [docs.filter(f"doc_id % 3 = {i}") for i in range(3)]
+    mon = StreamingKSMonitor(spark)
+    seen = None
+    try:
+        for d in deltas:
+            got = sorted(tuple(r) for r in mon.process_batch(d).collect())
+            seen = d if seen is None else seen.unionByName(d)
+            assert got == sorted(tuple(r) for r in ks_drift(seen).collect())
+    finally:
+        mon.close()
+
+
+def test_streaming_ks_state_is_grid_bounded_and_pins_release(spark):
+    from bistro_spark.caching import pinned_ids
+    from bistro_spark.streaming.drift import StreamingKSMonitor
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "n_chars")
+    before = pinned_ids(spark)
+    mon = StreamingKSMonitor(spark)
+    for i in range(2):
+        mon.process_batch(docs.filter(f"doc_id % 2 = {i}"))
+    distinct_cells = docs.select("source", "n_chars").distinct().count()
+    assert mon.state_rows() <= distinct_cells
+    mon.close()
+    assert pinned_ids(spark) == before
