@@ -1400,6 +1400,17 @@ def q_winsorized_stats(spark: SparkSession, sf: str) -> DataFrame:
     return winsorized_stats(load_table(spark, "documents", sf))
 
 
+def q_spine_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar-spine gap-filled daily series per event type with
+    day-over-day growth: the fact table collapses in ONE partial-agg
+    groupBy to the (type, day) grid; the integer epoch-day spine,
+    bounds, distinct types, broadcast fill join, and per-type lag all
+    run on grid-sized data only."""
+    from bistro_spark.operators.temporal import activity_spine
+
+    return activity_spine(load_table(spark, "events", sf))
+
+
 def q_dsir(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023) toward the English
     slice: hashed-ngram bag-of-words log-likelihood ratio per document.
@@ -1714,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contingency_report": q_contingency,
         "minhash_calibration": q_minhash_calibration,
         "winsorized_stats": q_winsorized_stats,
+        "spine_growth": q_spine_growth,
     }
 
 
@@ -2439,6 +2451,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "collocations_pmi": _text.collocations_pmi_sql("documents"),
         "load_heatmap": _temporal.load_heatmap_sql("events"),
+        "spine_growth": _temporal.activity_spine_sql("events"),
         "minhash_calibration": f"""
             WITH cand AS ({_minhash_lsh_sql(bands=2, rows=8)}),
             {_DUP_CTE},

@@ -683,3 +683,124 @@ def load_heatmap_sql(table: str = "events", ts_col: str = "ts",
       FROM {table}
       GROUP BY 1, 2
     """
+
+
+# -------------------------------------- calendar-spine gap-fill growth ----
+def activity_spine(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    val_col: str = "value",
+) -> DataFrame:
+    """Gap-filled daily activity series per event type with day-over-day
+    growth — the calendar-spine OLAP pattern. A raw groupBy(day) silently
+    DROPS empty days, so growth rates computed from it are wrong exactly
+    when the signal matters (an outage day); the spine join restores the
+    zeros before the lag.
+
+    100 TB shape: the fact table is touched by ONE partial-aggregated
+    groupBy to the (type, day) grid — bounded by #types x #days, report-
+    sized no matter the corpus. Everything after runs on that grid: the
+    (min, max) day bound is a 1-row agg OVER THE GRID (not a second fact
+    scan), the spine is a ``sequence()`` explode of integer epoch-days
+    cross-joined with the distinct types (both provably grid-sized), and
+    the daily grid is explicitly ``broadcast()`` onto the spine — its
+    size bound makes the hint safe by construction, unlike a stats
+    guess. The growth lag windows over the spine partitioned BY TYPE, so
+    no single-reducer global window exists anywhere in the plan.
+
+    Integer epoch-day math (``µs DIV 86 400e6`` — no calendar layer);
+    exact decimal value sums; growth is a round-6 report ratio of exact
+    BIGINTs. Returns (event_type, day, n_events, sum_value, prev_events,
+    dod_pct) with dod_pct NULL on the first day and after zero days
+    (division by an empty day is reported as NULL, not Inf)."""
+    daily = (
+        df.select(
+            F.col(type_col).alias("event_type"),
+            F.expr(
+                f"unix_micros(CAST({ts_col} AS TIMESTAMP))"
+                " DIV 86400000000"
+            ).alias("day"),
+            F.col(val_col).alias("_v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(F.col("_v").cast("decimal(30,6)")).alias("_sv"),
+        )
+    )
+    bounds = daily.agg(
+        F.min("day").alias("_lo"), F.max("day").alias("_hi")
+    )
+    days = bounds.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("day")
+    )
+    types = daily.select("event_type").distinct()
+    spine = types.crossJoin(days)
+    filled = spine.join(
+        F.broadcast(daily), ["event_type", "day"], "left"
+    ).select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_events"),
+        F.round(
+            F.coalesce(F.col("_sv"), F.lit(0).cast("decimal(30,6)"))
+            .cast("double"),
+            6,
+        ).alias("sum_value"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("n_events").over(w)
+    return filled.select(
+        "event_type",
+        "day",
+        "n_events",
+        "sum_value",
+        prev.cast("long").alias("prev_events"),
+        F.when(
+            prev > 0,
+            F.round((F.col("n_events") - prev) / prev, 6),
+        ).alias("dod_pct"),
+    )
+
+
+def activity_spine_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    val_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`activity_spine` (generate_series spine,
+    same integer epoch-day math)."""
+    return f"""
+      WITH daily AS (
+        SELECT {type_col} AS event_type,
+               CAST(epoch_us({ts_col}) // 86400000000 AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST({val_col} AS DECIMAL(30,6))) AS sv
+        FROM {table} GROUP BY 1, 2
+      ),
+      b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+      spine AS (
+        SELECT t.event_type, CAST(gs.d AS BIGINT) AS day
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS d FROM b) gs
+      ),
+      filled AS (
+        SELECT s.event_type, s.day,
+               coalesce(d.n, 0) AS n_events,
+               round(CAST(coalesce(d.sv, CAST(0 AS DECIMAL(30,6)))
+                          AS DOUBLE), 6) AS sum_value
+        FROM spine s
+        LEFT JOIN daily d
+          ON s.event_type = d.event_type AND s.day = d.day
+      )
+      SELECT event_type, day, n_events, sum_value,
+             CAST(lag(n_events) OVER w AS BIGINT) AS prev_events,
+             CASE WHEN lag(n_events) OVER w > 0
+                  THEN round((n_events - lag(n_events) OVER w)
+                             / CAST(lag(n_events) OVER w AS DOUBLE), 6)
+             END AS dod_pct
+      FROM filled
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """

@@ -358,3 +358,56 @@ def test_funnel_same_timestamp_tiebreak(spark):
     )
     out = {r.step: r.n_keys for r in funnel_conversion(df, ["view", "click"]).collect()}
     assert out == {"1_view": 2, "2_click": 1}
+
+
+# ------------------------------------------------- activity_spine ----
+def test_activity_spine_gap_fill_and_growth(spark):
+    from bistro_spark.operators.temporal import activity_spine
+
+    # type 'a': day 0 (2 events), day 1 missing, day 2 (1 event);
+    # type 'b': a single day — first-row growth must be NULL.
+    rows = [
+        (datetime(1970, 1, 1, 5), "a", 10.0),
+        (datetime(1970, 1, 1, 7), "a", 2.5),
+        (datetime(1970, 1, 3, 1), "a", 4.0),
+        (datetime(1970, 1, 2, 2), "b", 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    got = {
+        (r["event_type"], r["day"]): r
+        for r in activity_spine(df).collect()
+    }
+    # spine spans the GLOBAL [min, max] day range for every type
+    assert set(got) == {("a", 0), ("a", 1), ("a", 2),
+                        ("b", 0), ("b", 1), ("b", 2)}
+    assert got[("a", 0)]["n_events"] == 2
+    assert got[("a", 0)]["sum_value"] == 12.5
+    assert got[("a", 0)]["dod_pct"] is None  # no previous day
+    # the gap day exists with explicit zeros
+    assert got[("a", 1)]["n_events"] == 0
+    assert got[("a", 1)]["sum_value"] == 0.0
+    assert got[("a", 1)]["prev_events"] == 2
+    assert got[("a", 1)]["dod_pct"] == -1.0  # 2 -> 0
+    # growth after a zero day is NULL (no division by the empty day)
+    assert got[("a", 2)]["n_events"] == 1
+    assert got[("a", 2)]["prev_events"] == 0
+    assert got[("a", 2)]["dod_pct"] is None
+    # type b: zeros on days it never fired
+    assert got[("b", 0)]["n_events"] == 0
+    assert got[("b", 1)]["n_events"] == 1
+
+
+def test_activity_spine_plan_no_global_window(spark):
+    """The growth window must be partitioned by type (no single-reducer
+    global window) and the fill join must broadcast the daily grid."""
+    from bistro_spark.operators.temporal import activity_spine
+
+    df = spark.createDataFrame(
+        [(datetime(1970, 1, 1), "a", 1.0)], ["ts", "event_type", "value"]
+    )
+    plan = activity_spine(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    # every Window operator in the plan carries a partition spec
+    for seg in plan.split("Window ")[1:]:
+        head = seg.split("\n", 1)[0]
+        assert "event_type" in head, head
