@@ -1411,6 +1411,17 @@ def q_spine_growth(spark: SparkSession, sf: str) -> DataFrame:
     return activity_spine(load_table(spark, "events", sf))
 
 
+def q_pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    """Skyline selection over (n_chars, word count), both maximized: the
+    corpus collapses to its distinct-x level set in one partial agg,
+    the strict-prefix max runs two-phase over the level set (no global
+    window, driver sees #partitions rows), survivors broadcast back.
+    Oracle is the definitional NOT EXISTS dominance anti-join."""
+    from bistro_spark.operators.curation import pareto_frontier
+
+    return pareto_frontier(load_table(spark, "documents", sf))
+
+
 def q_dsir(spark: SparkSession, sf: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023) toward the English
     slice: hashed-ngram bag-of-words log-likelihood ratio per document.
@@ -1726,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_calibration": q_minhash_calibration,
         "winsorized_stats": q_winsorized_stats,
         "spine_growth": q_spine_growth,
+        "pareto_frontier": q_pareto_frontier,
     }
 
 
@@ -2482,6 +2494,7 @@ def oracle_sql() -> dict[str, str]:
         "source_kl": _olap.source_kl_sql("documents"),
         "contingency_report": _olap.contingency_report_sql("documents"),
         "winsorized_stats": _curation.winsorized_stats_sql("documents"),
+        "pareto_frontier": _curation.pareto_frontier_sql("documents"),
         "pack_stats": (
             "WITH enc AS ("
             + _ranking.encode_tokens_sql("documents")

@@ -1860,3 +1860,131 @@ def winsorized_stats_sql(
                AS winsorized_mean
       FROM c GROUP BY 1
     """
+
+
+# ---------------------------------------------- Pareto-frontier select ----
+def pareto_frontier(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    x: Column | None = None,
+    y: Column | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Skyline (Pareto-frontier) selection over two maximized integer
+    per-doc signals: keep every document no other document dominates
+    (x' >= x AND y' >= y with at least one strict). Multi-criteria data
+    selection without a weighting hack; equal-signal duplicates are
+    mutually non-dominating and all survive. To MINIMIZE a signal,
+    negate it. Default signals: x = distinct whitespace-word count
+    (lexical diversity, maximized), y = NEGATED word count (token cost,
+    minimized) — "the most diverse document at every length budget".
+
+    100 TB shape — the naive NOT EXISTS is an O(n²) self-join, and the
+    textbook sweep (sort by x desc, running max of y) is a GLOBAL window
+    = single-reducer sort. This plan does neither:
+
+    1. ONE partial-aggregated groupBy x -> max(y): the corpus collapses
+       to its distinct-x level set (bounded by the x domain, << n).
+    2. Strict-prefix max over x DESC on the LEVEL SET via the two-phase
+       ``global_rank`` trick: range-partition by x, per-partition window
+       (rows 1 preceding — exact strict prefix because levels are
+       distinct on x), per-partition maxima collected (#partitions rows
+       only) and suffix-maxed on the driver, broadcast back as a map.
+    3. A level survives iff its max(y) strictly beats every y at greater
+       x; survivors join back to docs on (x, y = max_y) — broadcastable,
+       frontier <= level set.
+
+    Dominance proof of the filter: survivors have y = max_y(x), so no
+    same-x point beats them; max_y(x) > prefix_max means no greater-x
+    point has y' >= y; smaller-x points never dominate. Exactly the
+    skyline, in two data-sized shuffles (the level agg, the doc join) +
+    one level-set-sized range shuffle.
+
+    Returns (doc_id, x, y)."""
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    if x is None:
+        x = F.size(F.array_distinct(words))
+    if y is None:
+        y = -F.size(words)
+    pts = df.select(
+        F.col(id_col),
+        x.cast("long").alias("x"),
+        y.cast("long").alias("y"),
+    )
+    levels = pts.groupBy("x").agg(F.max("y").alias("max_y"))
+    part = (
+        levels.repartitionByRange(
+            *([n_partitions] if n_partitions else []), F.col("x")
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # per-partition max(max_y), suffix-maxed over HIGHER-x partitions
+    pmax = {
+        r["_pid"]: r["m"]
+        for r in part.groupBy("_pid").agg(F.max("max_y").alias("m")).collect()
+    }
+    if not pmax:  # empty corpus -> empty frontier, schema intact
+        return pts.limit(0)
+    suffix, best = {}, None
+    for pid in sorted(pmax, reverse=True):  # higher pid = higher x range
+        suffix[pid] = best  # strictly-higher partitions only
+        best = pmax[pid] if best is None else max(best, pmax[pid])
+    from pyspark.sql import Window
+
+    neg_inf = F.lit(-(1 << 62)).cast("long")
+    suf = F.create_map(
+        *[
+            F.lit(v)
+            for pid, m in suffix.items()
+            for v in (pid, m if m is not None else -(1 << 62))
+        ]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    surviving = (
+        part.withColumn(
+            "_prefix",
+            F.greatest(
+                F.coalesce(F.max("max_y").over(w), neg_inf),
+                F.coalesce(F.element_at(suf, F.col("_pid")), neg_inf),
+            ),
+        )
+        .filter(F.col("max_y") > F.col("_prefix"))
+        .select(F.col("x").alias("_fx"), F.col("max_y").alias("_fy"))
+    )
+    return pts.join(
+        F.broadcast(surviving),
+        (F.col("x") == F.col("_fx")) & (F.col("y") == F.col("_fy")),
+        "inner",
+    ).select(id_col, "x", "y")
+
+
+def pareto_frontier_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`pareto_frontier` (default signals) —
+    deliberately the DEFINITIONAL anti-join (NOT EXISTS dominance), not
+    the sweep: the oracle checks the semantics from first principles,
+    sharing no plan structure with the Spark implementation."""
+    words = f"list_filter(string_split({text_col}, ' '), w -> w <> '')"
+    return f"""
+      WITH pts AS (
+        SELECT {id_col},
+               CAST(len(list_distinct({words})) AS BIGINT) AS x,
+               -CAST(len({words}) AS BIGINT) AS y
+        FROM {table}
+      )
+      SELECT p.{id_col}, p.x, p.y
+      FROM pts p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.x >= p.x AND q.y >= p.y
+          AND (q.x > p.x OR q.y > p.y)
+      )
+    """

@@ -1140,3 +1140,80 @@ def test_winsorized_stats_closed_form_and_sketch_variant(spark):
     for s in ex:
         assert ex[s]["n"] == ap[s]["n"]
         assert abs(ex[s]["winsorized_mean"] - ap[s]["winsorized_mean"]) < 20
+
+
+# ---------------------------------------------------- pareto_frontier ----
+def _naive_skyline(pts):
+    out = []
+    for i, (pid, x, y) in enumerate(pts):
+        dominated = any(
+            (qx >= x and qy >= y and (qx > x or qy > y))
+            for j, (qid, qx, qy) in enumerate(pts)
+            if j != i
+        )
+        if not dominated:
+            out.append((pid, x, y))
+    return sorted(out)
+
+
+def test_pareto_frontier_matches_naive_definition(spark):
+    from bistro_spark.operators.curation import pareto_frontier
+
+    pts = [
+        (1, 5, 1), (2, 5, 3), (3, 5, 3),   # 2,3 equal pair: both survive
+        (4, 3, 7), (5, 3, 6),              # 5 dominated by 4
+        (6, 8, 0), (7, 1, 9), (8, 2, 9),   # 7 dominated by 8
+        (9, 8, 0),                          # duplicate of 6: both survive
+    ]
+    df = spark.createDataFrame(pts, ["doc_id", "x", "y"])
+    got = sorted(
+        (r["doc_id"], r["x"], r["y"])
+        for r in pareto_frontier(
+            df, id_col="doc_id", x=F.col("x"), y=F.col("y"), n_partitions=3
+        ).collect()
+    )
+    assert got == _naive_skyline(pts)
+    assert (1, 5, 1) not in got and (5, 3, 6) not in got
+
+
+def test_pareto_frontier_partitioning_invariant_and_empty(spark):
+    from bistro_spark.operators.curation import pareto_frontier
+
+    import random
+
+    rng = random.Random(7)
+    pts = [(i, rng.randrange(12), rng.randrange(12)) for i in range(120)]
+    df = spark.createDataFrame(pts, ["doc_id", "x", "y"])
+    ref = _naive_skyline(pts)
+    for n_parts in (1, 2, 7):
+        got = sorted(
+            (r["doc_id"], r["x"], r["y"])
+            for r in pareto_frontier(
+                df, id_col="doc_id", x=F.col("x"), y=F.col("y"),
+                n_partitions=n_parts,
+            ).collect()
+        )
+        assert got == ref, n_parts
+    empty = pareto_frontier(
+        df.limit(0), id_col="doc_id", x=F.col("x"), y=F.col("y")
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["doc_id", "x", "y"]
+
+
+def test_pareto_frontier_plan_no_global_window_no_cartesian(spark):
+    """The skyline must not contain a partition-less window (single
+    reducer) nor a cartesian/BNLJ product; the doc join broadcasts."""
+    from bistro_spark.operators.curation import pareto_frontier
+
+    df = spark.createDataFrame(
+        [(1, "a b c", 5)], ["doc_id", "text", "n_chars"]
+    )
+    out = pareto_frontier(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    for seg in plan.split("Window ")[1:]:
+        head = seg.split("\n", 1)[0]
+        assert "_pid" in head, head  # every window partitioned by _pid
