@@ -1911,13 +1911,13 @@ def pareto_frontier(
         x.cast("long").alias("x"),
         y.cast("long").alias("y"),
     )
+    from bistro_spark.caching import pin, release
+
     levels = pts.groupBy("x").agg(F.max("y").alias("max_y"))
-    part = (
+    part, part_ids = pin(
         levels.repartitionByRange(
             *([n_partitions] if n_partitions else []), F.col("x")
-        )
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        ).withColumn("_pid", F.spark_partition_id())
     )
     # per-partition max(max_y), suffix-maxed over HIGHER-x partitions
     pmax = {
@@ -1925,6 +1925,7 @@ def pareto_frontier(
         for r in part.groupBy("_pid").agg(F.max("max_y").alias("m")).collect()
     }
     if not pmax:  # empty corpus -> empty frontier, schema intact
+        release(df.sparkSession, part_ids)
         return pts.limit(0)
     suffix, best = {}, None
     for pid in sorted(pmax, reverse=True):  # higher pid = higher x range
@@ -1956,6 +1957,11 @@ def pareto_frontier(
         .filter(F.col("max_y") > F.col("_prefix"))
         .select(F.col("x").alias("_fx"), F.col("max_y").alias("_fy"))
     )
+    # pin the frontier (<= level set, usually tiny), free the level-set
+    # checkpoint: the residual pin is frontier-sized, released by the
+    # caller's pin_scope / the streaming pool swap
+    surviving, _ = pin(surviving)
+    release(df.sparkSession, part_ids)
     return pts.join(
         F.broadcast(surviving),
         (F.col("x") == F.col("_fx")) & (F.col("y") == F.col("_fy")),

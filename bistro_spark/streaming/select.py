@@ -1,4 +1,5 @@
-"""Streaming twins of the selection family (quota / token budget).
+"""Streaming twins of the selection family (quota / token budget /
+skyline).
 
 Batch ops ``curation.quota_per_group`` and ``curation.token_budget_select``
 pick the best documents per group under a cap. Under streaming, the cap
@@ -34,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bistro_spark.caching import pin, release
+from bistro_spark.caching import pin, pinned_ids, release
 
 
 class _PoolSelector:
@@ -68,12 +69,16 @@ class _PoolSelector:
             if self._pool is None
             else self._pool.unionByName(batch_df)
         )
+        before = pinned_ids(self.spark)
         out, out_ids = pin(self._select(cands))
         old_ids = self._pin_ids
         self._pool = out.drop(*self._derived_cols())
         # the pool view shares `out`'s blocks — no second checkpoint needed
         self._pin_ids = out_ids
         release(self.spark, old_ids)
+        # free any pins the batch op created internally (e.g. the skyline
+        # level set): `out` is checkpointed, so they have no consumer left
+        release(self.spark, pinned_ids(self.spark) - before - out_ids)
         return out
 
 
@@ -107,6 +112,68 @@ class StreamingQuotaSelector(_PoolSelector):
 
     def _derived_cols(self) -> list[str]:
         return ["quota_rank"]
+
+
+class StreamingSkylineSelector(_PoolSelector):
+    """Streaming twin of ``curation.pareto_frontier``: maintain the
+    Pareto frontier (skyline) of everything ever seen, both signals
+    maximized.
+
+    EXACT full-history equivalence, from skyline algebra:
+    ``sky(A ∪ B) = sky(sky(A) ∪ B)`` — a point dominated in A ∪ B is
+    dominated by some skyline point of A ∪ B (dominance is transitive,
+    the point set per trigger is finite), which survives into
+    ``sky(A) ∪ B``; a point undominated in A ∪ B is a fortiori
+    undominated in the subset. So pool-∪-delta re-selection over the
+    retained frontier equals the batch op over the whole stream
+    (pytest-pinned).
+
+    State is frontier-sized — at most one point per distinct x value
+    (plus exact (x, y) ties), NOT stream-sized: skylines of random
+    2-D data grow O(log n). Per-trigger work is
+    O(|frontier| + |delta|) through the batch op's level-set plan.
+
+    Input batches carry pre-derived signal columns (``x_col``,
+    ``y_col`` — calc columns upstream); to minimize a signal, negate
+    it upstream. Output/pool schema: (id_col, x, y)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        id_col: str = "doc_id",
+        x_col: str = "x",
+        y_col: str = "y",
+        n_partitions: int | None = None,
+    ):
+        super().__init__(spark)
+        self.id_col, self.x_col, self.y_col = id_col, x_col, y_col
+        self.n_partitions = n_partitions
+
+    def process_batch(self, batch_df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        norm = batch_df.select(
+            self.id_col,
+            F.col(self.x_col).cast("long").alias("x"),
+            F.col(self.y_col).cast("long").alias("y"),
+        )
+        return super().process_batch(norm)
+
+    def _select(self, candidates: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from bistro_spark.operators.curation import pareto_frontier
+
+        return pareto_frontier(
+            candidates,
+            id_col=self.id_col,
+            x=F.col("x"),
+            y=F.col("y"),
+            n_partitions=self.n_partitions,
+        )
+
+    def _derived_cols(self) -> list[str]:
+        return []
 
 
 class StreamingTokenBudgetSelector(_PoolSelector):

@@ -115,3 +115,68 @@ def test_streaming_selectors_state_pins_bounded(spark):
     assert max(sizes) == sizes[0]
     release(spark, sel._pin_ids)
     assert pinned_ids(spark) - base == set()
+
+
+# ------------------------------------------------------- skyline twin ----
+def test_streaming_skyline_exact_full_history_parity(spark):
+    """sky(A∪B) = sky(sky(A)∪B): per trigger the twin's output equals
+    the batch skyline over EVERYTHING ever seen, and the retained state
+    is the frontier itself (one point per distinct surviving x, plus
+    exact ties) — never stream-sized."""
+    import random
+
+    from bistro_spark.operators.curation import pareto_frontier
+    from bistro_spark.streaming.select import StreamingSkylineSelector
+
+    rng = random.Random(41)
+    pts = [(i, rng.randrange(15), rng.randrange(15)) for i in range(150)]
+    pts += [(900, 14, 14), (901, 14, 14)]  # exact-tie pair: both survive
+    batches = [pts[i::4] for i in range(4)]
+    sel = StreamingSkylineSelector(spark, id_col="doc_id")
+    seen = []
+    for b in batches:
+        bdf = spark.createDataFrame(b, ["doc_id", "x", "y"])
+        got = sorted(tuple(r) for r in sel.process_batch(bdf).collect())
+        seen += b
+        want = sorted(
+            tuple(r)
+            for r in pareto_frontier(
+                spark.createDataFrame(seen, ["doc_id", "x", "y"]),
+                id_col="doc_id",
+                x=F.col("x"),
+                y=F.col("y"),
+            ).collect()
+        )
+        assert got == want
+    # both members of the exact (14,14) tie are on the final frontier
+    final = {tuple(r) for r in sel.pool().collect()}
+    assert (900, 14, 14) in final and (901, 14, 14) in final
+    # frontier-sized state: strictly fewer rows than points seen, and at
+    # most (#distinct x) + (#tie duplicates)
+    assert len(final) < len(seen)
+    xs = {x for _, x, _ in final}
+    # one survivor per distinct x plus exact (x, y)-tie multiplicity
+    from collections import Counter
+
+    mult = Counter((x, y) for _, x, y in seen)
+    extra_ties = sum(mult[(x, y)] - 1 for (x, y) in {(x, y) for _, x, y in final})
+    assert len(final) == len(xs) + extra_ties
+
+
+def test_streaming_skyline_releases_previous_pool_pins(spark):
+    """The twin holds exactly one pinned frontier checkpoint across
+    triggers (pool swap releases the predecessor)."""
+    from bistro_spark.streaming.select import StreamingSkylineSelector
+
+    sel = StreamingSkylineSelector(spark, id_col="doc_id")
+    before = set(pinned_ids(spark))
+    for i in range(3):
+        bdf = spark.createDataFrame(
+            [(10 * i + j, j, 10 - j) for j in range(5)],
+            ["doc_id", "x", "y"],
+        )
+        sel.process_batch(bdf).collect()
+    leaked = set(pinned_ids(spark)) - before
+    assert len(leaked) == len(sel._pin_ids)
+    release(spark, sel._pin_ids)
+    assert set(pinned_ids(spark)) - before == set()
