@@ -1411,6 +1411,15 @@ def q_spine_growth(spark: SparkSession, sf: str) -> DataFrame:
     return activity_spine(load_table(spark, "events", sf))
 
 
+def q_cardinality_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source cardinality profile, exact path (EXPAND + two-level
+    partial agg: the shuffle carries the per-group value level set).
+    The HLL++ sketch path shares the schema; pytest bounds its error."""
+    from bistro_spark.operators.olap import cardinality_report
+
+    return cardinality_report(load_table(spark, "documents", sf))
+
+
 def q_pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
     """Skyline selection over (n_chars, word count), both maximized: the
     corpus collapses to its distinct-x level set in one partial agg,
@@ -1420,6 +1429,16 @@ def q_pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
     from bistro_spark.operators.curation import pareto_frontier
 
     return pareto_frontier(load_table(spark, "documents", sf))
+
+
+def q_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank-fusion quality ensemble (Cormack & Clarke, k=60)
+    over three incomparable signals: every rank computes by value-level
+    collapse + broadcast map-back — the corpus is never globally sorted.
+    Oracle is the definitional single-window RANK() form."""
+    from bistro_spark.operators.ranking import rrf_fusion
+
+    return rrf_fusion(load_table(spark, "documents", sf))
 
 
 def q_dsir(spark: SparkSession, sf: str) -> DataFrame:
@@ -1738,6 +1757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorized_stats": q_winsorized_stats,
         "spine_growth": q_spine_growth,
         "pareto_frontier": q_pareto_frontier,
+        "rrf_fusion": q_rrf_fusion,
+        "cardinality_report": q_cardinality_report,
     }
 
 
@@ -2495,6 +2516,8 @@ def oracle_sql() -> dict[str, str]:
         "contingency_report": _olap.contingency_report_sql("documents"),
         "winsorized_stats": _curation.winsorized_stats_sql("documents"),
         "pareto_frontier": _curation.pareto_frontier_sql("documents"),
+        "rrf_fusion": _ranking.rrf_fusion_sql("documents"),
+        "cardinality_report": _olap.cardinality_report_sql("documents"),
         "pack_stats": (
             "WITH enc AS ("
             + _ranking.encode_tokens_sql("documents")

@@ -828,3 +828,74 @@ def contingency_report_sql(
                    * (CAST(observed AS DOUBLE) - ex) / ex, 6) AS contrib
       FROM e
     """
+
+
+# ------------------------------------------------- cardinality report ----
+def cardinality_report(
+    df: DataFrame,
+    group_col: str = "source",
+    distinct_cols: tuple[str, ...] = ("text", "lang"),
+    approx: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Per-slice cardinality profile: row count, distinct count per
+    tracked column, and the duplicate ratio of the first tracked column
+    — the first look at a new corpus drop ("how much of source X is
+    copies?").
+
+    Two execution paths, one schema:
+
+    - ``approx=False`` (the oracle-checked contract path): exact
+      distincts. Spark plans ``count(DISTINCT ...)`` via EXPAND +
+      two-level partial aggregation — each (group, value) pair
+      deduplicates map-side before the shuffle, so the wire carries the
+      level set, never the corpus.
+    - ``approx=True`` (the 100 TB path): ``approx_count_distinct``
+      (HyperLogLog++, relative error ``rsd``). State per group is a
+      fixed-size sketch — mergeable, partial-aggregated, ONE narrow
+      shuffle regardless of value cardinality. Same plan shape a
+      streaming twin's additive state wants; pytest bounds the sketch
+      error against the exact path.
+
+    Returns (group, n_rows, n_<col>..., dup_ratio)."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in distinct_cols:
+        d = (
+            F.approx_count_distinct(c, rsd)
+            if approx
+            else F.countDistinct(c)
+        )
+        aggs.append(d.cast("long").alias(f"n_{c}"))
+    first = distinct_cols[0]
+    return (
+        df.groupBy(group_col)
+        .agg(*aggs)
+        .withColumn(
+            "dup_ratio",
+            F.round(
+                F.lit(1.0) - F.col(f"n_{first}") / F.col("n_rows"), 6
+            ),
+        )
+    )
+
+
+def cardinality_report_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    distinct_cols: tuple[str, ...] = ("text", "lang"),
+) -> str:
+    """DuckDB twin of the exact path of :func:`cardinality_report`."""
+    cols = ",\n             ".join(
+        f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_{c}"
+        for c in distinct_cols
+    )
+    first = distinct_cols[0]
+    return f"""
+      SELECT {group_col},
+             CAST(count(*) AS BIGINT) AS n_rows,
+             {cols},
+             round(1.0 - CAST(count(DISTINCT {first}) AS DOUBLE)
+                   / count(*), 6) AS dup_ratio
+      FROM {table}
+      GROUP BY {group_col}
+    """

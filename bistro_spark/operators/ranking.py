@@ -374,3 +374,121 @@ def oov_rate_sql(
       FROM tt LEFT JOIN topk USING (term)
       GROUP BY tt.grp
     """
+
+
+# ------------------------------------------- reciprocal-rank fusion (RRF) ----
+def value_ranks(
+    df: DataFrame,
+    value,
+    rank_col: str = "rank",
+    ascending: bool = False,
+) -> DataFrame:
+    """Competition rank (1 + #rows strictly better) for every row, by
+    VALUE-LEVEL collapse — the scalable substitute for a global
+    ``RANK()`` window (which is a single-reducer sort of the corpus).
+
+    Plan: ONE partial-aggregated groupBy collapses the corpus to its
+    distinct-value level set (bounded by the signal's domain — the
+    contract is integer/binned signals, the same assumption as
+    ``pareto_frontier``), the strict-prefix count runs a window over the
+    LEVEL SET ONLY (tiny by construction — never corpus-sized), and the
+    (value → rank) map broadcasts back onto the corpus. Ties share a
+    rank; the next value's rank skips by the tie count — exactly SQL
+    ``RANK()``.
+
+    Returns ``df`` + ``rank_col`` (long)."""
+    from pyspark.sql import Window
+
+    v = value.alias("_v") if hasattr(value, "alias") else F.col(value).alias("_v")
+    with_v = df.withColumn("_v", v)
+    levels = with_v.groupBy("_v").agg(F.count(F.lit(1)).alias("_n"))
+    order = F.col("_v").asc() if ascending else F.col("_v").desc()
+    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    rank_map = levels.select(
+        "_v",
+        (F.coalesce(F.sum("_n").over(w), F.lit(0)) + 1)
+        .cast("long")
+        .alias(rank_col),
+    )
+    return with_v.join(F.broadcast(rank_map), "_v").drop("_v")
+
+
+def rrf_fusion(
+    df: DataFrame,
+    signals: list[tuple[str, "F.Column", bool]] | None = None,
+    id_col: str = "doc_id",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank-fusion quality ensemble: fuse heterogeneous
+    per-document quality signals on the RANK scale —
+    ``score = Σ_s 1/(k + rank_s(doc))`` (Cormack & Clarke's RRF, the
+    standard way to blend signals whose raw scales are incomparable;
+    k=60 is the published default). Ranks are competition ranks, best
+    first, via :func:`value_ranks` — so the whole fusion is
+    level-set aggregations + broadcast joins, zero corpus-sized sorts.
+
+    ``signals`` is [(name, column_expr, ascending)]; ascending=True
+    means SMALLER is better. Defaults (over the documents table):
+    distinct-word diversity (max), n_chars length (max), total word
+    count (min — a token-cost signal).
+
+    Returns (id, r_<name>..., rrf_score). The score expression is a
+    fixed-order sum of ``1/(k + rank)`` terms — deterministic and
+    bit-identical across engines for the same ranks."""
+    if signals is None:
+        words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+        signals = [
+            ("diversity", F.size(F.array_distinct(words)).cast("long"), False),
+            ("length", F.col("n_chars").cast("long"), False),
+            ("brevity", F.size(words).cast("long"), True),
+        ]
+    out = df.select(id_col, *[c.alias(f"_s_{n}") for n, c, _ in signals])
+    for name, _, asc in signals:
+        out = value_ranks(
+            out, F.col(f"_s_{name}"), rank_col=f"r_{name}", ascending=asc
+        )
+    score = None
+    for name, _, _ in signals:
+        term = F.lit(1.0) / (F.lit(k) + F.col(f"r_{name}"))
+        score = term if score is None else score + term
+    return out.select(
+        id_col,
+        *[F.col(f"r_{n}") for n, _, _ in signals],
+        score.alias("rrf_score"),
+    )
+
+
+def rrf_fusion_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 60,
+) -> str:
+    """DuckDB twin of :func:`rrf_fusion` (default signals) — the
+    definitional single-window ``RANK()`` form (fine at oracle scale;
+    competition-rank semantics match value_ranks exactly)."""
+    words = f"list_filter(string_split({text_col}, ' '), w -> w <> '')"
+    return f"""
+      WITH sig AS (
+        SELECT {id_col},
+               CAST(len(list_distinct({words})) AS BIGINT) AS s_div,
+               CAST(n_chars AS BIGINT) AS s_len,
+               CAST(len({words}) AS BIGINT) AS s_brev
+        FROM {table}
+      ),
+      r AS (
+        SELECT {id_col},
+               CAST(rank() OVER (ORDER BY s_div DESC) AS BIGINT)
+                 AS r_diversity,
+               CAST(rank() OVER (ORDER BY s_len DESC) AS BIGINT)
+                 AS r_length,
+               CAST(rank() OVER (ORDER BY s_brev ASC) AS BIGINT)
+                 AS r_brevity
+        FROM sig
+      )
+      SELECT {id_col}, r_diversity, r_length, r_brevity,
+             1.0 / ({k} + r_diversity)
+               + 1.0 / ({k} + r_length)
+               + 1.0 / ({k} + r_brevity) AS rrf_score
+      FROM r
+    """

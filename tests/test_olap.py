@@ -169,3 +169,46 @@ def test_contingency_report_margins(spark):
             r["row_total"] * r["col_total"] / grand, 6
         )
     assert all(r["contrib"] >= 0 for r in rep)
+
+
+# ------------------------------------------------- cardinality report ----
+def test_cardinality_report_exact_known_values(spark):
+    from bistro_spark.operators.olap import cardinality_report
+
+    rows = [
+        (1, "a", "en", "s1"), (2, "a", "en", "s1"), (3, "b", "de", "s1"),
+        (4, "c", "en", "s2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    got = {
+        r["source"]: (r["n_rows"], r["n_text"], r["n_lang"], r["dup_ratio"])
+        for r in cardinality_report(df).collect()
+    }
+    assert got == {
+        "s1": (3, 2, 2, round(1 - 2 / 3, 6)),
+        "s2": (1, 1, 1, 0.0),
+    }
+
+
+def test_cardinality_report_sketch_path_bounds_and_plan(spark):
+    """HLL++ path: same schema, distincts within 3*rsd of exact, and the
+    plan is a plain two-level partial aggregation (no EXPAND — the
+    sketch is mergeable, the shuffle is one narrow row per group)."""
+    from bistro_spark.operators.olap import cardinality_report
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    )
+    exact = {
+        r["source"]: r for r in cardinality_report(docs).collect()
+    }
+    approx_df = cardinality_report(docs, approx=True, rsd=0.05)
+    assert approx_df.columns == list(exact.values())[0].__fields__
+    for r in approx_df.collect():
+        e = exact[r["source"]]
+        assert r["n_rows"] == e["n_rows"]
+        for c in ("n_text", "n_lang"):
+            assert abs(r[c] - e[c]) <= max(3, 0.15 * e[c]), (r, e)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final

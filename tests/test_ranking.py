@@ -340,3 +340,80 @@ def test_oov_rate_matches_duckdb(spark):
         tuple(r) for r in con.sql(oov_rate_sql("documents", k=25)).fetchall()
     )
     assert spark_rows == duck_rows
+
+
+# ------------------------------------------------ value_ranks / RRF ----
+def test_value_ranks_competition_semantics(spark):
+    """Ties share a rank; the next value skips by the tie count (SQL
+    RANK()), both directions."""
+    from bistro_spark.operators.ranking import value_ranks
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 7), (4, 5), (5, 5), (6, 5), (7, 1)],
+        ["id", "v"],
+    )
+    desc = {
+        r["id"]: r["rank"]
+        for r in value_ranks(df, F.col("v")).collect()
+    }
+    assert desc == {1: 1, 2: 1, 3: 3, 4: 4, 5: 4, 6: 4, 7: 7}
+    asc = {
+        r["id"]: r["rank"]
+        for r in value_ranks(df, F.col("v"), ascending=True).collect()
+    }
+    assert asc == {7: 1, 4: 2, 5: 2, 6: 2, 3: 5, 1: 6, 2: 6}
+
+
+def test_value_ranks_partitioning_invariant(spark):
+    from bistro_spark.operators.ranking import value_ranks
+
+    import random
+
+    rng = random.Random(13)
+    rows = [(i, rng.randrange(20)) for i in range(200)]
+    want = None
+    for n in (1, 3, 16):
+        df = spark.createDataFrame(rows, ["id", "v"]).repartition(n)
+        got = sorted(
+            (r["id"], r["rank"])
+            for r in value_ranks(df, F.col("v")).collect()
+        )
+        want = got if want is None else want
+        assert got == want
+
+
+def test_rrf_fusion_plan_level_set_window_and_broadcast(spark, docs):
+    """Every window in the fused plan runs over an AGGREGATED level set
+    (its subtree contains the groupBy), never the raw corpus, and the
+    rank maps come back via broadcast joins."""
+    from bistro_spark.operators.ranking import rrf_fusion
+
+    plan = (
+        rrf_fusion(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the corpus scan must not feed a Window directly: each Window's
+    # child chain goes through a HashAggregate (the level-set collapse)
+    for seg in plan.split("Window ")[1:]:
+        assert "HashAggregate" in seg.split("Scan ", 1)[0]
+
+
+def test_rrf_fusion_matches_duckdb(spark, docs):
+    from bistro_spark.operators.ranking import rrf_fusion, rrf_fusion_sql
+
+    got = {
+        r["doc_id"]: (
+            r["r_diversity"], r["r_length"], r["r_brevity"],
+            round(r["rrf_score"], 12),
+        )
+        for r in rrf_fusion(docs).collect()
+    }
+    want = {
+        r[0]: (r[1], r[2], r[3], round(r[4], 12))
+        for r in _duck().execute(rrf_fusion_sql("documents")).fetchall()
+    }
+    assert got == want
