@@ -1420,6 +1420,25 @@ def q_cardinality_report(spark: SparkSession, sf: str) -> DataFrame:
     return cardinality_report(load_table(spark, "documents", sf))
 
 
+def q_signal_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source midrank quantile calibration of n_chars: level-set
+    collapse + group-partitioned windows over the level set only +
+    broadcast map-back — no per-group corpus sort. Oracle is the
+    definitional row-level window form."""
+    from bistro_spark.operators.curation import calibrate_signal
+
+    return calibrate_signal(load_table(spark, "documents", sf))
+
+
+def q_centroid_similarity(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids, decimal-
+    exact end-to-end (one corpus pass; everything downstream is
+    dimension-sized and broadcast)."""
+    from bistro_spark.operators.similarity import centroid_similarity
+
+    return centroid_similarity(load_table(spark, "embeddings", sf))
+
+
 def q_pareto_frontier(spark: SparkSession, sf: str) -> DataFrame:
     """Skyline selection over (n_chars, word count), both maximized: the
     corpus collapses to its distinct-x level set in one partial agg,
@@ -1759,6 +1778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_frontier": q_pareto_frontier,
         "rrf_fusion": q_rrf_fusion,
         "cardinality_report": q_cardinality_report,
+        "signal_calibration": q_signal_calibration,
+        "centroid_similarity": q_centroid_similarity,
     }
 
 
@@ -2518,6 +2539,8 @@ def oracle_sql() -> dict[str, str]:
         "pareto_frontier": _curation.pareto_frontier_sql("documents"),
         "rrf_fusion": _ranking.rrf_fusion_sql("documents"),
         "cardinality_report": _olap.cardinality_report_sql("documents"),
+        "signal_calibration": _curation.calibrate_signal_sql("documents"),
+        "centroid_similarity": _similarity.centroid_similarity_sql("embeddings"),
         "pack_stats": (
             "WITH enc AS ("
             + _ranking.encode_tokens_sql("documents")

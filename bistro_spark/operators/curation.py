@@ -1994,3 +1994,105 @@ def pareto_frontier_sql(
           AND (q.x > p.x OR q.y > p.y)
       )
     """
+
+
+# ------------------------------------------- per-group signal calibration ----
+def calibrate_signal(
+    df: DataFrame,
+    group_col: str = "source",
+    value: Column | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quantile-normalize a quality signal WITHIN each slice: map every
+    document to its midrank plotting position
+    ``pct = (c_less + c_eq/2) / n`` in its group's empirical
+    distribution. The step before blending/thresholding heterogeneous
+    quality signals across sources — a raw cutoff means different things
+    in different slices; the calibrated score is uniform-on-[0,1] within
+    every slice by construction.
+
+    100 TB shape — the textbook ``percent_rank() OVER (PARTITION BY
+    group ORDER BY v)`` sorts every group through one reducer. Instead:
+    ONE partial-aggregated groupBy collapses the corpus to its
+    (group, value) LEVEL SET (bounded by #groups x value domain — the
+    integer/binned-signal contract shared with ``value_ranks`` /
+    ``pareto_frontier``); c_less and n come from windows over the level
+    set only (partitioned by group — never corpus rows, never a single
+    global partition); the (group, v -> pct) map broadcasts back onto
+    the corpus. Exact integer arithmetic until one final round-6
+    division.
+
+    Returns (id, group, v, pct)."""
+    if value is None:
+        value = F.col("n_chars")
+    sig = df.select(
+        F.col(id_col), F.col(group_col), value.cast("long").alias("v")
+    )
+    levels = signal_counts(sig, group_col)
+    pct_map = calibration_map_from_counts(levels, group_col)
+    return sig.join(F.broadcast(pct_map), [group_col, "v"]).select(
+        id_col, group_col, "v", "pct"
+    )
+
+
+def signal_counts(sig: DataFrame, group_col: str = "source") -> DataFrame:
+    """The calibration sufficient statistic: the (group, v, c_eq) level
+    set — ONE partial-aggregated groupBy; additive across batches
+    (the streaming twin's state)."""
+    return sig.groupBy(group_col, "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c_eq")
+    )
+
+
+def calibration_map_from_counts(
+    levels: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """(group, v, pct) midrank map from a :func:`signal_counts` grid —
+    windows run over the LEVEL SET only, partitioned by group."""
+    from pyspark.sql import Window
+
+    w_less = (
+        Window.partitionBy(group_col)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(group_col)
+    return levels.select(
+        group_col,
+        "v",
+        F.round(
+            (
+                2 * F.coalesce(F.sum("c_eq").over(w_less), F.lit(0))
+                + F.col("c_eq")
+            )
+            / (2.0 * F.sum("c_eq").over(w_all)),
+            6,
+        ).alias("pct"),
+    )
+
+
+def calibrate_signal_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    value_expr: str = "n_chars",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`calibrate_signal` — the definitional
+    row-level window form (c_less / c_eq / n straight off the raw rows;
+    fine at oracle scale)."""
+    return f"""
+      WITH sig AS (
+        SELECT {id_col}, {group_col},
+               CAST({value_expr} AS BIGINT) AS v
+        FROM {table}
+      )
+      SELECT {id_col}, {group_col}, v,
+             round((2 * count(*) OVER (PARTITION BY {group_col}
+                        ORDER BY v
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING)
+                    + count(*) OVER (PARTITION BY {group_col}, v))
+                   / (2.0 * count(*) OVER (PARTITION BY {group_col})),
+                   6) AS pct
+      FROM sig
+    """

@@ -549,3 +549,102 @@ def semdedup_sql(
       JOIN sizes s USING (cluster)
       LEFT JOIN dups d ON g.{id_col} = d.did
     """
+
+
+# ------------------------------------- source centroid similarity matrix ----
+def centroid_similarity(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine similarity between per-group embedding centroids
+    — the slice-level semantic-overlap map ("which sources say the same
+    things?") that drives mixture design and near-dup source pruning.
+
+    Builds on :func:`group_centroids` (decimal-exact, long-form), so the
+    corpus is touched exactly once; everything after operates on the
+    (#groups x dims) centroid table — dimension-sized, broadcast. The
+    pair dot/norm sums are again decimal-cast before aggregation
+    (products of round-6 centroid components are exact in
+    ``decimal(38,12)``), so the matrix is bit-identical on any
+    partitioning or engine; cosine is a final round-6 double division.
+
+    Returns (group_a, group_b, n_a, n_b, cosine) for group_a < group_b.
+    """
+    cen = group_centroids(df, group_col=group_col, vec_col=vec_col)
+    a = cen.select(
+        F.col(group_col).alias("group_a"),
+        "dim_i",
+        F.col("n").alias("n_a"),
+        F.col("centroid").alias("ca"),
+    )
+    b = cen.select(
+        F.col(group_col).alias("group_b"),
+        "dim_i",
+        F.col("n").alias("n_b"),
+        F.col("centroid").alias("cb"),
+    )
+    dec = "decimal(38,12)"
+    pairs = a.join(F.broadcast(b), "dim_i").filter(
+        F.col("group_a") < F.col("group_b")
+    )
+    agg = pairs.groupBy("group_a", "group_b").agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.sum((F.col("ca") * F.col("cb")).cast(dec)).alias("_dot"),
+        F.sum((F.col("ca") * F.col("ca")).cast(dec)).alias("_na"),
+        F.sum((F.col("cb") * F.col("cb")).cast(dec)).alias("_nb"),
+    )
+    return agg.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("_dot").cast("double")
+            / (
+                F.sqrt(F.col("_na").cast("double"))
+                * F.sqrt(F.col("_nb").cast("double"))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+
+
+def centroid_similarity_sql(
+    table: str = "embeddings",
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`centroid_similarity` (same decimal-exact
+    centroid and pair-sum construction)."""
+    return f"""
+      WITH e AS (
+        SELECT {group_col} AS g,
+               unnest(range(0, len({vec_col}))) AS dim_i,
+               unnest({vec_col}) AS x
+        FROM {table}
+      ),
+      cen AS (
+        SELECT g, dim_i,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE)
+                     / count(*), 6) AS c
+        FROM e GROUP BY g, dim_i
+      ),
+      p AS (
+        SELECT a.g AS group_a, b.g AS group_b,
+               any_value(a.n) AS n_a, any_value(b.n) AS n_b,
+               sum(CAST(a.c * b.c AS DECIMAL(38,12))) AS dot,
+               sum(CAST(a.c * a.c AS DECIMAL(38,12))) AS na,
+               sum(CAST(b.c * b.c AS DECIMAL(38,12))) AS nb
+        FROM cen a JOIN cen b USING (dim_i)
+        WHERE a.g < b.g
+        GROUP BY a.g, b.g
+      )
+      SELECT group_a, group_b, n_a, n_b,
+             round(CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(na AS DOUBLE))
+                      * sqrt(CAST(nb AS DOUBLE))), 6) AS cosine
+      FROM p
+    """

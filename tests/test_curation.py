@@ -1217,3 +1217,63 @@ def test_pareto_frontier_plan_no_global_window_no_cartesian(spark):
     for seg in plan.split("Window ")[1:]:
         head = seg.split("\n", 1)[0]
         assert "_pid" in head, head  # every window partitioned by _pid
+
+
+# ---------------------------------------------------- calibrate_signal ----
+def test_calibrate_signal_known_midranks(spark):
+    from bistro_spark.operators.curation import calibrate_signal
+
+    df = spark.createDataFrame(
+        [(1, "s1", 5), (2, "s1", 5), (3, "s1", 7), (4, "s2", 9)],
+        ["doc_id", "source", "n_chars"],
+    )
+    got = {
+        r["doc_id"]: (r["v"], r["pct"])
+        for r in calibrate_signal(df).collect()
+    }
+    assert got == {
+        1: (5, round(2 / 6, 6)),
+        2: (5, round(2 / 6, 6)),
+        3: (7, round(5 / 6, 6)),
+        4: (9, 0.5),
+    }
+
+
+def test_calibrate_signal_uniform_within_group(spark):
+    """Midrank property: the mean calibrated score is exactly 1/2 in
+    every group, whatever the value distribution."""
+    from bistro_spark.operators.curation import calibrate_signal
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = (
+        calibrate_signal(docs)
+        .groupBy("source")
+        .agg(F.avg("pct").alias("m"))
+        .collect()
+    )
+    assert rows and all(abs(r["m"] - 0.5) < 1e-4 for r in rows)
+
+
+def test_calibrate_signal_plan_level_set_windows_only(spark):
+    """No corpus-sized window: every Window's subtree aggregates first;
+    the pct map joins back broadcast."""
+    from bistro_spark.operators.curation import calibrate_signal
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        calibrate_signal(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # each Window sits above the level-set HashAggregate (tree prints
+    # parent-first): an aggregate appears below it before any scan
+    idx = 0
+    while True:
+        idx = plan.find("Window ", idx)
+        if idx < 0:
+            break
+        rest = plan[idx + 7 :]
+        assert "HashAggregate" in rest.split("Scan ", 1)[0]
+        idx += 7

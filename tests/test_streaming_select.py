@@ -180,3 +180,43 @@ def test_streaming_skyline_releases_previous_pool_pins(spark):
     assert len(leaked) == len(sel._pin_ids)
     release(spark, sel._pin_ids)
     assert set(pinned_ids(spark)) - before == set()
+
+
+# ------------------------------------------- calibration-map monitor ----
+def test_streaming_calibration_exact_full_history_parity(spark):
+    """Counts are additive, so the emitted midrank map equals the batch
+    map over the union of all deltas at EVERY trigger; state stays
+    level-set-sized and the pin chain holds exactly one grid."""
+    from bistro_spark.operators.curation import (
+        calibration_map_from_counts,
+        signal_counts,
+    )
+    from bistro_spark.streaming.select import StreamingCalibrationMonitor
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "n_chars")
+    batches = [docs.filter(f"doc_id % 3 = {i}") for i in range(3)]
+    mon = StreamingCalibrationMonitor(spark)
+    before = set(pinned_ids(spark))
+    seen = None
+    for b in batches:
+        got = sorted(tuple(r) for r in mon.process_batch(b).collect())
+        seen = b if seen is None else seen.unionByName(b)
+        sig = seen.select(
+            "source", F.col("n_chars").cast("long").alias("v")
+        )
+        want = sorted(
+            tuple(r)
+            for r in calibration_map_from_counts(
+                signal_counts(sig)
+            ).collect()
+        )
+        assert got == want
+    n_levels = (
+        seen.select("source", "n_chars").distinct().count()
+    )
+    assert mon.state_rows() == n_levels
+    assert len(set(pinned_ids(spark)) - before) == len(mon._pin_ids)
+    mon.close()
+    assert set(pinned_ids(spark)) - before == set()

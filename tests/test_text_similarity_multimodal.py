@@ -448,3 +448,53 @@ def test_heavy_hitters_matches_duckdb(spark):
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
     want = sorted(tuple(r) for r in con.sql(heavy_hitters_sql(k=40)).fetchall())
     assert got == want and len(got) > 0
+
+
+# ------------------------------------------------- centroid_similarity ----
+def test_centroid_similarity_hand_values(spark):
+    from bistro_spark.operators.similarity import centroid_similarity
+
+    rows = [
+        (1, [1.0, 0.0], 1), (2, [1.0, 0.0], 1),   # centroid (1, 0)
+        (3, [0.0, 2.0], 2),                        # centroid (0, 2)
+        (4, [4.0, 0.0], 3),                        # centroid (4, 0)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {
+        (r["group_a"], r["group_b"]): (r["n_a"], r["n_b"], r["cosine"])
+        for r in centroid_similarity(df).collect()
+    }
+    assert got == {
+        (1, 2): (2, 1, 0.0),
+        (1, 3): (2, 1, 1.0),
+        (2, 3): (1, 1, 0.0),
+    }
+
+
+def test_centroid_similarity_partitioning_invariant_and_duckdb(spark):
+    import duckdb
+
+    from bistro_spark.operators.similarity import (
+        centroid_similarity,
+        centroid_similarity_sql,
+    )
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(path)
+    base = sorted(
+        tuple(r) for r in centroid_similarity(emb).collect()
+    )
+    re16 = sorted(
+        tuple(r)
+        for r in centroid_similarity(emb.repartition(16)).collect()
+    )
+    assert base == re16  # bit-identical: decimal-exact pipeline
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            centroid_similarity_sql("embeddings")
+        ).fetchall()
+    )
+    assert base == want
