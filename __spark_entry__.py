@@ -1411,6 +1411,28 @@ def q_spine_growth(spark: SparkSession, sf: str) -> DataFrame:
     return activity_spine(load_table(spark, "events", sf))
 
 
+def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub gate: deterministic synthetic PII (the corpus has
+    none) injected with the same expression on both engines, then the
+    pure-codegen regexp_replace redaction chain with per-kind counts
+    taken on the progressively scrubbed text. Entirely JVM-side at any
+    scale (no Python, no shuffle — map-only)."""
+    from bistro_spark.operators.text import redact_pii, synth_pii
+
+    docs = load_table(spark, "documents", sf).select(
+        "doc_id", synth_pii("doc_id", "text").alias("text")
+    )
+    out = redact_pii(docs)
+    return out.select(
+        "doc_id",
+        *[
+            F.col(f"n_redact_{k}").cast("long").alias(f"n_redact_{k}")
+            for k in ("email", "phone", "ipv4")
+        ],
+        "text",
+    )
+
+
 def q_cardinality_report(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source cardinality profile, exact path (EXPAND + two-level
     partial agg: the shuffle carries the per-group value level set).
@@ -1778,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_frontier": q_pareto_frontier,
         "rrf_fusion": q_rrf_fusion,
         "cardinality_report": q_cardinality_report,
+        "pii_redact": q_pii_redact,
         "signal_calibration": q_signal_calibration,
         "centroid_similarity": q_centroid_similarity,
     }
@@ -2539,6 +2562,7 @@ def oracle_sql() -> dict[str, str]:
         "pareto_frontier": _curation.pareto_frontier_sql("documents"),
         "rrf_fusion": _ranking.rrf_fusion_sql("documents"),
         "cardinality_report": _olap.cardinality_report_sql("documents"),
+        "pii_redact": _text.redact_pii_sql("documents"),
         "signal_calibration": _curation.calibrate_signal_sql("documents"),
         "centroid_similarity": _similarity.centroid_similarity_sql("embeddings"),
         "pack_stats": (

@@ -901,3 +901,100 @@ def collocations_pmi_sql(
       ORDER BY n_pair DESC, term_a, term_b
       LIMIT {top_k}
     """
+
+
+def synth_pii(doc_id: Column | str, text: Column | str) -> Column:
+    """Deterministic PII injection from an integer id (the corpus has no
+    real PII, so — like ``web.synth_url`` — the gate synthesizes it with
+    the SAME expression on both engines): ids ≡0 mod 3 gain an email,
+    ≡0 mod 4 a phone, ≡0 mod 5 an IPv4, all value-derived from the id.
+    """
+    k = F.col(doc_id) if isinstance(doc_id, str) else doc_id
+    t = F.col(text) if isinstance(text, str) else text
+    email = F.when(
+        k % 3 == 0,
+        F.concat(
+            F.lit("user"), (k % 50).cast("string"),
+            F.lit("@ex"), (k % 7).cast("string"), F.lit(".com "),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        k % 4 == 0,
+        F.concat(
+            F.lit("+1-555-"),
+            F.lpad((k % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((k % 10000).cast("string"), 4, "0"),
+            F.lit(" "),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        k % 5 == 0,
+        F.concat(
+            F.lit("10."), (k % 256).cast("string"),
+            F.lit("."), (k % 200).cast("string"),
+            F.lit("."), (k % 7).cast("string"), F.lit(" "),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(email, phone, ip, t)
+
+
+def synth_pii_sql(id_expr: str = "doc_id", text_expr: str = "text") -> str:
+    """The identical deterministic PII injection as DuckDB SQL."""
+    k = f"({id_expr})"
+    return f"""(
+      (CASE WHEN {k} % 3 = 0 THEN
+         'user' || CAST({k} % 50 AS VARCHAR)
+         || '@ex' || CAST({k} % 7 AS VARCHAR) || '.com ' ELSE '' END)
+      || (CASE WHEN {k} % 4 = 0 THEN
+         '+1-555-' || lpad(CAST({k} % 1000 AS VARCHAR), 3, '0')
+         || '-' || lpad(CAST({k} % 10000 AS VARCHAR), 4, '0') || ' '
+         ELSE '' END)
+      || (CASE WHEN {k} % 5 = 0 THEN
+         '10.' || CAST({k} % 256 AS VARCHAR)
+         || '.' || CAST({k} % 200 AS VARCHAR)
+         || '.' || CAST({k} % 7 AS VARCHAR) || ' ' ELSE '' END)
+      || {text_expr}
+    )"""
+
+
+def redact_pii_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``synth_pii`` + :func:`redact_pii`: counts are
+    taken on the PROGRESSIVELY scrubbed text (email count on raw, phone
+    count on email-scrubbed, ipv4 count on phone-scrubbed), mirroring
+    the Spark chain; DuckDB needs the explicit 'g' flag Spark implies.
+    """
+    e, p, i4 = (
+        PII_PATTERNS["email"],
+        PII_PATTERNS["phone"],
+        PII_PATTERNS["ipv4"],
+    )
+    return f"""
+      WITH raw AS (
+        SELECT {id_col}, {synth_pii_sql(id_col, text_col)} AS t
+        FROM {table}
+      ),
+      s1 AS (
+        SELECT {id_col},
+               CAST(len(regexp_extract_all(t, '{e}')) AS BIGINT)
+                 AS n_redact_email,
+               regexp_replace(t, '{e}', '[EMAIL]', 'g') AS t
+        FROM raw
+      ),
+      s2 AS (
+        SELECT {id_col}, n_redact_email,
+               CAST(len(regexp_extract_all(t, '{p}')) AS BIGINT)
+                 AS n_redact_phone,
+               regexp_replace(t, '{p}', '[PHONE]', 'g') AS t
+        FROM s1
+      )
+      SELECT {id_col}, n_redact_email, n_redact_phone,
+             CAST(len(regexp_extract_all(t, '{i4}')) AS BIGINT)
+               AS n_redact_ipv4,
+             regexp_replace(t, '{i4}', '[IPV4]', 'g') AS {text_col}
+      FROM s2
+    """

@@ -1277,3 +1277,15 @@ def test_calibrate_signal_plan_level_set_windows_only(spark):
         rest = plan[idx + 7 :]
         assert "HashAggregate" in rest.split("Scan ", 1)[0]
         idx += 7
+
+
+def test_pii_redact_query_plan_map_only(spark):
+    """The contract PII gate is pure codegen: no Exchange, no Python
+    stage, single scan."""
+    import __spark_entry__ as ent
+
+    df = ent.queries()["pii_redact"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    assert plan.count("Scan parquet") == 1
