@@ -1411,6 +1411,32 @@ def q_spine_growth(spark: SparkSession, sf: str) -> DataFrame:
     return activity_spine(load_table(spark, "events", sf))
 
 
+def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@5 of the LSH ANN path against the exact top-k — the ANN
+    family's self-audit (the number a 100 TB operator watches before
+    trusting the bucketed path), fully hash-checkable because BOTH
+    sides are deterministic: exact brute-force top-k and closed-form
+    Weyl-bucket LSH. Join cost is (queries x k) rows — audit-sized."""
+    ex = q_ann_cosine_topk(spark, sf)
+    ls = q_ann_cosine_topk_lsh(spark, sf).select(
+        "query_id", "vec_id", F.lit(1).alias("_hit")
+    )
+    return (
+        ex.join(ls, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.coalesce(F.sum("_hit"), F.lit(0))
+            .cast("long")
+            .alias("n_hit"),
+            F.round(
+                F.coalesce(F.sum("_hit"), F.lit(0)) / F.count(F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     """PII scrub gate: deterministic synthetic PII (the corpus has
     none) injected with the same expression on both engines, then the
@@ -1801,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "cardinality_report": q_cardinality_report,
         "pii_redact": q_pii_redact,
+        "ann_recall": q_ann_recall,
         "signal_calibration": q_signal_calibration,
         "centroid_similarity": q_centroid_similarity,
     }
@@ -2563,6 +2590,18 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion": _ranking.rrf_fusion_sql("documents"),
         "cardinality_report": _olap.cardinality_report_sql("documents"),
         "pii_redact": _text.redact_pii_sql("documents"),
+        "ann_recall": (
+            "WITH ex AS (SELECT * FROM (" + _COSINE_TOPK_SQL + ") t),\n"
+            "     ls AS (SELECT * FROM (" + _COSINE_TOPK_LSH_SQL + ") t)\n"
+            "SELECT ex.query_id,\n"
+            "       CAST(count(*) AS BIGINT) AS n_exact,\n"
+            "       CAST(count(ls.vec_id) AS BIGINT) AS n_hit,\n"
+            "       round(CAST(count(ls.vec_id) AS DOUBLE) / count(*), 6)\n"
+            "         AS recall\n"
+            "FROM ex LEFT JOIN ls\n"
+            "  ON ex.query_id = ls.query_id AND ex.vec_id = ls.vec_id\n"
+            "GROUP BY ex.query_id"
+        ),
         "signal_calibration": _curation.calibrate_signal_sql("documents"),
         "centroid_similarity": _similarity.centroid_similarity_sql("embeddings"),
         "pack_stats": (
