@@ -1411,6 +1411,56 @@ def q_spine_growth(spark: SparkSession, sf: str) -> DataFrame:
     return activity_spine(load_table(spark, "events", sf))
 
 
+def q_ingest_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Third composed pipeline (ingest-side): PII scrub → length +
+    quality gates → exact-dedup survivors → per-source audit report,
+    ONE lazy plan: a single corpus scan, all map stages fused by
+    codegen, then exactly two shuffles (the dedup groupBy on text, the
+    report agg) — plan-pinned. Survivor choice is min(struct) — a
+    partial-aggregatable reduction, no window on the content key."""
+    from bistro_spark.operators.text import (
+        quality_score,
+        redact_pii,
+        synth_pii,
+        word_count,
+    )
+
+    base = load_table(spark, "documents", sf)
+    dups = base.filter("doc_id < 20").withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    docs = base.unionByName(dups).select(
+        "doc_id",
+        "source",
+        # synth keyed on doc_id % 100000 so an injected duplicate gets
+        # IDENTICAL pii-bearing text to its original (dedup must fire)
+        synth_pii(F.col("doc_id") % 100000, "text").alias("text"),
+    )
+    clean = redact_pii(docs)
+    nred = (
+        F.col("n_redact_email")
+        + F.col("n_redact_phone")
+        + F.col("n_redact_ipv4")
+    ).cast("long")
+    enriched = clean.select(
+        "doc_id",
+        "source",
+        nred.alias("_nred"),
+        word_count("text").cast("long").alias("_nw"),
+        quality_score("text").alias("_q"),
+        "text",
+    )
+    gated = enriched.filter((F.col("_nw") >= 20) & (F.col("_q") >= 1.05))
+    surv = gated.groupBy("text").agg(
+        F.min(F.struct("doc_id", "source", "_nred", "_nw")).alias("s")
+    )
+    return surv.groupBy(F.col("s.source").alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("s._nred").cast("long").alias("n_redactions"),
+        F.sum("s._nw").cast("long").alias("total_words"),
+    )
+
+
 def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     """Recall@5 of the LSH ANN path against the exact top-k — the ANN
     family's self-audit (the number a 100 TB operator watches before
@@ -1828,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_report": q_cardinality_report,
         "pii_redact": q_pii_redact,
         "ann_recall": q_ann_recall,
+        "ingest_pipeline": q_ingest_pipeline,
         "signal_calibration": q_signal_calibration,
         "centroid_similarity": q_centroid_similarity,
     }
@@ -2590,6 +2641,29 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion": _ranking.rrf_fusion_sql("documents"),
         "cardinality_report": _olap.cardinality_report_sql("documents"),
         "pii_redact": _text.redact_pii_sql("documents"),
+        "ingest_pipeline": (
+            "WITH u AS (SELECT doc_id, doc_id % 100000 AS skey, source,"
+            " text FROM (SELECT doc_id, source, text FROM documents"
+            " UNION ALL SELECT doc_id + 100000, source, text"
+            " FROM documents WHERE doc_id < 20) b),\n"
+            "red AS (SELECT * FROM ("
+            + _text.redact_pii_sql(
+                "u", carry_cols=("source",), synth_key="skey"
+            )
+            + ") t),\n"
+            "en AS (SELECT doc_id, source,\n"
+            "  (n_redact_email + n_redact_phone + n_redact_ipv4) AS nred,\n"
+            "  CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,\n"
+            "  " + _text.quality_score_sql("text") + " AS q, text FROM red),\n"
+            "g AS (SELECT * FROM en WHERE nw >= 20 AND q >= 1.05),\n"
+            "s AS (SELECT doc_id, source, nred, nw FROM g\n"
+            "      QUALIFY row_number() OVER (PARTITION BY text\n"
+            "                                 ORDER BY doc_id) = 1)\n"
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs,\n"
+            "       CAST(sum(nred) AS BIGINT) AS n_redactions,\n"
+            "       CAST(sum(nw) AS BIGINT) AS total_words\n"
+            "FROM s GROUP BY source"
+        ),
         "ann_recall": (
             "WITH ex AS (SELECT * FROM (" + _COSINE_TOPK_SQL + ") t),\n"
             "     ls AS (SELECT * FROM (" + _COSINE_TOPK_LSH_SQL + ") t)\n"

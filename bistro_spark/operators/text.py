@@ -962,6 +962,8 @@ def redact_pii_sql(
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+    synth_key: str | None = None,
 ) -> str:
     """DuckDB twin of ``synth_pii`` + :func:`redact_pii`: counts are
     taken on the PROGRESSIVELY scrubbed text (email count on raw, phone
@@ -973,26 +975,27 @@ def redact_pii_sql(
         PII_PATTERNS["phone"],
         PII_PATTERNS["ipv4"],
     )
+    carry = "".join(f"{c}, " for c in carry_cols)
     return f"""
       WITH raw AS (
-        SELECT {id_col}, {synth_pii_sql(id_col, text_col)} AS t
+        SELECT {id_col}, {carry}{synth_pii_sql(synth_key or id_col, text_col)} AS t
         FROM {table}
       ),
       s1 AS (
-        SELECT {id_col},
+        SELECT {id_col}, {carry}
                CAST(len(regexp_extract_all(t, '{e}')) AS BIGINT)
                  AS n_redact_email,
                regexp_replace(t, '{e}', '[EMAIL]', 'g') AS t
         FROM raw
       ),
       s2 AS (
-        SELECT {id_col}, n_redact_email,
+        SELECT {id_col}, {carry}n_redact_email,
                CAST(len(regexp_extract_all(t, '{p}')) AS BIGINT)
                  AS n_redact_phone,
                regexp_replace(t, '{p}', '[PHONE]', 'g') AS t
         FROM s1
       )
-      SELECT {id_col}, n_redact_email, n_redact_phone,
+      SELECT {id_col}, {carry}n_redact_email, n_redact_phone,
              CAST(len(regexp_extract_all(t, '{i4}')) AS BIGINT)
                AS n_redact_ipv4,
              regexp_replace(t, '{i4}', '[IPV4]', 'g') AS {text_col}

@@ -1289,3 +1289,26 @@ def test_pii_redact_query_plan_map_only(spark):
     assert "Exchange" not in plan
     assert "Python" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_ingest_pipeline_gates_fire_and_plan_two_exchanges(spark):
+    """The composed ingest pipeline: gates actually drop documents at
+    the gate SF (non-trivial filter), and the whole composition is ONE
+    scan + exactly two exchanges (dedup groupBy, report agg), no
+    Python stage, no window."""
+    import __spark_entry__ as ent
+
+    sf = "/root/testdata/sf0.01"
+    out = ent.queries()["ingest_pipeline"](spark, sf)
+    kept = sum(r["n_docs"] for r in out.collect())
+    total = spark.read.parquet(f"{sf}/documents.parquet").count()
+    # gates drop documents AND the 20 injected duplicates all collapse
+    assert 0 < kept < total
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # two scans: the corpus + the doc_id<20 dup injection (whose filter
+    # is pushed into the parquet reader)
+    assert final.count("Scan parquet") == 2
+    assert "LessThan(doc_id,20)" in final
+    assert final.count("Exchange") == 2
+    assert "Python" not in final and "Window" not in final
