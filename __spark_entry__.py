@@ -1411,6 +1411,24 @@ def q_spine_growth(spark: SparkSession, sf: str) -> DataFrame:
     return activity_spine(load_table(spark, "events", sf))
 
 
+def q_zipf_alpha(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source Zipf exponent (Clauset et al. discrete MLE, x_min=1):
+    token_entropy's shuffle shape, round-9 decimal-summed ln terms —
+    order-independent across engines and cluster shapes."""
+    from bistro_spark.operators.olap import zipf_alpha
+
+    return zipf_alpha(load_table(spark, "documents", sf))
+
+
+def q_quantize_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Audited symmetric int8 embedding quantization: map-only codegen
+    projection (no shuffle, no Python), per-vector scale + max
+    reconstruction error."""
+    from bistro_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(load_table(spark, "embeddings", sf))
+
+
 def q_ingest_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """Third composed pipeline (ingest-side): PII scrub → length +
     quality gates → exact-dedup survivors → per-source audit report,
@@ -1879,6 +1897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "ann_recall": q_ann_recall,
         "ingest_pipeline": q_ingest_pipeline,
+        "zipf_alpha": q_zipf_alpha,
+        "quantize_embeddings": q_quantize_embeddings,
         "signal_calibration": q_signal_calibration,
         "centroid_similarity": q_centroid_similarity,
     }
@@ -2641,6 +2661,8 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion": _ranking.rrf_fusion_sql("documents"),
         "cardinality_report": _olap.cardinality_report_sql("documents"),
         "pii_redact": _text.redact_pii_sql("documents"),
+        "zipf_alpha": _olap.zipf_alpha_sql("documents"),
+        "quantize_embeddings": _similarity.quantize_embeddings_sql("embeddings"),
         "ingest_pipeline": (
             "WITH u AS (SELECT doc_id, doc_id % 100000 AS skey, source,"
             " text FROM (SELECT doc_id, source, text FROM documents"

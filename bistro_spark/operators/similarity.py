@@ -648,3 +648,92 @@ def centroid_similarity_sql(
                       * sqrt(CAST(nb AS DOUBLE))), 6) AS cosine
       FROM p
     """
+
+
+# --------------------------------------------- int8 embedding quantize ----
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column —
+    the 4x memory cut that lets an ANN index hold 4x more vectors per
+    executor: ``scale = max|x|``, ``q_i = round(x_i / scale * 127)``,
+    with the per-vector max reconstruction error reported so the
+    quantization is an AUDITED transform, not a leap of faith.
+
+    Map-only (one codegen'd projection over array HOFs — no shuffle, no
+    Python, embarrassingly parallel at any scale). All arithmetic is
+    double with a fixed expression order, so engines agree bit-for-bit;
+    zero vectors quantize to zeros with scale 0 by explicit guard.
+
+    Returns (id, dim, scale, q, max_err): q serialized as the canonical
+    comma-joined string (cross-engine array comparison), scale/max_err
+    round-6."""
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    q = F.transform(
+        v,
+        lambda x: F.when(F.lit(0.0) == scale, F.lit(0)).otherwise(
+            F.round(x.cast("double") / scale * 127.0, 0)
+        ).cast("int"),
+    )
+    err = F.array_max(
+        F.zip_with(
+            v,
+            q,
+            lambda x, qq: F.abs(
+                x.cast("double") - qq.cast("double") * scale / 127.0
+            ),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(v).cast("int").alias("dim"),
+        F.round(scale, 6).alias("scale"),
+        F.concat_ws(
+            ",", F.transform(q, lambda x: x.cast("string"))
+        ).alias("q"),
+        F.round(err, 6).alias("max_err"),
+    )
+
+
+def quantize_embeddings_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`quantize_embeddings` (same expression
+    order; DuckDB round(x) and Spark round HALF_UP agree — ties away
+    from zero)."""
+    return f"""
+      WITH v AS (
+        SELECT {id_col},
+               list_transform({vec_col},
+                              x -> CAST(x AS DOUBLE)) AS x
+        FROM {table}
+      ),
+      s AS (
+        SELECT {id_col}, x,
+               list_max(list_transform(x, e -> abs(e))) AS scale
+        FROM v
+      ),
+      q AS (
+        SELECT {id_col}, x, scale,
+               list_transform(
+                 x,
+                 e -> CAST(CASE WHEN scale = 0.0 THEN 0
+                           ELSE round(e / scale * 127.0, 0) END
+                      AS INTEGER)) AS qv
+        FROM s
+      )
+      SELECT {id_col},
+             CAST(len(x) AS INTEGER) AS dim,
+             round(scale, 6) AS scale,
+             array_to_string(qv, ',') AS q,
+             round(list_max(list_transform(
+               range(1, len(x) + 1),
+               i -> abs(x[i] - CAST(qv[i] AS DOUBLE) * scale / 127.0))),
+               6) AS max_err
+      FROM q
+    """

@@ -212,3 +212,21 @@ def test_cardinality_report_sketch_path_bounds_and_plan(spark):
     plan = approx_df._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+# ------------------------------------------------------- zipf_alpha ----
+def test_zipf_alpha_hand_computed_and_partition_invariant(spark):
+    import math
+
+    from bistro_spark.operators.olap import zipf_alpha
+
+    df = spark.createDataFrame(
+        [("g", "a a b"), ("g", "a c")], ["source", "text"]
+    )
+    # counts: a=3, b=1, c=1 -> n_terms 3, n_tokens 5
+    slnx = round(math.log(6.0), 9) + 2 * round(math.log(2.0), 9)
+    want = round(1.0 + 3 / slnx, 6)
+    for n in (1, 4):
+        row = zipf_alpha(df.repartition(n)).collect()[0]
+        assert (row["n_terms"], row["n_tokens"]) == (3, 5)
+        assert row["alpha"] == want

@@ -498,3 +498,30 @@ def test_centroid_similarity_partitioning_invariant_and_duckdb(spark):
         ).fetchall()
     )
     assert base == want
+
+
+# ------------------------------------------------ quantize_embeddings ----
+def test_quantize_embeddings_hand_values_and_plan(spark):
+    from bistro_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.0]), (2, [0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert out[1]["scale"] == 1.0 and out[1]["q"] == "127,-64,0"
+    # |−0.5 − (−64/127)| = 0.003937
+    assert out[1]["max_err"] == round(abs(-0.5 + 64.0 / 127.0), 6)
+    assert out[2]["scale"] == 0.0 and out[2]["q"] == "0,0,0"
+    assert out[2]["max_err"] == 0.0
+    plan = (
+        quantize_embeddings(
+            spark.read.parquet(
+                "/root/testdata/sf0.001/embeddings.parquet"
+            )
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
