@@ -1605,18 +1605,28 @@ def minhash_calibration(
 
     Returns (est_matches, n_pairs, est_jaccard, mean_exact, min_exact,
     max_exact) sorted by the caller if needed."""
-    pairs = lsh_candidate_pairs(df, text_col, id_col, k=k, bands=bands)
+    from bistro_spark.caching import pin
+
+    # candidate pairs and member features are candidate-bounded (tiny vs
+    # the corpus) but feed MULTIPLE consumers (members, the a/b sides of
+    # the pair join): pin each once so the signature/shingle subtree is
+    # computed exactly once, not re-derived per join side, and the
+    # checkpoint's accurate size stats let AQE broadcast the small sides
+    # (scope-released by the caller's pin_scope)
+    pairs, _ = pin(lsh_candidate_pairs(df, text_col, id_col, k=k, bands=bands))
     members = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    feat = minhash_signature(
-        df.join(members, id_col, "left_semi"), text_col, k
-    ).select(
-        F.col(id_col).alias("_id"),
-        F.col("sig"),
-        ngram_set(F.col(text_col), n=1).alias("_ng"),
+    feat, _ = pin(
+        minhash_signature(
+            df.join(members, id_col, "left_semi"), text_col, k
+        ).select(
+            F.col(id_col).alias("_id"),
+            F.col("sig"),
+            ngram_set(F.col(text_col), n=1).alias("_ng"),
+        )
     )
     a = feat.select(
         F.col("_id").alias("id_a"),

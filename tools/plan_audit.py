@@ -54,6 +54,21 @@ CROSS_JOIN_SANCTIONED = {
     "size — the non-equi bit-test join is the operator's design",
     "bm25_scores": "scalar broadcast: cross against the 1-row corpus "
     "statistics aggregate (N, total length, per-term df)",
+    "dup_matrix": "broadcast pair list (G*(G-1)/2 rows) against the "
+    "md5-fingerprint mask histogram, bounded by 2^G rows independent "
+    "of corpus size — same design as source_overlap",
+    "vocab_coverage": "scalar broadcast: cross against the 1-row "
+    "(vocab size, total occurrences) aggregate",
+    "funnel_conversion": "scalar broadcast: cross against the 1-row "
+    "first-gate survivor count (the conversion denominator)",
+    "collocations_pmi": "scalar broadcasts: crosses against the 1-row "
+    "corpus unigram- and bigram-total aggregates",
+    "ks_drift": "KS grid construction: #groups rows x the length "
+    "LEVEL SET (value-domain bounded) — grid-sized, never corpus rows",
+    "source_kl": "scalar broadcast: cross against the 1-row "
+    "corpus token-total aggregate",
+    "spine_growth": "calendar-spine construction: distinct event types "
+    "x the generated day sequence — grid-sized dims by construction",
 }
 
 
