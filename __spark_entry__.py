@@ -1411,6 +1411,16 @@ def q_spine_growth(spark: SparkSession, sf: str) -> DataFrame:
     return activity_spine(load_table(spark, "events", sf))
 
 
+def q_corpus_health(spark: SparkSession, sf: str) -> DataFrame:
+    """One-stop per-source corpus health dashboard row: volume +
+    duplication + entropy + Zipf alpha + decimal-exact mean quality,
+    joined from the engine's own report operators (report-sized
+    broadcast joins)."""
+    from bistro_spark.operators.olap import corpus_health
+
+    return corpus_health(load_table(spark, "documents", sf))
+
+
 def q_zipf_alpha(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source Zipf exponent (Clauset et al. discrete MLE, x_min=1):
     token_entropy's shuffle shape, round-9 decimal-summed ln terms —
@@ -1898,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "ingest_pipeline": q_ingest_pipeline,
         "zipf_alpha": q_zipf_alpha,
+        "corpus_health": q_corpus_health,
         "quantize_embeddings": q_quantize_embeddings,
         "signal_calibration": q_signal_calibration,
         "centroid_similarity": q_centroid_similarity,
@@ -2662,6 +2673,7 @@ def oracle_sql() -> dict[str, str]:
         "cardinality_report": _olap.cardinality_report_sql("documents"),
         "pii_redact": _text.redact_pii_sql("documents"),
         "zipf_alpha": _olap.zipf_alpha_sql("documents"),
+        "corpus_health": _olap.corpus_health_sql("documents"),
         "quantize_embeddings": _similarity.quantize_embeddings_sql("embeddings"),
         "ingest_pipeline": (
             "WITH u AS (SELECT doc_id, doc_id % 100000 AS skey, source,"

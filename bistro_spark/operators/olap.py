@@ -975,3 +975,100 @@ def zipf_alpha_sql(
              round(1.0 + n_terms / CAST(_slnx AS DOUBLE), 6) AS alpha
       FROM agg
     """
+
+
+# ---------------------------------------------- corpus health report ----
+def corpus_health(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The one-stop per-slice corpus health table a data operator pins
+    to a dashboard: volume + duplication (cardinality_report), lexical
+    diversity (token_entropy), head-heaviness (zipf_alpha) and mean
+    heuristic quality — one wide row per slice, joined from the
+    engine's own report operators (report-sized joins, broadcast by
+    construction; the corpus is scanned once per constituent aggregate,
+    each partial-aggregated).
+
+    Mean quality uses the round-9 decimal-sum discipline (each doc's
+    double score rounded once, summed as decimal, one final division)
+    so the report is bit-identical on any partitioning or engine.
+
+    Returns (group, n_rows, n_distinct, dup_ratio, n_terms, n_tokens,
+    entropy, alpha, mean_quality)."""
+    from bistro_spark.operators.text import quality_score
+
+    card = cardinality_report(
+        df, group_col=group_col, distinct_cols=(text_col,)
+    ).select(
+        group_col,
+        "n_rows",
+        F.col(f"n_{text_col}").alias("n_distinct"),
+        "dup_ratio",
+    )
+    ent = token_entropy(df, group_col, text_col).select(
+        group_col, "n_terms", "n_tokens", "entropy"
+    )
+    alp = zipf_alpha(df, group_col, text_col).select(group_col, "alpha")
+    qual = (
+        df.select(
+            F.col(group_col),
+            F.round(quality_score(F.col(text_col)), 9)
+            .cast("decimal(38,9)")
+            .alias("_q"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.round(
+                F.sum("_q").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_quality")
+        )
+    )
+    return (
+        card.join(ent, group_col)
+        .join(alp, group_col)
+        .join(qual, group_col)
+    )
+
+
+def corpus_health_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`corpus_health` — composed from the
+    constituent twins as CTEs."""
+    from bistro_spark.operators.olap import (
+        token_entropy_sql,
+        zipf_alpha_sql,
+    )
+    from bistro_spark.operators.text import quality_score_sql
+
+    return f"""
+      WITH card AS (
+        SELECT {group_col},
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT {text_col}) AS BIGINT) AS n_distinct,
+               round(1.0 - CAST(count(DISTINCT {text_col}) AS DOUBLE)
+                     / count(*), 6) AS dup_ratio
+        FROM {table} GROUP BY {group_col}
+      ),
+      ent AS (SELECT * FROM ({token_entropy_sql(table, group_col, text_col)}) t),
+      alp AS (SELECT {group_col}, alpha
+              FROM ({zipf_alpha_sql(table, group_col, text_col)}) t),
+      qual AS (
+        SELECT {group_col},
+               round(CAST(sum(CAST(round(
+                 {quality_score_sql(text_col)}, 9) AS DECIMAL(38,9)))
+                 AS DOUBLE) / count(*), 6) AS mean_quality
+        FROM {table} GROUP BY {group_col}
+      )
+      SELECT card.{group_col}, card.n_rows, card.n_distinct,
+             card.dup_ratio, ent.n_terms, ent.n_tokens, ent.entropy,
+             alp.alpha, qual.mean_quality
+      FROM card
+      JOIN ent USING ({group_col})
+      JOIN alp USING ({group_col})
+      JOIN qual USING ({group_col})
+    """

@@ -230,3 +230,33 @@ def test_zipf_alpha_hand_computed_and_partition_invariant(spark):
         row = zipf_alpha(df.repartition(n)).collect()[0]
         assert (row["n_terms"], row["n_tokens"]) == (3, 5)
         assert row["alpha"] == want
+
+
+# ---------------------------------------------------- corpus_health ----
+def test_corpus_health_consistent_with_constituents(spark):
+    from bistro_spark.operators.olap import (
+        cardinality_report,
+        corpus_health,
+        token_entropy,
+        zipf_alpha,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    h = {r["source"]: r for r in corpus_health(docs).collect()}
+    card = {
+        r["source"]: r
+        for r in cardinality_report(
+            docs, distinct_cols=("text",)
+        ).collect()
+    }
+    ent = {r["source"]: r for r in token_entropy(docs).collect()}
+    alp = {r["source"]: r for r in zipf_alpha(docs).collect()}
+    assert set(h) == set(card) == set(ent) == set(alp)
+    for g, r in h.items():
+        assert r["n_rows"] == card[g]["n_rows"]
+        assert r["dup_ratio"] == card[g]["dup_ratio"]
+        assert r["entropy"] == ent[g]["entropy"]
+        assert r["alpha"] == alp[g]["alpha"]
+        assert 0.0 <= r["mean_quality"] <= 3.0
