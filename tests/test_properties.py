@@ -136,3 +136,70 @@ def test_global_rank_is_a_sorted_permutation(spark, keys, n_parts):
     assert [(r.key, r.id) for r in by_rank] == sorted(
         (k, i) for i, k in rows
     )
+
+
+# ------------------------------------------------ value_ranks / skyline ----
+
+
+@SPARK_SETTINGS
+@given(
+    vals=st.lists(
+        st.integers(min_value=-20, max_value=20), min_size=1, max_size=40
+    ),
+    ascending=st.booleans(),
+)
+def test_value_ranks_equals_sorted_position(spark, vals, ascending):
+    """Competition rank == 1 + #strictly better, for any multiset and
+    either direction."""
+    from bistro_spark.operators.ranking import value_ranks
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["id", "v"]
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in value_ranks(df, F.col("v"), ascending=ascending).collect()
+    }
+    for i, v in enumerate(vals):
+        better = sum(
+            1 for w in vals if (w < v if ascending else w > v)
+        )
+        assert got[i] == better + 1
+
+
+@SPARK_SETTINGS
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_pareto_frontier_is_exactly_the_undominated_set(spark, pts):
+    from bistro_spark.operators.curation import pareto_frontier
+
+    import pyspark.sql.functions as F
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    got = sorted(
+        (r["id"], r["x"], r["y"])
+        for r in pareto_frontier(
+            df, id_col="id", x=F.col("x"), y=F.col("y")
+        ).collect()
+    )
+    want = sorted(
+        (i, x, y)
+        for i, (x, y) in enumerate(pts)
+        if not any(
+            (qx >= x and qy >= y and (qx > x or qy > y))
+            for j, (qx, qy) in enumerate(pts)
+            if j != i
+        )
+    )
+    assert got == want
