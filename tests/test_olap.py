@@ -260,3 +260,36 @@ def test_corpus_health_consistent_with_constituents(spark):
         assert r["entropy"] == ent[g]["entropy"]
         assert r["alpha"] == alp[g]["alpha"]
         assert 0.0 <= r["mean_quality"] <= 3.0
+
+
+def test_new_report_ops_empty_input_schemas(spark):
+    """Empty corpus: every new report op returns an EMPTY frame with
+    its documented schema (no div-by-zero, no null explosions)."""
+    from bistro_spark.operators.olap import (
+        cardinality_report,
+        corpus_health,
+        token_entropy,
+        zipf_alpha,
+    )
+    from bistro_spark.operators.ranking import rrf_fusion
+    from bistro_spark.operators.curation import calibrate_signal
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(0)
+    )
+    for fn, cols in [
+        (cardinality_report, ["source", "n_rows", "n_text", "n_lang",
+                              "dup_ratio"]),
+        (token_entropy, ["source", "n_terms", "n_tokens", "entropy"]),
+        (zipf_alpha, ["source", "n_terms", "n_tokens", "alpha"]),
+        (corpus_health, ["source", "n_rows", "n_distinct", "dup_ratio",
+                         "n_terms", "n_tokens", "entropy", "alpha",
+                         "mean_quality"]),
+        (rrf_fusion, ["doc_id", "r_diversity", "r_length", "r_brevity",
+                      "rrf_score"]),
+        (calibrate_signal, ["doc_id", "source", "v", "pct"]),
+    ]:
+        out = fn(docs)
+        assert out.columns == cols, fn.__name__
+        assert out.count() == 0, fn.__name__
