@@ -1464,19 +1464,21 @@ def q_ingest_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         # IDENTICAL pii-bearing text to its original (dedup must fire)
         synth_pii(F.col("doc_id") % 100000, "text").alias("text"),
     )
-    clean = redact_pii(docs)
+    # gates evaluate the RAW content (scrub tokens would distort the
+    # stopword/word-length metrics) — and Catalyst then inlines the
+    # regexp chain only into the redaction outputs, not into every
+    # quality reference (measured 4.8 -> ~2 s at sf0.1)
+    clean = redact_pii(
+        docs.withColumn("_nw", word_count("text").cast("long"))
+        .withColumn("_q", quality_score("text"))
+    )
     nred = (
         F.col("n_redact_email")
         + F.col("n_redact_phone")
         + F.col("n_redact_ipv4")
     ).cast("long")
     enriched = clean.select(
-        "doc_id",
-        "source",
-        nred.alias("_nred"),
-        word_count("text").cast("long").alias("_nw"),
-        quality_score("text").alias("_q"),
-        "text",
+        "doc_id", "source", nred.alias("_nred"), "_nw", "_q", "text"
     )
     gated = enriched.filter((F.col("_nw") >= 20) & (F.col("_q") >= 1.05))
     surv = gated.groupBy("text").agg(
@@ -2676,19 +2678,28 @@ def oracle_sql() -> dict[str, str]:
         "corpus_health": _olap.corpus_health_sql("documents"),
         "quantize_embeddings": _similarity.quantize_embeddings_sql("embeddings"),
         "ingest_pipeline": (
-            "WITH u AS (SELECT doc_id, doc_id % 100000 AS skey, source,"
+            "WITH u0 AS (SELECT doc_id, doc_id % 100000 AS skey, source,"
             " text FROM (SELECT doc_id, source, text FROM documents"
             " UNION ALL SELECT doc_id + 100000, source, text"
             " FROM documents WHERE doc_id < 20) b),\n"
+            # gates evaluate the raw (synth-injected, pre-scrub) text —
+            # mirroring the Spark plan, which computes _nw/_q before
+            # the redaction chain
+            "u AS (SELECT doc_id, source, "
+            + _text.synth_pii_sql("skey", "text")
+            + " AS text FROM u0),\n"
+            "u2 AS (SELECT doc_id, source,"
+            " CAST(len(string_split(text, ' ')) AS BIGINT) AS nw, "
+            + _text.quality_score_sql("text")
+            + " AS q, text FROM u),\n"
             "red AS (SELECT * FROM ("
             + _text.redact_pii_sql(
-                "u", carry_cols=("source",), synth_key="skey"
+                "u2", carry_cols=("source", "nw", "q"), inject=False
             )
             + ") t),\n"
             "en AS (SELECT doc_id, source,\n"
             "  (n_redact_email + n_redact_phone + n_redact_ipv4) AS nred,\n"
-            "  CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,\n"
-            "  " + _text.quality_score_sql("text") + " AS q, text FROM red),\n"
+            "  nw, q, text FROM red),\n"
             "g AS (SELECT * FROM en WHERE nw >= 20 AND q >= 1.05),\n"
             "s AS (SELECT doc_id, source, nred, nw FROM g\n"
             "      QUALIFY row_number() OVER (PARTITION BY text\n"

@@ -964,6 +964,7 @@ def redact_pii_sql(
     text_col: str = "text",
     carry_cols: tuple[str, ...] = (),
     synth_key: str | None = None,
+    inject: bool = True,
 ) -> str:
     """DuckDB twin of ``synth_pii`` + :func:`redact_pii`: counts are
     taken on the PROGRESSIVELY scrubbed text (email count on raw, phone
@@ -978,7 +979,9 @@ def redact_pii_sql(
     carry = "".join(f"{c}, " for c in carry_cols)
     return f"""
       WITH raw AS (
-        SELECT {id_col}, {carry}{synth_pii_sql(synth_key or id_col, text_col)} AS t
+        SELECT {id_col}, {carry}{
+            synth_pii_sql(synth_key or id_col, text_col)
+            if inject else text_col} AS t
         FROM {table}
       ),
       s1 AS (

@@ -71,7 +71,15 @@ class StreamingIngestPipeline:
             word_count,
         )
 
-        clean = redact_pii(batch_df, text_col=self.text_col)
+        # gates evaluate the RAW content before scrubbing (same reason
+        # as the batch pipeline: scrub tokens distort quality metrics,
+        # and Catalyst would re-inline the regexp chain per reference)
+        clean = redact_pii(
+            batch_df.withColumn(
+                "_nw", word_count(self.text_col).cast("long")
+            ).withColumn("_q", quality_score(self.text_col)),
+            text_col=self.text_col,
+        )
         nred = (
             F.col("n_redact_email")
             + F.col("n_redact_phone")
@@ -81,8 +89,8 @@ class StreamingIngestPipeline:
             self.id_col,
             self.source_col,
             nred.alias("_nred"),
-            word_count(self.text_col).cast("long").alias("_nw"),
-            quality_score(self.text_col).alias("_q"),
+            "_nw",
+            "_q",
             F.md5(F.col(self.text_col)).alias("_fp"),
         )
         return enriched.filter(
