@@ -1411,6 +1411,15 @@ def q_spine_growth(spark: SparkSession, sf: str) -> DataFrame:
     return activity_spine(load_table(spark, "events", sf))
 
 
+def q_cross_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source unigram-LM score matrix (which slices predict each
+    other): level-set algebra only — one corpus shuffle, shared-term
+    level-set join, broadcast scalars, decimal-exact sums."""
+    from bistro_spark.operators.curation import cross_perplexity
+
+    return cross_perplexity(load_table(spark, "documents", sf))
+
+
 def q_corpus_health(spark: SparkSession, sf: str) -> DataFrame:
     """One-stop per-source corpus health dashboard row: volume +
     duplication + entropy + Zipf alpha + decimal-exact mean quality,
@@ -1911,6 +1920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_pipeline": q_ingest_pipeline,
         "zipf_alpha": q_zipf_alpha,
         "corpus_health": q_corpus_health,
+        "cross_perplexity": q_cross_perplexity,
         "quantize_embeddings": q_quantize_embeddings,
         "signal_calibration": q_signal_calibration,
         "centroid_similarity": q_centroid_similarity,
@@ -2676,6 +2686,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _text.redact_pii_sql("documents"),
         "zipf_alpha": _olap.zipf_alpha_sql("documents"),
         "corpus_health": _olap.corpus_health_sql("documents"),
+        "cross_perplexity": _curation.cross_perplexity_sql("documents"),
         "quantize_embeddings": _similarity.quantize_embeddings_sql("embeddings"),
         "ingest_pipeline": (
             "WITH u0 AS (SELECT doc_id, doc_id % 100000 AS skey, source,"

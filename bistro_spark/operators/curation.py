@@ -2096,3 +2096,129 @@ def calibrate_signal_sql(
                    6) AS pct
       FROM sig
     """
+
+
+# ------------------------------------------ cross-source LM perplexity ----
+def cross_perplexity(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source unigram-LM score matrix: the mean log-probability of
+    source a's token stream under source b's add-1-smoothed unigram LM,
+    for every (a, b) — "which slices predict each other" on the TEXT
+    side (the lexical twin of ``centroid_similarity``; a ⟂ b shows up as
+    a deeply negative off-diagonal, near-duplicate slices score close to
+    their own diagonal).
+
+    Never touches corpus rows twice: with Laplace smoothing
+    p_b(t) = (cnt_b(t)+1)/(total_b+V), absent terms contribute ln 1 = 0,
+    so the whole matrix is algebra over the (source, term, cnt) LEVEL
+    SET — one corpus shuffle (the counts groupBy), a level-set self-join
+    on term restricted to shared terms, and broadcast scalars:
+
+        cell(a,b) = S(a,b)/total_a − ln(total_b + V),
+        S(a,b)    = Σ_{t∈a∩b} cnt_a(t)·ln(cnt_b(t)+1).
+
+    Each ln is rounded to 9 digits and the cnt_a product + sum run in
+    exact decimal (no float reassociation — bit-equal across engines and
+    partitionings). The G×G grid is completed with S=0 rows for pairs
+    sharing no term.
+
+    Returns (group_a, group_b, n_tokens_a, mean_logprob)."""
+    counts = (
+        df.select(
+            F.col(group_col),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy(group_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = counts.groupBy(group_col).agg(
+        F.sum("cnt").cast("long").alias("total")
+    )
+    vsize = counts.select("term").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    a = counts.select(
+        F.col(group_col).alias("group_a"),
+        "term",
+        F.col("cnt").alias("ca"),
+    )
+    b = counts.select(
+        F.col(group_col).alias("group_b"),
+        "term",
+        F.col("cnt").alias("cb"),
+    )
+    s = (
+        a.join(b, "term")
+        .groupBy("group_a", "group_b")
+        .agg(
+            F.sum(
+                F.round(F.log(F.col("cb") + 1), 9).cast("decimal(12,9)")
+                * F.col("ca").cast("decimal(10,0)")
+            ).alias("_s")
+        )
+    )
+    grid = (
+        tot.select(F.col(group_col).alias("group_a"), F.col("total").alias("_ta"))
+        .crossJoin(
+            F.broadcast(
+                tot.select(
+                    F.col(group_col).alias("group_b"),
+                    F.col("total").alias("_tb"),
+                )
+            )
+        )
+        .crossJoin(F.broadcast(vsize))
+    )
+    return (
+        grid.join(F.broadcast(s), ["group_a", "group_b"], "left")
+        .select(
+            "group_a",
+            "group_b",
+            F.col("_ta").alias("n_tokens_a"),
+            F.round(
+                F.coalesce(F.col("_s").cast("double"), F.lit(0.0))
+                / F.col("_ta")
+                - F.log(F.col("_tb") + F.col("v")),
+                6,
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+def cross_perplexity_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`cross_perplexity` (same level-set algebra
+    and decimal discipline)."""
+    return f"""
+      WITH terms AS (
+        SELECT {group_col} AS g, unnest(string_split({text_col}, ' ')) AS term
+        FROM {table}
+      ),
+      counts AS (
+        SELECT g, term, CAST(count(*) AS BIGINT) AS cnt
+        FROM terms WHERE term <> '' GROUP BY g, term
+      ),
+      tot AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS total
+              FROM counts GROUP BY g),
+      vs AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM counts),
+      s AS (
+        SELECT a.g AS group_a, b.g AS group_b,
+               sum(CAST(round(ln(b.cnt + 1), 9) AS DECIMAL(12,9))
+                   * CAST(a.cnt AS DECIMAL(10,0))) AS s
+        FROM counts a JOIN counts b USING (term)
+        GROUP BY a.g, b.g
+      )
+      SELECT ta.g AS group_a, tb.g AS group_b,
+             ta.total AS n_tokens_a,
+             round(coalesce(CAST(s.s AS DOUBLE), 0.0) / ta.total
+                   - ln(tb.total + vs.v), 6) AS mean_logprob
+      FROM tot ta CROSS JOIN tot tb CROSS JOIN vs
+      LEFT JOIN s ON s.group_a = ta.g AND s.group_b = tb.g
+    """

@@ -1312,3 +1312,38 @@ def test_ingest_pipeline_gates_fire_and_plan_two_exchanges(spark):
     assert "LessThan(doc_id,20)" in final
     assert final.count("Exchange") == 2
     assert "Python" not in final and "Window" not in final
+
+
+# ---------------------------------------------------- cross_perplexity ----
+def test_cross_perplexity_hand_computed(spark):
+    import math
+
+    from bistro_spark.operators.curation import cross_perplexity
+
+    df = spark.createDataFrame(
+        [("s1", "a a b"), ("s2", "a c")], ["source", "text"]
+    )
+    # counts: s1{a:2,b:1} total 3; s2{a:1,c:1} total 2; V=3
+    out = {
+        (r["group_a"], r["group_b"]): (r["n_tokens_a"], r["mean_logprob"])
+        for r in cross_perplexity(df).collect()
+    }
+    r9 = lambda x: round(math.log(x), 9)  # noqa: E731
+    cell = lambda s, ta, tb: round(s / ta - math.log(tb + 3), 6)  # noqa: E731
+    assert out[("s1", "s1")] == (3, cell(2 * r9(3) + 1 * r9(2), 3, 3))
+    assert out[("s1", "s2")] == (3, cell(2 * r9(2), 3, 2))
+    assert out[("s2", "s1")] == (2, cell(1 * r9(3), 2, 3))
+    assert out[("s2", "s2")] == (2, cell(1 * r9(2) + 1 * r9(2), 2, 2))
+
+
+def test_cross_perplexity_full_grid_and_partition_invariance(spark):
+    from bistro_spark.operators.curation import cross_perplexity
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = sorted(tuple(r) for r in cross_perplexity(docs).collect())
+    g = docs.select("source").distinct().count()
+    assert len(base) == g * g  # complete matrix, including no-overlap pairs
+    re16 = sorted(
+        tuple(r) for r in cross_perplexity(docs.repartition(16)).collect()
+    )
+    assert base == re16  # decimal-exact: bit-identical on any partitioning

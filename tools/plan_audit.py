@@ -69,6 +69,8 @@ CROSS_JOIN_SANCTIONED = {
     "corpus token-total aggregate",
     "spine_growth": "calendar-spine construction: distinct event types "
     "x the generated day sequence — grid-sized dims by construction",
+    "cross_perplexity": "G x G source grid completion + 1-row vocabulary"
+    "-size scalar — both broadcast, dimension-sized by construction",
 }
 
 
