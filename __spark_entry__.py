@@ -1806,56 +1806,6 @@ def q_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "calc_lineitem": q_calc_lineitem,
-        "link_orders_customer": q_link_orders_customer,
-        "accu_revenue_per_customer": q_accu_revenue_per_customer,
-        "project_doc_dims": q_project_doc_dims,
-        "roll_events_moving": q_roll_events_moving,
-        "roll_range_events": q_roll_range_events,
-        "range_bin_events": q_range_bin_events,
-        "range_interval_join": q_range_interval_join,
-        "link_two_hop": q_link_two_hop,
-        "prod_where": q_prod_where,
-        "formula_expr": q_formula_expr,
-        "formula_bracket": q_formula_bracket,
-        "tokens_flagship": q_tokens_flagship,
-        "tokens_rowlevel": q_tokens_rowlevel,
-        "tumbling_window_events": q_tumbling_window_events,
-        "sliding_window_events": q_sliding_window_events,
-        "session_window_events": q_session_window_events,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_verified_pairs": q_dedup_verified_pairs,
-        "simhash": q_simhash,
-        "text_features": q_text_features,
-        "quality_filter_stats": q_quality_filter_stats,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
-        "embedding_neardup": q_embedding_neardup,
-        "simhash_hamming": q_simhash_hamming,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_survivors": q_dedup_survivors,
-        "text_winnow_fp": q_text_winnow_fp,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "tokens_minhash": q_tokens_minhash,
-        "ewma_user_value": q_ewma_user_value,
-        "multimodal_features": q_multimodal_features,
-        "partition_lineage": q_partition_lineage,  # rows-only (partition ids)
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "sample_stratified": q_sample_stratified,
-        "decontaminate": q_decontaminate,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "corpus_length_stats": q_corpus_length_stats,
-        "repetition_signals": q_repetition_signals,
-        "curation_pipeline": q_curation_pipeline,
-        "chunk_documents": q_chunk_documents,
-        "pack_sequences": q_pack_sequences,
-        "unigram_logprob": q_unigram_logprob,
-        "source_quota": q_source_quota,
-        "dedup_spans": q_dedup_spans,
-        "token_budget": q_token_budget,
-        "temperature_resample": q_temperature_resample,
-        "encode_tokens": q_encode_tokens,
         "global_shuffle": q_global_shuffle,
         "training_prep_pipeline": q_training_prep_pipeline,
         "incremental_dedup": q_incremental_dedup,
@@ -1869,7 +1819,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "link_asof": q_link_asof,
         "cep_pattern": q_cep_pattern,
-        "bpe_encode": q_bpe_encode,  # rows-only (iterative fixpoint, no SQL twin)
         "length_drift": q_length_drift,
         "token_novelty": q_token_novelty,
         "semantic_dedup": q_semantic_dedup,
@@ -1924,6 +1873,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "signal_calibration": q_signal_calibration,
         "centroid_similarity": q_centroid_similarity,
+        "bpe_encode": q_bpe_encode,  # rows-only (iterative fixpoint, no SQL twin)
+        "partition_lineage": q_partition_lineage,  # rows-only (partition ids)
+        "calc_lineitem": q_calc_lineitem,
+        "link_orders_customer": q_link_orders_customer,
+        "accu_revenue_per_customer": q_accu_revenue_per_customer,
+        "project_doc_dims": q_project_doc_dims,
+        "roll_events_moving": q_roll_events_moving,
+        "roll_range_events": q_roll_range_events,
+        "range_bin_events": q_range_bin_events,
+        "range_interval_join": q_range_interval_join,
+        "link_two_hop": q_link_two_hop,
+        "prod_where": q_prod_where,
+        "formula_expr": q_formula_expr,
+        "formula_bracket": q_formula_bracket,
+        "tokens_flagship": q_tokens_flagship,
+        "tokens_rowlevel": q_tokens_rowlevel,
+        "tumbling_window_events": q_tumbling_window_events,
+        "sliding_window_events": q_sliding_window_events,
+        "session_window_events": q_session_window_events,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_verified_pairs": q_dedup_verified_pairs,
+        "simhash": q_simhash,
+        "text_features": q_text_features,
+        "quality_filter_stats": q_quality_filter_stats,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
+        "embedding_neardup": q_embedding_neardup,
+        "simhash_hamming": q_simhash_hamming,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_survivors": q_dedup_survivors,
+        "text_winnow_fp": q_text_winnow_fp,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "tokens_minhash": q_tokens_minhash,
+        "ewma_user_value": q_ewma_user_value,
+        "multimodal_features": q_multimodal_features,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "sample_stratified": q_sample_stratified,
+        "decontaminate": q_decontaminate,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "corpus_length_stats": q_corpus_length_stats,
+        "repetition_signals": q_repetition_signals,
+        "curation_pipeline": q_curation_pipeline,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "unigram_logprob": q_unigram_logprob,
+        "source_quota": q_source_quota,
+        "dedup_spans": q_dedup_spans,
+        "token_budget": q_token_budget,
+        "temperature_resample": q_temperature_resample,
+        "encode_tokens": q_encode_tokens,
     }
 
 
