@@ -26,6 +26,7 @@ from bistro_spark.operators import ranking as _ranking
 from bistro_spark.operators import similarity as _similarity
 from bistro_spark.operators import temporal as _temporal
 from bistro_spark.operators import text as _text
+from bistro_spark.operators import unigram as _unigram
 from bistro_spark.operators import web as _web
 from bistro_spark.sources.tokens import (
     token_table_duckdb_sql,
@@ -1202,6 +1203,32 @@ def q_bpe_encode_fixed(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_encode(docs, FIXED_MERGES)
 
 
+def q_unigram_encode_fixed(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-family, Kudo 2018) encode under the
+    FIXED integer-scored vocabulary — the hash-checkable half of BPE's
+    sibling tokenizer: Viterbi best segmentation per word in one
+    map-only memoized Arrow stage; integer scores make the total
+    order-independent, so the DuckDB enumeration oracle (argmax over ALL
+    segmentations of each DISTINCT word type) is an exact twin. Training
+    (distributed E-step / driver M-step EM) is data-dependent and stays
+    pytest-pinned, mirroring the bpe_encode / bpe_encode_fixed split."""
+    from bistro_spark.operators.unigram import FIXED_UNIGRAM_VOCAB, unigram_encode
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "text")
+    return unigram_encode(docs, FIXED_UNIGRAM_VOCAB)
+
+
+def q_unigram_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source fertility of the UNIGRAM tokenizer (pieces/word,
+    chars/piece, pieces/doc) — the bake-off twin of the BPE `fertility`
+    report: same one-map-stage + one-groupBy shape, so comparing the two
+    tokenizer families' token cost per corpus slice costs two map-only
+    passes, not a pipeline rebuild."""
+    from bistro_spark.operators.unigram import unigram_fertility
+
+    return unigram_fertility(load_table(spark, "documents", sf))
+
+
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Gaps-and-islands sessionization over the events stream (30-min
     gap): one shuffle on user_id serves the lag flag, the running
@@ -1806,6 +1833,8 @@ def q_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "unigram_encode_fixed": q_unigram_encode_fixed,
+        "unigram_fertility": q_unigram_fertility,
         "global_shuffle": q_global_shuffle,
         "training_prep_pipeline": q_training_prep_pipeline,
         "incremental_dedup": q_incremental_dedup,
@@ -2554,6 +2583,8 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": _text.heavy_hitters_sql("documents", k=50),
         "source_overlap": _dedup.source_overlap_sql("documents", n=3),
         "bpe_encode_fixed": _bpe.bpe_encode_fixed_sql("documents"),
+        "unigram_encode_fixed": _unigram.unigram_encode_fixed_sql("documents"),
+        "unigram_fertility": _unigram.unigram_fertility_sql("documents"),
         "shard_manifest": (
             "WITH enc AS ("
             + _ranking.encode_tokens_sql("documents")
