@@ -1610,15 +1610,25 @@ def minhash_calibration(
     # candidate pairs and member features are candidate-bounded (tiny vs
     # the corpus) but feed MULTIPLE consumers (members, the a/b sides of
     # the pair join): pin each once so the signature/shingle subtree is
-    # computed exactly once, not re-derived per join side, and the
-    # checkpoint's accurate size stats let AQE broadcast the small sides
-    # (scope-released by the caller's pin_scope)
+    # computed exactly once, not re-derived per join side (scope-released
+    # by the caller's pin_scope). Catalyst's size estimates for
+    # checkpoint/UDF subtrees are too pessimistic to pick broadcasts on
+    # its own (plan audit: 4 SortMergeJoins on candidate-bounded sides),
+    # so gate on the ACTUAL member count — cheap, pairs is pinned — and
+    # broadcast the id list into the semi-join (the corpus never
+    # shuffles) and the feature table into both pair joins (the pair
+    # stream never shuffles). Past the bound the plain joins let AQE
+    # decide — the honest at-scale plan. Same treatment as the
+    # dedup_verified_pairs contract query.
     pairs, _ = pin(lsh_candidate_pairs(df, text_col, id_col, k=k, bands=bands))
     members = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    small = members.count() <= 200_000
+    if small:
+        members = F.broadcast(members)
     feat, _ = pin(
         minhash_signature(
             df.join(members, id_col, "left_semi"), text_col, k
@@ -1638,6 +1648,8 @@ def minhash_calibration(
         F.col("sig").alias("_sig_b"),
         F.col("_ng").alias("_ng_b"),
     )
+    if small:
+        a, b = F.broadcast(a), F.broadcast(b)
     est = F.size(
         F.filter(
             F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y),
