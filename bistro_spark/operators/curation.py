@@ -1424,6 +1424,27 @@ def manifest_diff(old: DataFrame, new: DataFrame, key: str = "shard") -> DataFra
     )
 
 
+def store_manifest(manifest: DataFrame, path: str) -> None:
+    """Persist a shard manifest snapshot (parquet, overwrite). The
+    manifest is shard-cardinality, so the snapshot is KB-sized at any
+    corpus scale — this is the artifact a versioned corpus keeps per
+    release so later diffs never re-run the encode→pack pipeline for
+    historical versions."""
+    manifest.write.mode("overwrite").parquet(path)
+
+
+def manifest_diff_stored(
+    spark, path: str, new: DataFrame, key: str = "shard"
+) -> DataFrame:
+    """:func:`manifest_diff` against a STORED manifest snapshot: the old
+    side is one manifest-sized parquet scan instead of a full
+    encode→pack→materialize recompute of the previous corpus version —
+    at 100 TB the difference between reading a few KB and re-tokenizing
+    last month's corpus. Equality with the recomputed form is pinned by
+    pytest (test_curation: stored-vs-recomputed)."""
+    return manifest_diff(spark.read.parquet(path), new, key=key)
+
+
 def manifest_diff_sql(
     old_table: str, new_table: str, key: str = "shard"
 ) -> str:

@@ -1347,3 +1347,37 @@ def test_cross_perplexity_full_grid_and_partition_invariance(spark):
         tuple(r) for r in cross_perplexity(docs.repartition(16)).collect()
     )
     assert base == re16  # decimal-exact: bit-identical on any partitioning
+
+
+def test_manifest_diff_stored_equals_recomputed(spark, tmp_path):
+    """Diffing against a STORED manifest snapshot returns exactly the
+    diff against a freshly recomputed manifest — the entry point a
+    versioned corpus uses so the old side is a KB-scan, not a pipeline
+    re-run — and the stored side's plan carries no encode/pack stages."""
+    from bistro_spark.operators.curation import (
+        manifest_diff,
+        manifest_diff_stored,
+        shard_manifest,
+        store_manifest,
+    )
+
+    mat = _mat_packs(spark)
+    old = shard_manifest(mat)
+    new = shard_manifest(
+        mat.filter("pack_id % 7 <> 3")  # perturb: some packs dropped
+    )
+    path = str(tmp_path / "manifest_v1")
+    store_manifest(old, path)
+    stored = manifest_diff_stored(spark, path, new)
+    recomputed = manifest_diff(old, new)
+    assert sorted(tuple(r) for r in stored.collect()) == sorted(
+        tuple(r) for r in recomputed.collect()
+    )
+    # the old side reads the snapshot files (plan toString() elides long
+    # relation fields, so check inputFiles instead)
+    assert any("manifest_v1" in f for f in stored.inputFiles())
+    # and the stored form's physical plan is strictly lighter than the
+    # recomputed one (no old-side encode/pack exchanges)
+    n_ex = stored._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    n_ex_re = recomputed._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    assert n_ex < n_ex_re
