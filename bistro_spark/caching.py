@@ -81,14 +81,18 @@ def release(spark: SparkSession, ids: set[int]) -> int:
     return n
 
 
-def release_new_pins(spark: SparkSession, before: set[int]) -> int:
+def release_new_pins(
+    spark: SparkSession, before: set[int], exclude: set[int] = frozenset()
+) -> int:
     """Free every RDD pinned since ``before`` was snapshotted, except
-    keep-pinned ids. Returns the number released."""
+    keep-pinned ids and ``exclude`` (ids the caller still owns — e.g. the
+    output checkpoint it is about to hand downstream). Returns the number
+    released."""
     jm = _jmap(spark)
     n = 0
     for k in list(jm.keySet().toArray()):
         ik = int(k)
-        if ik not in before and ik not in _KEEP:
+        if ik not in before and ik not in _KEEP and ik not in exclude:
             jm.get(k).unpersist(False)
             n += 1
     return n

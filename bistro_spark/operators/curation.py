@@ -1890,6 +1890,7 @@ def pareto_frontier(
     x: Column | None = None,
     y: Column | None = None,
     n_partitions: int | None = None,
+    pins: set[int] | None = None,
 ) -> DataFrame:
     """Skyline (Pareto-frontier) selection over two maximized integer
     per-doc signals: keep every document no other document dominates
@@ -1920,6 +1921,13 @@ def pareto_frontier(
     point has y' >= y; smaller-x points never dominate. Exactly the
     skyline, in two data-sized shuffles (the level agg, the doc join) +
     one level-set-sized range shuffle.
+
+    Storage lifecycle: the returned plan references a PINNED
+    frontier-sized localCheckpoint. Call inside ``caching.pin_scope``
+    (the contract/bench drivers do) or pass ``pins`` — a set the
+    frontier's pin ids are added to — and ``caching.release`` it after
+    the last consumer, or a long-lived session leaks one frontier-sized
+    storage block per invocation.
 
     Returns (doc_id, x, y)."""
     words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
@@ -1980,8 +1988,10 @@ def pareto_frontier(
     )
     # pin the frontier (<= level set, usually tiny), free the level-set
     # checkpoint: the residual pin is frontier-sized, released by the
-    # caller's pin_scope / the streaming pool swap
-    surviving, _ = pin(surviving)
+    # caller's pin_scope / the streaming pool swap / the `pins` set
+    surviving, frontier_ids = pin(surviving)
+    if pins is not None:
+        pins.update(frontier_ids)
     release(df.sparkSession, part_ids)
     return pts.join(
         F.broadcast(surviving),

@@ -394,7 +394,9 @@ def value_ranks(
     LEVEL SET ONLY (tiny by construction — never corpus-sized), and the
     (value → rank) map broadcasts back onto the corpus. Ties share a
     rank; the next value's rank skips by the tie count — exactly SQL
-    ``RANK()``.
+    ``RANK()``, including NULL signals: NULL forms its own level, sorts
+    NULLS LAST (both engines' default), and the map join is null-safe so
+    NULL-signal rows keep their rank row instead of silently vanishing.
 
     Returns ``df`` + ``rank_col`` (long)."""
     from pyspark.sql import Window
@@ -402,15 +404,23 @@ def value_ranks(
     v = value.alias("_v") if hasattr(value, "alias") else F.col(value).alias("_v")
     with_v = df.withColumn("_v", v)
     levels = with_v.groupBy("_v").agg(F.count(F.lit(1)).alias("_n"))
-    order = F.col("_v").asc() if ascending else F.col("_v").desc()
+    order = (
+        F.col("_v").asc_nulls_last() if ascending else F.col("_v").desc_nulls_last()
+    )
     w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
     rank_map = levels.select(
-        "_v",
+        F.col("_v").alias("_rv"),
         (F.coalesce(F.sum("_n").over(w), F.lit(0)) + 1)
         .cast("long")
         .alias(rank_col),
     )
-    return with_v.join(F.broadcast(rank_map), "_v").drop("_v")
+    return (
+        with_v.join(
+            F.broadcast(rank_map), F.col("_v").eqNullSafe(F.col("_rv"))
+        )
+        .drop("_v")
+        .drop("_rv")
+    )
 
 
 def rrf_fusion(

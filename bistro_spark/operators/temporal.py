@@ -709,17 +709,22 @@ def activity_spine(
     guess. The growth lag windows over the spine partitioned BY TYPE, so
     no single-reducer global window exists anywhere in the plan.
 
-    Integer epoch-day math (``µs DIV 86 400e6`` — no calendar layer);
-    exact decimal value sums; growth is a round-6 report ratio of exact
+    Integer epoch-day math with FLOOR semantics (no calendar layer):
+    Spark's ``DIV`` and DuckDB's integer ``//`` BOTH truncate toward
+    zero, which puts 1969-12-31 23:00 in day 0 — the negative-µs
+    correction term below (mirrored in the SQL twin) floors instead, so
+    pre-1970 timestamps bin to the calendar-correct day. Exact
+    decimal value sums; growth is a round-6 report ratio of exact
     BIGINTs. Returns (event_type, day, n_events, sum_value, prev_events,
     dod_pct) with dod_pct NULL on the first day and after zero days
     (division by an empty day is reported as NULL, not Inf)."""
+    us = f"unix_micros(CAST({ts_col} AS TIMESTAMP))"
     daily = (
         df.select(
             F.col(type_col).alias("event_type"),
             F.expr(
-                f"unix_micros(CAST({ts_col} AS TIMESTAMP))"
-                " DIV 86400000000"
+                f"({us} DIV 86400000000)"
+                f" - (CASE WHEN {us} % 86400000000 < 0 THEN 1 ELSE 0 END)"
             ).alias("day"),
             F.col(val_col).alias("_v"),
         )
@@ -771,11 +776,16 @@ def activity_spine_sql(
     val_col: str = "value",
 ) -> str:
     """DuckDB twin of :func:`activity_spine` (generate_series spine,
-    same integer epoch-day math)."""
+    same integer epoch-day math). DuckDB's integer ``//`` truncates
+    toward zero just like Spark's ``DIV``, so BOTH engines carry the
+    same negative-µs floor correction — day bins are calendar-correct
+    (floored) for pre-1970 timestamps on both sides."""
     return f"""
       WITH daily AS (
         SELECT {type_col} AS event_type,
-               CAST(epoch_us({ts_col}) // 86400000000 AS BIGINT) AS day,
+               CAST(epoch_us({ts_col}) // 86400000000
+                    - CASE WHEN epoch_us({ts_col}) % 86400000000 < 0
+                           THEN 1 ELSE 0 END AS BIGINT) AS day,
                CAST(count(*) AS BIGINT) AS n,
                sum(CAST({val_col} AS DECIMAL(30,6))) AS sv
         FROM {table} GROUP BY 1, 2

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bistro_spark.caching import pin, pinned_ids, release
+from bistro_spark.caching import pin, pinned_ids, release, release_new_pins
 
 
 class _PoolSelector:
@@ -77,8 +77,12 @@ class _PoolSelector:
         self._pin_ids = out_ids
         release(self.spark, old_ids)
         # free any pins the batch op created internally (e.g. the skyline
-        # level set): `out` is checkpointed, so they have no consumer left
-        release(self.spark, pinned_ids(self.spark) - before - out_ids)
+        # level set): `out` is checkpointed, so they have no consumer
+        # left. release_new_pins honors the _KEEP exemption — a raw
+        # set-difference release() would irrecoverably free keep-pinned
+        # shared caches created inside _select (released localCheckpoints
+        # cannot be recomputed).
+        release_new_pins(self.spark, before, exclude=out_ids)
         return out
 
 

@@ -238,3 +238,30 @@ def test_encode_tokens_gated_broadcast_plans(spark):
         assert "SortMergeJoin" in plan_big or "ShuffledHashJoin" in plan_big
         rows_s = sorted(map(tuple, big.collect()))
     assert rows_b == rows_s  # join strategy never changes values
+
+
+def test_release_new_pins_honors_keep_and_exclude(spark):
+    """The selector-pool sweep contract: pins created inside a scope are
+    freed EXCEPT keep-pinned shared caches and explicitly-excluded output
+    ids (released localCheckpoints cannot be recomputed)."""
+    from bistro_spark.caching import (
+        pin,
+        pinned_ids,
+        release,
+        release_new_pins,
+    )
+
+    before = pinned_ids(spark)
+    kept, kept_ids = pin(spark.range(3).toDF("a"), keep=True)
+    out, out_ids = pin(spark.range(4).toDF("b"))
+    junk, junk_ids = pin(spark.range(5).toDF("c"))
+    n = release_new_pins(spark, before, exclude=out_ids)
+    now = pinned_ids(spark)
+    try:
+        assert junk_ids.isdisjoint(now)  # swept
+        assert kept_ids <= now  # keep-pinned survives
+        assert out_ids <= now  # excluded output survives
+        assert kept.count() == 3 and out.count() == 4
+        assert n >= len(junk_ids)
+    finally:
+        release(spark, kept_ids | out_ids)

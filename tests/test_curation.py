@@ -1381,3 +1381,20 @@ def test_manifest_diff_stored_equals_recomputed(spark, tmp_path):
     n_ex = stored._jdf.queryExecution().executedPlan().toString().count("Exchange")
     n_ex_re = recomputed._jdf.queryExecution().executedPlan().toString().count("Exchange")
     assert n_ex < n_ex_re
+
+
+def test_pareto_frontier_pins_collector_releases_clean(spark):
+    """An ad-hoc caller (no pin_scope) can collect the frontier pin ids
+    via `pins` and release them — no storage blocks leak."""
+    from bistro_spark.caching import pinned_ids, release
+    from bistro_spark.operators.curation import pareto_frontier
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    before = pinned_ids(spark)
+    pins: set[int] = set()
+    out = pareto_frontier(docs, pins=pins)
+    assert out.count() > 0
+    assert pins, "frontier pin ids were not collected"
+    assert pins <= pinned_ids(spark)
+    release(spark, pins)
+    assert pinned_ids(spark) <= before

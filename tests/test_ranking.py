@@ -417,3 +417,31 @@ def test_rrf_fusion_matches_duckdb(spark, docs):
         for r in _duck().execute(rrf_fusion_sql("documents")).fetchall()
     }
     assert got == want
+
+
+def test_value_ranks_keeps_null_signal_rows(spark):
+    """NULL signals form their own rank level (NULLS LAST, both engines'
+    default) instead of silently vanishing through the rank-map join."""
+    from bistro_spark.operators.ranking import value_ranks
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", None), ("d", 20), ("e", None)],
+        "id string, v int",
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in value_ranks(df, F.col("v"), ascending=False).collect()
+    }
+    # RANK(): 20,20 -> 1; 10 -> 3; NULLs last -> 4 (shared)
+    assert got == {"b": 1, "d": 1, "a": 3, "c": 4, "e": 4}
+    want = {
+        r[0]: r[1]
+        for r in duckdb.connect()
+        .execute(
+            "SELECT id, RANK() OVER (ORDER BY v DESC NULLS LAST) FROM "
+            "(VALUES ('a',10),('b',20),('c',NULL),('d',20),('e',NULL)) "
+            "t(id, v)"
+        )
+        .fetchall()
+    }
+    assert got == want

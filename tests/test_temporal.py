@@ -411,3 +411,41 @@ def test_activity_spine_plan_no_global_window(spark):
     for seg in plan.split("Window ")[1:]:
         head = seg.split("\n", 1)[0]
         assert "event_type" in head, head
+
+
+def test_activity_spine_floors_pre_epoch_days(spark):
+    """Day binning floors (DuckDB `//` semantics), so pre-1970
+    timestamps land one day DOWN, not truncated toward zero: 1969-12-31
+    23:00 is day -1, not day 0."""
+    import duckdb
+
+    from bistro_spark.operators.temporal import activity_spine
+
+    df = spark.createDataFrame(
+        [
+            ("x", "1969-12-31 23:00:00", 1.0),
+            ("x", "1970-01-01 01:00:00", 2.0),
+            ("x", "1969-12-30 00:00:01", 3.0),
+        ],
+        "event_type string, ts string, value double",
+    ).selectExpr("event_type", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    got = {
+        (r["event_type"], r["day"]): r["n_events"]
+        for r in activity_spine(df).collect()
+    }
+    assert got == {("x", -2): 1, ("x", -1): 1, ("x", 0): 1}
+    # the SQL twin's corrected expression agrees (raw // truncates to 0)
+    from bistro_spark.operators.temporal import activity_spine_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT 'x' AS event_type, ts, value FROM ("
+        "VALUES (TIMESTAMP '1969-12-31 23:00:00', 1.0),"
+        " (TIMESTAMP '1970-01-01 01:00:00', 2.0),"
+        " (TIMESTAMP '1969-12-30 00:00:01', 3.0)) t(ts, value)"
+    )
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(activity_spine_sql()).fetchall()
+    }
+    assert want == {("x", -2): 1, ("x", -1): 1, ("x", 0): 1}
