@@ -1229,6 +1229,43 @@ def q_unigram_fertility(spark: SparkSession, sf: str) -> DataFrame:
     return unigram_fertility(load_table(spark, "documents", sf))
 
 
+def q_tokenizer_bakeoff(spark: SparkSession, sf: str) -> DataFrame:
+    """The tokenizer decision artifact: per-source fertility of the BPE
+    and unigram families side by side, with the relative token-cost
+    delta — the number that picks a tokenizer before committing a token
+    budget. Two map-only Arrow encodes + two source-bounded partial aggs
+    + one report-sized join; at 100 TB this is exactly two corpus passes
+    (each fused encode+count), never a re-tokenization per comparison."""
+    from bistro_spark.operators.bpe import fertility_stats
+    from bistro_spark.operators.unigram import unigram_fertility
+
+    docs = load_table(spark, "documents", sf)
+    b = fertility_stats(docs).select(
+        "source",
+        F.col("n_words"),
+        F.col("n_pieces").alias("bpe_pieces"),
+        F.col("fertility").alias("bpe_fertility"),
+    )
+    u = unigram_fertility(docs).select(
+        "source",
+        F.col("n_pieces").alias("uni_pieces"),
+        F.col("fertility").alias("uni_fertility"),
+    )
+    return b.join(u, "source").select(
+        "source",
+        "n_words",
+        "bpe_pieces",
+        "uni_pieces",
+        "bpe_fertility",
+        "uni_fertility",
+        F.round(
+            (F.col("uni_pieces") - F.col("bpe_pieces"))
+            / F.col("bpe_pieces"),
+            6,
+        ).alias("uni_vs_bpe_cost"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Gaps-and-islands sessionization over the events stream (30-min
     gap): one shuffle on user_id serves the lag flag, the running
@@ -1851,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "unigram_encode_fixed": q_unigram_encode_fixed,
         "unigram_fertility": q_unigram_fertility,
+        "tokenizer_bakeoff": q_tokenizer_bakeoff,
         "global_shuffle": q_global_shuffle,
         "training_prep_pipeline": q_training_prep_pipeline,
         "incremental_dedup": q_incremental_dedup,
@@ -2601,6 +2639,16 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_fixed": _bpe.bpe_encode_fixed_sql("documents"),
         "unigram_encode_fixed": _unigram.unigram_encode_fixed_sql("documents"),
         "unigram_fertility": _unigram.unigram_fertility_sql("documents"),
+        "tokenizer_bakeoff": f"""
+          WITH b AS ({_bpe.fertility_stats_sql("documents")}),
+          u AS ({_unigram.unigram_fertility_sql("documents")})
+          SELECT b.source, b.n_words,
+                 b.n_pieces AS bpe_pieces, u.n_pieces AS uni_pieces,
+                 b.fertility AS bpe_fertility, u.fertility AS uni_fertility,
+                 round(CAST(u.n_pieces - b.n_pieces AS DOUBLE)
+                       / b.n_pieces, 6) AS uni_vs_bpe_cost
+          FROM b JOIN u USING (source)
+        """,
         "shard_manifest": (
             "WITH enc AS ("
             + _ranking.encode_tokens_sql("documents")
