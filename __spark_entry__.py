@@ -1806,6 +1806,7 @@ def q_manifest_diff(spark: SparkSession, sf: str) -> DataFrame:
     import hashlib
 
     snap = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
         "spark-warehouse",
         "manifest_snapshots",
         hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:12],
