@@ -27,6 +27,7 @@ from bistro_spark.operators import similarity as _similarity
 from bistro_spark.operators import temporal as _temporal
 from bistro_spark.operators import text as _text
 from bistro_spark.operators import unigram as _unigram
+from bistro_spark.operators import wordpiece as _wordpiece
 from bistro_spark.operators import web as _web
 from bistro_spark.sources.tokens import (
     token_table_duckdb_sql,
@@ -1203,6 +1204,33 @@ def q_bpe_encode_fixed(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_encode(docs, FIXED_MERGES)
 
 
+def q_wordpiece_encode_fixed(spark: SparkSession, sf: str) -> DataFrame:
+    """WordPiece (BERT-family) encode under the FIXED vocabulary — the
+    third tokenizer family next to BPE and unigram-LM: greedy
+    longest-match-first per word with whole-word [UNK] fallback, one
+    map-only memoized Arrow stage. Greedy matching is deterministic (the
+    longest piece at a cursor is unique), so unlike BPE's iterative
+    fixpoint the ENTIRE encode is hash-checkable: the DuckDB twin
+    replays the cursor walk as a recursive CTE with a NOT-EXISTS
+    longest-match guard (wordpiece.wordpiece_encode_fixed_sql). Training
+    (likelihood-gain merges over the distributed word-frequency table)
+    is data-dependent and stays pytest-pinned."""
+    from bistro_spark.operators.wordpiece import FIXED_WORDPIECE_VOCAB, wordpiece_encode
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "text")
+    return wordpiece_encode(docs, FIXED_WORDPIECE_VOCAB)
+
+
+def q_wordpiece_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source fertility of the WORDPIECE tokenizer — completes the
+    three-family bake-off grid (BPE `fertility`, `unigram_fertility`):
+    same one-map-stage + one-partial-agg shape, group-cardinality
+    output."""
+    from bistro_spark.operators.wordpiece import wordpiece_fertility
+
+    return wordpiece_fertility(load_table(spark, "documents", sf))
+
+
 def q_unigram_encode_fixed(spark: SparkSession, sf: str) -> DataFrame:
     """Unigram-LM (SentencePiece-family, Kudo 2018) encode under the
     FIXED integer-scored vocabulary — the hash-checkable half of BPE's
@@ -1230,14 +1258,16 @@ def q_unigram_fertility(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_tokenizer_bakeoff(spark: SparkSession, sf: str) -> DataFrame:
-    """The tokenizer decision artifact: per-source fertility of the BPE
-    and unigram families side by side, with the relative token-cost
-    delta — the number that picks a tokenizer before committing a token
-    budget. Two map-only Arrow encodes + two source-bounded partial aggs
-    + one report-sized join; at 100 TB this is exactly two corpus passes
+    """The tokenizer decision artifact: per-source fertility of all
+    THREE learned-subword families (BPE, unigram-LM, WordPiece) side by
+    side, with relative token-cost deltas against the BPE anchor — the
+    numbers that pick a tokenizer before committing a token budget.
+    Three map-only Arrow encodes + three source-bounded partial aggs +
+    one report-sized join; at 100 TB this is exactly three corpus passes
     (each fused encode+count), never a re-tokenization per comparison."""
     from bistro_spark.operators.bpe import fertility_stats
     from bistro_spark.operators.unigram import unigram_fertility
+    from bistro_spark.operators.wordpiece import wordpiece_fertility
 
     docs = load_table(spark, "documents", sf)
     b = fertility_stats(docs).select(
@@ -1251,18 +1281,30 @@ def q_tokenizer_bakeoff(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_pieces").alias("uni_pieces"),
         F.col("fertility").alias("uni_fertility"),
     )
-    return b.join(u, "source").select(
+    w = wordpiece_fertility(docs).select(
+        "source",
+        F.col("n_pieces").alias("wp_pieces"),
+        F.col("fertility").alias("wp_fertility"),
+    )
+    return b.join(u, "source").join(w, "source").select(
         "source",
         "n_words",
         "bpe_pieces",
         "uni_pieces",
+        "wp_pieces",
         "bpe_fertility",
         "uni_fertility",
+        "wp_fertility",
         F.round(
             (F.col("uni_pieces") - F.col("bpe_pieces"))
             / F.col("bpe_pieces"),
             6,
         ).alias("uni_vs_bpe_cost"),
+        F.round(
+            (F.col("wp_pieces") - F.col("bpe_pieces"))
+            / F.col("bpe_pieces"),
+            6,
+        ).alias("wp_vs_bpe_cost"),
     )
 
 
@@ -1887,6 +1929,8 @@ def q_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "wordpiece_encode_fixed": q_wordpiece_encode_fixed,
+        "wordpiece_fertility": q_wordpiece_fertility,
         "unigram_encode_fixed": q_unigram_encode_fixed,
         "unigram_fertility": q_unigram_fertility,
         "tokenizer_bakeoff": q_tokenizer_bakeoff,
@@ -2640,15 +2684,22 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_fixed": _bpe.bpe_encode_fixed_sql("documents"),
         "unigram_encode_fixed": _unigram.unigram_encode_fixed_sql("documents"),
         "unigram_fertility": _unigram.unigram_fertility_sql("documents"),
+        "wordpiece_encode_fixed": _wordpiece.wordpiece_encode_fixed_sql("documents"),
+        "wordpiece_fertility": _wordpiece.wordpiece_fertility_sql("documents"),
         "tokenizer_bakeoff": f"""
           WITH b AS ({_bpe.fertility_stats_sql("documents")}),
-          u AS ({_unigram.unigram_fertility_sql("documents")})
+          u AS ({_unigram.unigram_fertility_sql("documents")}),
+          w AS ({_wordpiece.wordpiece_fertility_sql("documents")})
           SELECT b.source, b.n_words,
                  b.n_pieces AS bpe_pieces, u.n_pieces AS uni_pieces,
+                 w.n_pieces AS wp_pieces,
                  b.fertility AS bpe_fertility, u.fertility AS uni_fertility,
+                 w.fertility AS wp_fertility,
                  round(CAST(u.n_pieces - b.n_pieces AS DOUBLE)
-                       / b.n_pieces, 6) AS uni_vs_bpe_cost
-          FROM b JOIN u USING (source)
+                       / b.n_pieces, 6) AS uni_vs_bpe_cost,
+                 round(CAST(w.n_pieces - b.n_pieces AS DOUBLE)
+                       / b.n_pieces, 6) AS wp_vs_bpe_cost
+          FROM b JOIN u USING (source) JOIN w USING (source)
         """,
         "shard_manifest": (
             "WITH enc AS ("
