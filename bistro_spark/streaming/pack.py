@@ -1,0 +1,159 @@
+"""Streaming twins of the tokenize→pack tail of the training-prep
+pipeline (``operators/curation.pack_sequences``; the encode stages of
+``operators/bpe.py`` / ``unigram.py`` / ``wordpiece.py``).
+
+The north-star pipeline ingests pre-tokenized sequences continuously;
+the last mile before a trainer is (a) subword-encode arriving text and
+(b) pack whole sequences into fixed-capacity buffers. Streaming shapes:
+
+- :func:`streaming_encode_gate` — every tokenizer encode in this repo is
+  a map-only Arrow stage (memoized pandas UDF, vocabulary via closure),
+  i.e. PURE PROJECTION: it applies verbatim to a streaming DataFrame
+  with no state store, no watermark, and fuses into the source scan.
+  This wrapper exists to make that contract explicit and tested on a
+  real file-source stream.
+
+- :class:`StreamingPacker` — greedy no-split packing is a sequential
+  fold per shard, so its streaming form carries ONE (pack_id, end)
+  cursor per shard across micro-batches and resumes the fold where the
+  previous trigger stopped. State is exactly ``n_shards`` pairs of
+  BIGINTs — partition-count-sized, not stream-sized — held driver-side
+  and snapshot-able into any checkpoint (on a real cluster: the
+  foreachBatch epoch's commit log / an Iceberg metadata row per shard).
+
+  **Parity contract (pytest-pinned):** under id-monotone arrival — each
+  shard's documents arrive in increasing id order across triggers, the
+  natural case when ids are assigned at ingest — the union of per-trigger
+  outputs EQUALS batch ``pack_sequences`` over everything seen: the
+  greedy fold depends only on each shard's (len) sequence in id order,
+  and monotone arrival makes the concatenation of per-batch folds THE
+  single fold. Out-of-id-order arrival diverges by construction (a
+  later-arriving smaller id would have packed earlier in the batch
+  fold); the divergence is pinned by counter-example, mirroring the
+  token-budget twin's documented contract, because a packer cannot
+  retroactively reopen an emitted buffer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bistro_spark.caching import pin, release
+
+
+def streaming_encode_gate(
+    stream_df: DataFrame,
+    vocab: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """WordPiece-encode a (streaming or batch) DataFrame: map-only Arrow
+    stage, stateless, no watermark — Structured Streaming accepts the
+    batch operator unchanged. The same holds for ``bpe_encode`` and
+    ``unigram_encode``; WordPiece is wrapped here because its encode is
+    additionally hash-checkable batch-side, so the stream twin's parity
+    anchor is itself oracle-verified."""
+    from bistro_spark.operators.wordpiece import wordpiece_encode
+
+    return wordpiece_encode(stream_df, vocab, id_col, text_col, keep=keep)
+
+
+class StreamingPacker:
+    """Feed micro-batches to :meth:`process_batch`; each call returns the
+    batch's pack assignments (id, shard, pack_id, offset, len) — same
+    schema as batch ``pack_sequences`` — valid until the next call
+    (consumed-within-trigger, the foreachBatch contract)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        capacity: int = 256,
+        n_shards: int = 4,
+        id_col: str = "doc_id",
+        len_col: str = "n_tok",
+        max_rows_per_batch_shard: int = 50_000_000,
+    ):
+        self.spark = spark
+        self.capacity = capacity
+        self.n_shards = n_shards
+        self.id_col = id_col
+        self.len_col = len_col
+        self.max_rows = max_rows_per_batch_shard
+        # shard -> (open pack_id, filled length of that pack); absent =
+        # shard untouched (first doc opens pack 0 at offset 0)
+        self._state: dict[int, tuple[int, int]] = {}
+        self._trigger_ids: set[int] = set()
+        self.batches_seen = 0
+
+    def state_snapshot(self) -> dict[int, tuple[int, int]]:
+        """The full recovery state: one (pack_id, end) cursor per
+        touched shard (``n_shards``-bounded)."""
+        return dict(self._state)
+
+    def process_batch(self, batch_df: DataFrame) -> DataFrame:
+        import pandas as pd
+
+        self.batches_seen += 1
+        release(self.spark, self._trigger_ids)
+        id_col, capacity, max_rows = self.id_col, self.capacity, self.max_rows
+        carry = dict(self._state)  # ships via closure: n_shards-sized
+
+        src = batch_df.select(
+            F.col(id_col),
+            (F.col(id_col) % self.n_shards).cast("int").alias("shard"),
+            F.col(self.len_col).cast("long").alias("len"),
+        )
+        schema = f"{id_col} long, shard int, pack_id long, offset long, len long"
+
+        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) > max_rows:
+                raise ValueError(
+                    f"StreamingPacker: batch shard holds {len(pdf)} rows > "
+                    f"max_rows_per_batch_shard={max_rows}; raise "
+                    f"n_shards so per-trigger shard frames fit in one task"
+                )
+            pdf = pdf.sort_values(id_col).reset_index(drop=True)
+            shard = int(pdf["shard"].iloc[0])
+            cur = carry.get(shard)
+            pack_ids, offsets = [], []
+            if cur is None:
+                pack_id, end, first = 0, 0, True
+            else:
+                pack_id, end = cur
+                first = False
+            for ln in pdf["len"].to_numpy():
+                if first:
+                    off = 0
+                    first = False
+                elif end + ln <= capacity:
+                    off = end
+                else:
+                    pack_id, off = pack_id + 1, 0
+                end = off + ln
+                pack_ids.append(pack_id)
+                offsets.append(off)
+            pdf["pack_id"] = pack_ids
+            pdf["offset"] = offsets
+            return pdf[[id_col, "shard", "pack_id", "offset", "len"]]
+
+        out, out_ids = pin(src.groupBy("shard").applyInPandas(pack, schema))
+        # advance each shard's cursor to its max-id row — n_shards rows
+        upd = (
+            out.groupBy("shard")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        F.col("pack_id"),
+                        (F.col("offset") + F.col("len")).alias("end"),
+                    ),
+                    F.col(id_col),
+                ).alias("c")
+            )
+            .collect()
+        )
+        for r in upd:
+            self._state[r["shard"]] = (r["c"]["pack_id"], r["c"]["end"])
+        self._trigger_ids = out_ids
+        return out
