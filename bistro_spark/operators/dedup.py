@@ -582,17 +582,26 @@ def simhash_sql(text_expr: str, bits: int = 16) -> str:
 def ngram_set(text: Column, n: int = 3) -> Column:
     """Distinct hashed word n-grams (sorted, so set ops are portable).
 
-    A document with fewer than ``n`` words contains no n-gram: the set is
-    empty (guarded — ``sequence(1, size-(n-1))`` would descend through 0
-    for short docs and ``slice(words, 0, n)`` errors)."""
+    Grams are built by zip_with-folding ``n`` shifted slices of ONE
+    split: an index-lambda (``transform(sequence(...), i ->
+    slice(words, i, n))``) embeds the split inside the lambda body and
+    re-evaluates it per element — O(words²·len) per document; the slice
+    chain evaluates it once per slice (measured 4×, gram sets
+    bit-identical). A document with fewer than ``n`` words contains no
+    n-gram: the set is empty (the ``when`` also guards slice's negative
+    length for short docs)."""
     words = F.split(text, " ")
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: word_hash(F.concat_ws(" ", F.slice(words, i, n))),
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
+    m = F.size(words) - (n - 1)
+    g = F.slice(words, 1, m)
+    for k in range(1, n):
+        g = F.zip_with(
+            g,
+            F.slice(words, k + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    grams = F.when(F.size(words) >= n, F.transform(g, word_hash)).otherwise(
+        F.expr("CAST(array() AS array<bigint>)")
+    )
     return F.array_sort(F.array_distinct(grams))
 
 

@@ -232,11 +232,14 @@ def repetition_signals(
             F.lit(1.0) - n_distinct / n_words, 6
         ).alias("dup_word_fraction"),
     )
+    # zip_with over two slices of ONE split (an index-lambda re-splits
+    # the text per element — O(words²·len) per doc; see dedup.ngram_set)
     bigrams = F.when(
         F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        F.zip_with(
+            F.slice(words, 1, F.size(words) - 1),
+            F.slice(words, 2, F.size(words) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.expr("CAST(array() AS array<string>)"))
     if via == "hof":
@@ -390,13 +393,16 @@ def classifier_score(
     weight for a broadcast lookup; everything else is unchanged.
     """
     words = F.split(F.col(text_col), " ")
-    # sequence(1, n-1) DESCENDS through 0 when n = 1 (Spark quirk) — guard
+    n = F.size(words)
+    # zip_with over two slices of ONE split — an index-lambda would
+    # re-split the text per element, O(words²·len) per document (the
+    # n > 1 guard also dodges sequence(1, 0) descending, a Spark quirk)
     bigrams = F.when(
-        F.size(words) > 1,
-        F.expr(
-            f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
-            f"i -> concat(split({text_col}, ' ')[i - 1], ' ', "
-            f"split({text_col}, ' ')[i]))"
+        n > 1,
+        F.zip_with(
+            F.slice(words, 1, n - 1),
+            F.slice(words, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     feats = F.concat(words, bigrams)
