@@ -1204,6 +1204,39 @@ def q_bpe_encode_fixed(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_encode(docs, FIXED_MERGES)
 
 
+def q_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence-length histogram with the padding bill: per (source,
+    pow2-bucket) token-length bucket, sequence count, exact payload and
+    the padding waste a pad-to-bucket trainer would pay — the
+    pad-vs-pack decision artifact. Bucketing is integer bin()-length
+    (never float log2); one partial agg over the encode projection,
+    output bounded by sources × 64 buckets."""
+    from bistro_spark.operators.curation import length_buckets
+    from bistro_spark.operators.ranking import build_vocab, encode_tokens
+
+    docs = load_table(spark, "documents", sf)
+    enc = encode_tokens(docs, build_vocab(docs))
+    with_src = enc.join(docs.select("doc_id", "source"), "doc_id")
+    return length_buckets(with_src)
+
+
+def q_pack_capacity_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy-packing efficiency across candidate context lengths in ONE
+    corpus pass: per (capacity, shard), pack count / exact payload /
+    padding waste / oversize overflows / fill ratio — the
+    capacity-sizing report a 100 TB packing run prints before choosing
+    a context length. The applyInPandas kernel replays the greedy fold
+    per capacity over the shard's in-memory length vector (extra
+    capacities cost numpy loops, not corpus passes); the oracle replays
+    each capacity's fold as its own recursive CTE."""
+    from bistro_spark.operators.curation import pack_capacity_sweep
+    from bistro_spark.operators.ranking import build_vocab, encode_tokens
+
+    docs = load_table(spark, "documents", sf)
+    enc = encode_tokens(docs, build_vocab(docs))
+    return pack_capacity_sweep(enc, capacities=(128, 256, 512, 1024))
+
+
 def q_wordpiece_encode_fixed(spark: SparkSession, sf: str) -> DataFrame:
     """WordPiece (BERT-family) encode under the FIXED vocabulary — the
     third tokenizer family next to BPE and unigram-LM: greedy
@@ -1929,6 +1962,8 @@ def q_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "length_buckets": q_length_buckets,
+        "pack_capacity_sweep": q_pack_capacity_sweep,
         "wordpiece_encode_fixed": q_wordpiece_encode_fixed,
         "wordpiece_fertility": q_wordpiece_fertility,
         "unigram_encode_fixed": q_unigram_encode_fixed,
@@ -2684,6 +2719,22 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_fixed": _bpe.bpe_encode_fixed_sql("documents"),
         "unigram_encode_fixed": _unigram.unigram_encode_fixed_sql("documents"),
         "unigram_fertility": _unigram.unigram_fertility_sql("documents"),
+        "length_buckets": (
+            "WITH enc AS ("
+            + _ranking.encode_tokens_sql("documents")
+            + "), j AS (SELECT d.source, e.n_tok FROM documents d "
+            "JOIN enc e USING (doc_id)) "
+            + _curation.length_buckets_sql("j", group_col="source", len_col="n_tok")
+        ),
+        "pack_capacity_sweep": _curation.pack_capacity_sweep_sql(
+            "enc",
+            capacities=(128, 256, 512, 1024),
+            len_expr="n_tok",
+            n_shards=4,
+            extra_ctes=(
+                "enc AS (" + _ranking.encode_tokens_sql("documents") + "),"
+            ),
+        ),
         "wordpiece_encode_fixed": _wordpiece.wordpiece_encode_fixed_sql("documents"),
         "wordpiece_fertility": _wordpiece.wordpiece_fertility_sql("documents"),
         "tokenizer_bakeoff": f"""

@@ -2260,3 +2260,214 @@ def cross_perplexity_sql(
       FROM tot ta CROSS JOIN tot tb CROSS JOIN vs
       LEFT JOIN s ON s.group_a = ta.g AND s.group_b = tb.g
     """
+
+
+# --------------------------------------- length buckets / capacity sweep ----
+
+
+def length_buckets(
+    df: DataFrame,
+    group_col: str = "source",
+    len_col: str = "n_tok",
+) -> DataFrame:
+    """Sequence-length histogram with the padding bill: per (group,
+    pow2-bucket), sequence count, exact payload tokens, and the padding
+    waste a pad-to-bucket trainer would pay (padded = n_seqs ×
+    bucket_max). THE report behind the pad-vs-pack decision — if most
+    groups sit just above a power of two, bucketing pads ~2× and packing
+    wins; if lengths hug the bucket tops, bucketed padding is nearly
+    free.
+
+    Bucketing is integer-exact on both engines (repo convention, see
+    drift.length_counts): bucket_max = the smallest power of two ≥ len,
+    computed as ``1 << bitlength(len − 1)`` via ``length(bin(...))`` —
+    never float log2, which disagrees at the boundaries. len ∈ {0, 1}
+    maps to bucket_max = len. One partial-aggregated groupBy, output
+    bounded by groups × 64 buckets."""
+    n = F.col(len_col).cast("long")
+    # pyspark's shiftleft() wants a literal shift; the SQL form takes a
+    # column — go through expr over the bound _n
+    bucket = F.expr(
+        "CASE WHEN _n <= 1 THEN _n "
+        "ELSE shiftleft(CAST(1 AS BIGINT), length(bin(_n - 1))) END"
+    )
+    agg = (
+        df.select(F.col(group_col), n.alias("_n"))
+        .withColumn("bucket_max", bucket)
+        .groupBy(group_col, "bucket_max")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seqs"),
+            F.sum("_n").cast("long").alias("payload_tokens"),
+        )
+    )
+    padded = F.col("n_seqs") * F.col("bucket_max")
+    return agg.select(
+        group_col,
+        "bucket_max",
+        "n_seqs",
+        "payload_tokens",
+        (padded - F.col("payload_tokens")).cast("long").alias("pad_waste_tokens"),
+        F.round(
+            F.when(padded > 0, (padded - F.col("payload_tokens")) / padded)
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("pad_waste_frac"),
+    )
+
+
+def length_buckets_sql(
+    table: str,
+    group_col: str = "source",
+    len_col: str = "n_tok",
+) -> str:
+    """DuckDB twin of :func:`length_buckets` (same bin()-length pow2
+    ceiling; ``table`` may be a CTE name)."""
+    n = f"CAST({len_col} AS BIGINT)"
+    bucket = (
+        f"CASE WHEN {n} <= 1 THEN {n} "
+        f"ELSE CAST(1 AS BIGINT) << length(bin({n} - 1)) END"
+    )
+    return f"""
+      SELECT {group_col}, bucket_max,
+             CAST(count(*) AS BIGINT) AS n_seqs,
+             CAST(sum(_n) AS BIGINT) AS payload_tokens,
+             CAST(count(*) * bucket_max - sum(_n) AS BIGINT)
+               AS pad_waste_tokens,
+             round(CASE WHEN count(*) * bucket_max > 0
+                        THEN (count(*) * bucket_max - sum(_n))
+                             / CAST(count(*) * bucket_max AS DOUBLE)
+                        ELSE 0.0 END, 6) AS pad_waste_frac
+      FROM (SELECT {group_col}, {n} AS _n, {bucket} AS bucket_max
+            FROM {table})
+      GROUP BY {group_col}, bucket_max
+    """
+
+
+def pack_capacity_sweep(
+    df: DataFrame,
+    capacities: tuple[int, ...] = (128, 256, 512, 1024),
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+    n_shards: int = 4,
+) -> DataFrame:
+    """Greedy-packing efficiency across candidate capacities in ONE
+    corpus pass — the capacity-sizing artifact: what does each context
+    length cost in padding waste and oversize overflows for THIS length
+    distribution? (Running :func:`pack_sequences` per capacity would
+    re-shuffle the corpus once per candidate.)
+
+    Same sharded fold as :func:`pack_sequences` (id order within ``id %
+    n_shards``); one ``applyInPandas`` kernel replays the greedy fold
+    for every capacity over the shard's length vector (the lengths are
+    already in memory — extra capacities cost numpy loops, not passes)
+    and emits ONE row per (capacity, shard): pack count, exact payload,
+    padding waste Σ max(capacity − fill, 0), overflow-pack count (docs
+    longer than the capacity get a pack to themselves — negative waste
+    is reported as overflow, not netted), and fill_ratio. Output is
+    |capacities| × n_shards rows at any corpus size."""
+    import pandas as pd
+
+    caps = tuple(int(c) for c in capacities)
+    src = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        F.col(len_col).cast("long").alias("len"),
+    )
+    schema = (
+        "capacity int, shard int, n_packs long, n_docs long, "
+        "payload_tokens long, waste_tokens long, n_overflow long"
+    )
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        shard = int(pdf["shard"].iloc[0])
+        lens = pdf["len"].to_numpy()
+        out = []
+        for cap in caps:
+            fills = []
+            end = None
+            for ln in lens:
+                if end is None or end + ln > cap:
+                    fills.append(int(ln))
+                    end = int(ln)
+                else:
+                    fills[-1] += int(ln)
+                    end += int(ln)
+            n_packs = len(fills)
+            payload = int(sum(fills))
+            waste = int(sum(max(cap - f, 0) for f in fills))
+            n_over = int(sum(1 for f in fills if f > cap))
+            out.append(
+                (cap, shard, n_packs, len(lens), payload, waste, n_over)
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "capacity",
+                "shard",
+                "n_packs",
+                "n_docs",
+                "payload_tokens",
+                "waste_tokens",
+                "n_overflow",
+            ],
+        )
+
+    swept = src.groupBy("shard").applyInPandas(sweep, schema=schema)
+    # fill_ratio via F.round (HALF_UP, matching DuckDB's round) — a
+    # Python round() in the kernel is banker's and diverges on exact
+    # half-ulps like 93/128
+    return swept.withColumn(
+        "fill_ratio",
+        F.round(
+            F.when(
+                F.col("n_packs") > 0,
+                F.col("payload_tokens")
+                / (F.col("n_packs") * F.col("capacity").cast("double")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ),
+    )
+
+
+def pack_capacity_sweep_sql(
+    table: str,
+    capacities: tuple[int, ...] = (128, 256, 512, 1024),
+    id_col: str = "doc_id",
+    len_expr: str = "n_tok",
+    n_shards: int = 4,
+    extra_ctes: str = "",
+) -> str:
+    """DuckDB twin of :func:`pack_capacity_sweep`: one recursive
+    :func:`pack_sequences_sql` fold per capacity (the oracle replays the
+    definition; the engine's one-pass sweep is the optimization),
+    aggregated per (capacity, shard) and UNION ALL'd."""
+    parts = []
+    for cap in capacities:
+        inner = pack_sequences_sql(
+            table,
+            id_col=id_col,
+            len_expr=len_expr,
+            capacity=int(cap),
+            n_shards=n_shards,
+            extra_ctes=extra_ctes,
+        )
+        parts.append(
+            f"""
+      SELECT {int(cap)} AS capacity, shard,
+             CAST(count(*) AS BIGINT) AS n_packs,
+             CAST(sum(nd) AS BIGINT) AS n_docs,
+             CAST(sum(fill) AS BIGINT) AS payload_tokens,
+             CAST(sum(CASE WHEN {int(cap)} - fill > 0
+                           THEN {int(cap)} - fill ELSE 0 END) AS BIGINT)
+               AS waste_tokens,
+             CAST(sum(CASE WHEN fill > {int(cap)} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_overflow,
+             round(sum(fill) / (count(*) * CAST({int(cap)} AS DOUBLE)), 6)
+               AS fill_ratio
+      FROM (SELECT shard, pack_id, sum(len) AS fill, count(*) AS nd
+            FROM ({inner}) GROUP BY shard, pack_id)
+      GROUP BY shard
+            """
+        )
+    return " UNION ALL ".join(f"({p})" for p in parts)

@@ -1,0 +1,129 @@
+"""length_buckets (pow2 padding histogram) and pack_capacity_sweep
+(multi-capacity greedy packing report): exact bucket edges, waste math,
+per-capacity consistency with pack_sequences, and the SQL twins."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from bistro_spark.operators.curation import (
+    length_buckets,
+    length_buckets_sql,
+    pack_capacity_sweep,
+    pack_capacity_sweep_sql,
+    pack_sequences,
+)
+
+
+def test_length_buckets_edges_and_waste(spark):
+    rows = [(i, "g", n) for i, n in enumerate([0, 1, 2, 3, 4, 5, 8, 9, 16, 17])]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    got = {
+        r["bucket_max"]: (r["n_seqs"], r["payload_tokens"], r["pad_waste_tokens"])
+        for r in length_buckets(df).collect()
+    }
+    # pow2 ceiling: 0->0, 1->1, 2->2, 3..4->4, 5..8->8, 9..16->16, 17->32
+    assert got[0] == (1, 0, 0)
+    assert got[1] == (1, 1, 0)
+    assert got[2] == (1, 2, 0)
+    assert got[4] == (2, 7, 1)  # 3+4 padded to 2*4
+    assert got[8] == (2, 13, 3)  # 5+8 -> 16
+    assert got[16] == (2, 25, 7)  # 9+16 -> 32
+    assert got[32] == (1, 17, 15)
+    fracs = {
+        r["bucket_max"]: r["pad_waste_frac"] for r in length_buckets(df).collect()
+    }
+    assert fracs[32] == round(15 / 32, 6)
+    assert fracs[0] == 0.0  # padded = 0 guard
+
+
+def test_length_buckets_sql_twin(spark):
+    rows = [(i, f"s{i % 3}", (i * 7) % 23) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    got = sorted(tuple(r) for r in length_buckets(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, source VARCHAR, n_tok BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", rows)
+    want = sorted(
+        tuple(r) for r in con.execute(length_buckets_sql("t")).fetchall()
+    )
+    assert got == want
+
+
+def test_capacity_sweep_matches_pack_sequences_per_capacity(spark):
+    rows = [(i, 1 + (i * 13) % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    sweep = {
+        (r["capacity"], r["shard"]): r
+        for r in pack_capacity_sweep(
+            df, capacities=(64, 128), n_shards=3
+        ).collect()
+    }
+    for cap in (64, 128):
+        packed = pack_sequences(df, len_col="n_tok", capacity=cap, n_shards=3)
+        agg = (
+            packed.groupBy("shard", "pack_id")
+            .agg(F.sum("len").alias("fill"), F.count("*").alias("nd"))
+            .groupBy("shard")
+            .agg(
+                F.count("*").alias("n_packs"),
+                F.sum("nd").alias("n_docs"),
+                F.sum("fill").alias("payload"),
+                F.sum(F.greatest(F.lit(cap) - F.col("fill"), F.lit(0))).alias(
+                    "waste"
+                ),
+                F.sum((F.col("fill") > cap).cast("int")).alias("n_over"),
+            )
+        )
+        for r in agg.collect():
+            s = sweep[(cap, r["shard"])]
+            assert (
+                s["n_packs"],
+                s["n_docs"],
+                s["payload_tokens"],
+                s["waste_tokens"],
+                s["n_overflow"],
+            ) == (r["n_packs"], r["n_docs"], r["payload"], r["waste"], r["n_over"])
+
+
+def test_capacity_sweep_overflow_not_netted(spark):
+    # one 100-token doc at capacity 64: overflow pack, waste 0 (never
+    # negative), fill_ratio > 1 reported honestly
+    df = spark.createDataFrame([(0, 100)], "doc_id long, n_tok long")
+    r = pack_capacity_sweep(df, capacities=(64,), n_shards=1).collect()[0]
+    assert (r["n_packs"], r["waste_tokens"], r["n_overflow"]) == (1, 0, 1)
+    assert r["fill_ratio"] == round(100 / 64, 6)
+
+
+def test_capacity_sweep_sql_twin(spark):
+    rows = [(i, 1 + (i * 11) % 70) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = sorted(
+        tuple(r)
+        for r in pack_capacity_sweep(df, capacities=(64, 256), n_shards=2).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE enc(doc_id BIGINT, n_tok BIGINT)")
+    con.executemany("INSERT INTO enc VALUES (?,?)", rows)
+    sql = pack_capacity_sweep_sql(
+        "enc", capacities=(64, 256), len_expr="n_tok", n_shards=2
+    )
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want
+
+
+def test_capacity_sweep_empty(spark):
+    df = spark.createDataFrame([], "doc_id long, n_tok long")
+    out = pack_capacity_sweep(df, capacities=(64, 128), n_shards=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "capacity",
+        "shard",
+        "n_packs",
+        "n_docs",
+        "payload_tokens",
+        "waste_tokens",
+        "n_overflow",
+        "fill_ratio",
+    ]
