@@ -92,6 +92,14 @@ class StreamingPacker:
         touched shard (``n_shards``-bounded)."""
         return dict(self._state)
 
+    def restore_state(self, snapshot: dict[int, tuple[int, int]]) -> None:
+        """Resume from a :meth:`state_snapshot` taken after the last
+        COMMITTED trigger (foreachBatch epoch semantics: persist the
+        snapshot with the epoch's output, restore before reprocessing).
+        A restored packer continues the fold exactly where the
+        snapshotted one stopped — kill/resume parity is pytest-pinned."""
+        self._state = {int(k): (int(v[0]), int(v[1])) for k, v in snapshot.items()}
+
     def process_batch(self, batch_df: DataFrame) -> DataFrame:
         import pandas as pd
 

@@ -152,3 +152,30 @@ def test_streaming_packer_state_and_pin_bounds(spark):
 
     release(spark, packer._trigger_ids)
     assert set(pinned_ids(spark)) - before == set()
+
+
+def test_streaming_packer_kill_resume_parity(spark):
+    """Snapshot after trigger k, build a FRESH packer, restore, replay
+    the remaining triggers: outputs equal the uninterrupted run (the
+    foreachBatch epoch-recovery contract)."""
+    docs = _with_len(spark.read.parquet(DOCS))
+    cuts = [0, 150, 300, 10**9]
+    batches = [
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        for lo, hi in zip(cuts, cuts[1:])
+    ]
+    cont = StreamingPacker(spark, capacity=256, n_shards=4, len_col="n_tok")
+    cont_out = []
+    for b in batches:
+        cont_out.extend(tuple(r) for r in cont.process_batch(b).collect())
+
+    first = StreamingPacker(spark, capacity=256, n_shards=4, len_col="n_tok")
+    resumed_out = [tuple(r) for r in first.process_batch(batches[0]).collect()]
+    snap = first.state_snapshot()
+    # "kill": a brand-new packer restores the persisted snapshot
+    second = StreamingPacker(spark, capacity=256, n_shards=4, len_col="n_tok")
+    second.restore_state(snap)
+    for b in batches[1:]:
+        resumed_out.extend(tuple(r) for r in second.process_batch(b).collect())
+    assert sorted(resumed_out) == sorted(cont_out)
+    assert second.state_snapshot() == cont.state_snapshot()
