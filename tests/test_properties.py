@@ -203,3 +203,70 @@ def test_pareto_frontier_is_exactly_the_undominated_set(spark, pts):
         )
     )
     assert got == want
+
+
+# ------------------------------------------------------------ wordpiece ----
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    word=st.text(alphabet="abcxyz", min_size=0, max_size=12),
+    vocab_bodies=st.sets(
+        st.text(alphabet="abcx", min_size=1, max_size=3), min_size=1, max_size=12
+    ),
+)
+def test_wordpiece_greedy_invariants(word, vocab_bodies):
+    """For ANY vocab/word: the encoding either round-trips exactly or is
+    whole-word [UNK]; every emitted piece is the LONGEST vocab match at
+    its cursor (the defining greedy property)."""
+    from bistro_spark.operators.wordpiece import CONT, UNK, encode_word
+
+    initial = set(vocab_bodies)
+    cont = {b for b in vocab_bodies if len(b) <= 2}
+    max_len = max(len(b) for b in initial | cont)
+    out = encode_word(word, initial, cont, max_len)
+    if word == "":
+        assert out == []
+        return
+    if out == [UNK]:
+        # some cursor had no match: re-walk greedily and find it
+        pos = 0
+        while pos < len(word):
+            table = initial if pos == 0 else cont
+            match = max(
+                (b for b in table if word[pos:].startswith(b)),
+                key=len,
+                default=None,
+            )
+            if match is None:
+                return  # confirmed: greedy walk genuinely dead-ends
+            pos += len(match)
+        raise AssertionError("UNK emitted but a full greedy walk exists")
+    # round-trip + longest-match at every cursor
+    pos = 0
+    for p in out:
+        body = p[len(CONT):] if p.startswith(CONT) else p
+        table = cont if p.startswith(CONT) else initial
+        assert (pos > 0) == p.startswith(CONT)
+        assert word[pos : pos + len(body)] == body
+        longer = [
+            b
+            for b in table
+            if len(b) > len(body) and word[pos:].startswith(b)
+        ]
+        assert not longer, f"{p} not longest at {pos}: {longer}"
+        pos += len(body)
+    assert pos == len(word)
+
+
+@settings(max_examples=200, deadline=None)
+@given(n=st.integers(min_value=0, max_value=1 << 40))
+def test_pow2_bucket_formula(n):
+    """The integer bin()-length pow2 ceiling used by length_buckets
+    equals the mathematical smallest power of two >= n (n >= 2)."""
+    bucket = n if n <= 1 else 1 << (n - 1).bit_length()
+    if n >= 1:
+        assert bucket >= n and (bucket == n or bucket < 2 * n)
+        assert bucket & (bucket - 1) == 0 or bucket == 1
+    else:
+        assert bucket == 0
