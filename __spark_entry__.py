@@ -19,6 +19,7 @@ from bistro_spark.schema import Schema
 from bistro_spark.sources.io import load_table
 from bistro_spark.operators import bpe as _bpe
 from bistro_spark.operators import curation as _curation
+from bistro_spark.operators import maintenance as _maintenance
 from bistro_spark.operators import dedup as _dedup
 from bistro_spark.operators import drift as _drift
 from bistro_spark.operators import olap as _olap
@@ -1960,8 +1961,90 @@ def q_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
     return domain_stats(load_table(spark, "documents", sf).select("doc_id"))
 
 
+def _file_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic synthetic data-file manifest derived from the
+    documents table (partition = source, one file per 50-doc id range,
+    bytes = the range's character payload) — the input shape an Iceberg
+    manifest scan would provide a maintenance job."""
+    docs = load_table(spark, "documents", sf)
+    return docs.groupBy(
+        F.col("source").alias("part"),
+        F.expr("doc_id DIV 50").cast("long").alias("file_id"),
+    ).agg(F.sum("n_chars").cast("long").alias("bytes"))
+
+
+_MANIFEST_CTE = """files AS (
+      SELECT source AS part, CAST(doc_id // 50 AS BIGINT) AS file_id,
+             CAST(sum(n_chars) AS BIGINT) AS bytes
+      FROM documents GROUP BY source, doc_id // 50
+    ),"""
+
+
+def q_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Lakehouse small-files compaction plan: per partition, greedily
+    group manifest files (file_id order) into merge groups within the
+    byte target — Iceberg rewrite_data_files planning as a deterministic,
+    auditable fold (same no-split greedy as pack_sequences)."""
+    from bistro_spark.operators.maintenance import compaction_plan
+
+    return compaction_plan(
+        _file_manifest(spark, sf), partition_col="part",
+        target_bytes=32768,
+    )
+
+
+def q_compaction_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Compaction decision artifact: per-partition file counts before /
+    after the plan, small-file pressure, byte totals — what an operator
+    reads before paying for the rewrite."""
+    from bistro_spark.operators.maintenance import compaction_report
+
+    return compaction_report(
+        _file_manifest(spark, sf), partition_col="part",
+        target_bytes=32768,
+    )
+
+
+def q_kneser_ney_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM score per document (D=0.75) —
+    the smoothing family production perplexity filters deploy; four
+    vocabulary-sized integer aggregates broadcast onto one pass over the
+    bigram stream, decimal-summed for cross-engine equality."""
+    from bistro_spark.operators.curation import kneser_ney_logprob
+
+    return kneser_ney_logprob(load_table(spark, "documents", sf))
+
+
+def q_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity tertiles per source over
+    the corpus-fit Kneser-Ney score (Wenzek et al. 2020): NTILE(3) on
+    (score DESC, doc_id) — bucket edges exact cross-engine because the
+    score is rounded identically on both sides."""
+    from bistro_spark.operators.curation import ccnet_buckets
+
+    return ccnet_buckets(load_table(spark, "documents", sf))
+
+
+def q_pack_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Trainer-ready pack layout: per-pack segment arrays (doc_ids,
+    offsets, seg_lens ordered by offset) + fill/pad token bill — the
+    attention-mask/position-id boundaries a packed-attention training
+    loader consumes; capacity-bounded collect per pack."""
+    from bistro_spark.operators.curation import pack_segments
+
+    docs = load_table(spark, "documents", sf).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_words")
+    )
+    return pack_segments(docs, capacity=256, n_shards=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "kneser_ney_logprob": q_kneser_ney_logprob,
+        "ccnet_buckets": q_ccnet_buckets,
+        "pack_segments": q_pack_segments,
+        "compaction_plan": q_compaction_plan,
+        "compaction_report": q_compaction_report,
         "length_buckets": q_length_buckets,
         "pack_capacity_sweep": q_pack_capacity_sweep,
         "wordpiece_encode_fixed": q_wordpiece_encode_fixed,
@@ -2577,6 +2660,19 @@ def oracle_sql() -> dict[str, str]:
             "documents", capacity=256, n_shards=4
         ),
         "unigram_logprob": _curation.unigram_logprob_sql("documents"),
+        "kneser_ney_logprob": _curation.kneser_ney_logprob_sql("documents"),
+        "compaction_plan": _maintenance.compaction_plan_sql(
+            "files", partition_col="part", target_bytes=32768,
+            extra_ctes=_MANIFEST_CTE,
+        ),
+        "compaction_report": _maintenance.compaction_report_sql(
+            "files", partition_col="part", target_bytes=32768,
+            extra_ctes=_MANIFEST_CTE,
+        ),
+        "ccnet_buckets": _curation.ccnet_buckets_sql("documents"),
+        "pack_segments": _curation.pack_segments_sql(
+            "documents", capacity=256, n_shards=4
+        ),
         "bigram_logprob": _curation.bigram_logprob_sql("documents"),
         "dedup_spans": _curation.dedup_spans_sql("documents", size=8),
         "token_budget": _curation.token_budget_select_sql(

@@ -2471,3 +2471,294 @@ def pack_capacity_sweep_sql(
             """
         )
     return " UNION ALL ".join(f"({p})" for p in parts)
+
+
+# ---------------------------------------- Kneser-Ney bigram LM scoring ----
+
+
+def kneser_ney_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM quality score: mean
+    log p_KN(w_i | w_{i-1}) per document — the smoothing family production
+    perplexity filters actually deploy (CCNet / KenLM are KN models), and
+    a materially different signal from the MLE :func:`bigram_logprob`:
+    the discount redistributes mass toward words that appear after MANY
+    distinct histories (continuation probability), so boilerplate that
+    repeats one rare bigram over and over scores lower than under MLE.
+
+        p_KN(w2|w1) = max(c(w1,w2) - D, 0)/h(w1)
+                      + (D * N1+(w1,.)/h(w1)) * N1+(.,w2)/N1+(.,.)
+
+    with h(w1) the non-final-position history count, N1+(w1,.) the count
+    of distinct successors of w1, N1+(.,w2) the count of distinct
+    predecessors of w2, and N1+(.,.) the number of distinct bigram types.
+    D defaults to 0.75 — exactly representable in binary, so the engine
+    and the DuckDB oracle compute bit-identical doubles given the same
+    integer counts and the same expression shape (kept textually parallel
+    in :func:`kneser_ney_logprob_sql`).
+
+    Scale: the model IS four integer aggregates of the bigram stream —
+    bigram counts, per-history totals+successor counts, per-word
+    predecessor counts, and one scalar. All are type-vocabulary-sized
+    (not corpus-sized) and broadcast while they fit, degrading to shuffle
+    joins beyond that; scoring is one pass over the exploded pairs and
+    one partial-aggregatable mean per doc. Per-pair logs are rounded to
+    9 digits then decimal-summed — order-independent cross-engine
+    equality. Docs with fewer than 2 words have no bigrams and are
+    absent (same contract as bigram_logprob).
+    """
+    d = float(discount)
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    pairs = (
+        df.filter(n >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(words, 1, n - 1).alias("w1"),
+                    F.slice(words, 2, n - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    bc = pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c"))
+    hc = bc.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("h"),
+        F.count("*").cast("long").alias("n1fw"),
+    )
+    bw = bc.groupBy("w2").agg(F.count("*").cast("long").alias("n1bw"))
+    tt = bc.agg(F.count("*").cast("long").alias("tt"))
+    # expression shape mirrored 1:1 in the SQL twin — see docstring
+    p_kn = (
+        F.greatest(F.col("c").cast("double") - F.lit(d), F.lit(0.0))
+        + F.lit(d)
+        * F.col("n1fw")
+        * (F.col("n1bw").cast("double") / F.col("tt"))
+    ) / F.col("h")
+    scored = (
+        pairs.join(F.broadcast(bc), ["w1", "w2"])
+        .join(F.broadcast(hc), "w1")
+        .join(F.broadcast(bw), "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            id_col,
+            F.round(F.log(p_kn), 9).cast("decimal(30,15)").alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias(
+            "mean_logprob"
+        ),
+    )
+
+
+def kneser_ney_logprob_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> str:
+    """DuckDB twin of :func:`kneser_ney_logprob` — the p_KN expression is
+    textually parallel to the Spark side so both engines perform the same
+    IEEE-754 operations in the same order before the 9-digit round."""
+    d = repr(float(discount))
+    return f"""
+      WITH w AS (
+        SELECT {id_col}, string_split({text_col}, ' ') AS wrd
+        FROM {table}
+      ),
+      z AS (
+        SELECT {id_col},
+               unnest(wrd[1 : len(wrd) - 1]) AS w1,
+               unnest(wrd[2 : len(wrd)]) AS w2
+        FROM w WHERE len(wrd) >= 2
+      ),
+      t AS (SELECT * FROM z WHERE w1 <> '' AND w2 <> ''),
+      bc AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+        FROM t GROUP BY w1, w2
+      ),
+      hc AS (
+        SELECT w1, CAST(sum(c) AS BIGINT) AS h,
+               CAST(count(*) AS BIGINT) AS n1fw
+        FROM bc GROUP BY w1
+      ),
+      bw AS (
+        SELECT w2, CAST(count(*) AS BIGINT) AS n1bw FROM bc GROUP BY w2
+      ),
+      tt AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM bc)
+      SELECT t.{id_col} AS {id_col},
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(CAST(sum(CAST(round(ln(
+                 (greatest(CAST(bc.c AS DOUBLE) - {d}, 0.0)
+                  + {d} * hc.n1fw * (CAST(bw.n1bw AS DOUBLE) / tt.tt))
+                 / hc.h), 9) AS DECIMAL(30,15))) AS DOUBLE)
+                   / count(*), 6) AS mean_logprob
+      FROM t JOIN bc USING (w1, w2) JOIN hc USING (w1) JOIN bw USING (w2),
+           tt
+      GROUP BY t.{id_col}
+    """
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    discount: float = 0.75,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: assign every document to the
+    head / middle / tail tertile of its source's LM-score distribution
+    (Wenzek et al. 2020 split each language's CommonCrawl by KenLM
+    perplexity tertiles and trained preferentially on the head). The LM
+    is the corpus-fit interpolated Kneser-Ney bigram model
+    (:func:`kneser_ney_logprob`); head = highest mean logprob = lowest
+    perplexity.
+
+    Determinism: tertiles are NTILE(3) over (score DESC, id) per source —
+    the score is already rounded to 6 digits identically on both engines,
+    and the id tiebreak makes the total order (hence the bucket edges)
+    unique, so the assignment is exact cross-engine. Scale: the window
+    partitions by source (bounded fan-out) over doc-level rows — one
+    shuffle on source after the doc-level score aggregation; the join
+    back to (id, source) co-partitions on the id key. Docs with fewer
+    than 2 words carry no LM evidence and are absent, as in the scorer.
+    """
+    from pyspark.sql import Window
+
+    scores = kneser_ney_logprob(df, id_col, text_col, discount=discount)
+    src = df.select(id_col, source_col)
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("mean_logprob").desc(), F.col(id_col)
+    )
+    return (
+        scores.join(src, id_col)
+        .withColumn("tert", F.ntile(3).over(w))
+        .select(
+            id_col,
+            source_col,
+            "mean_logprob",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                F.col("tert"),
+            ).alias("bucket"),
+        )
+    )
+
+
+def ccnet_buckets_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    discount: float = 0.75,
+) -> str:
+    """DuckDB twin of :func:`ccnet_buckets`."""
+    inner = kneser_ney_logprob_sql(table, id_col, text_col, discount)
+    return f"""
+      WITH kn AS ({inner})
+      SELECT kn.{id_col} AS {id_col}, d.{source_col} AS {source_col},
+             kn.mean_logprob,
+             CASE ntile(3) OVER (
+                    PARTITION BY d.{source_col}
+                    ORDER BY kn.mean_logprob DESC, kn.{id_col})
+                  WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+             END AS bucket
+      FROM kn JOIN {table} d ON kn.{id_col} = d.{id_col}
+    """
+
+
+# -------------------------------------------- trainer-ready pack layout ----
+
+
+def pack_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_words",
+    capacity: int = 256,
+    n_shards: int | None = 4,
+) -> DataFrame:
+    """Trainer-ready pack layout: one row per pack with the segment
+    arrays a training loader needs to build attention masks and restart
+    position ids at document boundaries — (doc_ids, offsets, seg_lens)
+    ordered by offset, plus the fill/pad token bill. This is the step
+    between :func:`pack_sequences` (which emits one row per document)
+    and the actual batch assembly: packed-attention trainers consume
+    exactly these per-pack segment boundaries.
+
+    Built entirely on the packing fold's output: one groupBy per
+    (shard, pack_id) with sort_array(collect_list(struct(offset, ...)))
+    — offsets are strictly increasing within a pack, so the struct sort
+    is a total order and the arrays are deterministic on any cluster
+    shape. Pack rows are capacity-bounded (a pack holds at most
+    capacity single-word docs), so collect_list here is NOT an unbounded
+    group collect. Scale inherits pack_sequences' sharding contract.
+    """
+    packed = pack_sequences(
+        df, id_col=id_col, len_col=len_col, capacity=capacity,
+        n_shards=n_shards,
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct("offset", F.col(id_col), F.col("len")))
+    )
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count("*").cast("long").alias("n_segments"),
+            F.sum("len").cast("long").alias("fill_tokens"),
+            arr.alias("_a"),
+        )
+        .select(
+            "shard",
+            "pack_id",
+            "n_segments",
+            "fill_tokens",
+            F.greatest(
+                F.lit(int(capacity)).cast("long") - F.col("fill_tokens"),
+                F.lit(0).cast("long"),
+            ).alias("pad_tokens"),
+            F.transform("_a", lambda x: x[id_col]).alias("doc_ids"),
+            F.transform("_a", lambda x: x["offset"]).alias("offsets"),
+            F.transform("_a", lambda x: x["len"]).alias("seg_lens"),
+        )
+    )
+
+
+def pack_segments_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    len_expr: str = "len(string_split(text, ' '))",
+    capacity: int = 256,
+    n_shards: int = 4,
+    extra_ctes: str = "",
+) -> str:
+    """DuckDB twin of :func:`pack_segments`: the packing recursive CTE
+    grouped per pack with ORDER BY offset list aggregation."""
+    inner = pack_sequences_sql(
+        table,
+        id_col=id_col,
+        len_expr=len_expr,
+        capacity=int(capacity),
+        n_shards=n_shards,
+        extra_ctes=extra_ctes,
+    )
+    return f"""
+      SELECT shard, pack_id,
+             CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(sum(len) AS BIGINT) AS fill_tokens,
+             CAST(greatest({int(capacity)} - sum(len), 0) AS BIGINT)
+               AS pad_tokens,
+             list({id_col} ORDER BY "offset") AS doc_ids,
+             list("offset" ORDER BY "offset") AS offsets,
+             list(len ORDER BY "offset") AS seg_lens
+      FROM ({inner})
+      GROUP BY shard, pack_id
+    """

@@ -1,0 +1,189 @@
+"""Lakehouse table-maintenance planning: the small-files problem.
+
+A streaming ingest that commits every trigger leaves an Iceberg/parquet
+table with thousands of sub-target data files per partition; readers pay
+per-file open cost and the scan loses large sequential reads. The fix is
+periodic compaction — rewriting groups of small files into target-sized
+ones (Iceberg's ``rewrite_data_files``). These operators produce the
+PLAN for that rewrite from the table's file manifest, deterministically,
+so a maintenance job can be audited and resumed:
+
+- :func:`compaction_plan` — per partition, walk files in file_id order
+  and greedily group them so a group's bytes stay within
+  ``target_bytes`` (a file already >= target gets a group of its own —
+  it is left alone, not split). The same no-split greedy fold as
+  ``curation.pack_sequences``, applied to (file, bytes) instead of
+  (doc, tokens); sequential per partition, partitions fold in parallel
+  via ``applyInPandas`` — manifests are file-count-sized (millions of
+  rows at 100 TB, KBs per row), so a per-partition pandas frame is
+  small by construction.
+
+- :func:`compaction_report` — the decision artifact: per partition, how
+  many files exist, how many are "small" (< ``small_bytes``), how many
+  files the plan leaves behind, and the bytes involved — the numbers an
+  operator reads before paying for the rewrite.
+
+Both are exactly oracle-able: the fold is a recursive CTE stepping
+through each partition's manifest in file_id order (the
+``pack_sequences_sql`` discipline), and the report is plain aggregation
+over the plan.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def compaction_plan(
+    files_df: DataFrame,
+    partition_col: str = "partition",
+    file_col: str = "file_id",
+    bytes_col: str = "bytes",
+    target_bytes: int = 512 * 1024 * 1024,
+) -> DataFrame:
+    """Greedy no-split grouping of each partition's files (file_id
+    order) into merge groups of at most ``target_bytes`` (oversize files
+    get singleton groups). Returns (partition, file_id, bytes, group_id,
+    group_offset) — group_id is per-partition, group_offset the file's
+    byte offset within its group's rewrite buffer."""
+    tgt = int(target_bytes)
+    out_schema = (
+        files_df.select(partition_col, file_col, bytes_col)
+        .withColumn("group_id", F.lit(0).cast("long"))
+        .withColumn("group_offset", F.lit(0).cast("long"))
+        .schema
+    )
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(file_col).reset_index(drop=True)
+        gids, offs = [], []
+        gid, fill = 0, 0
+        first = True
+        for b in pdf[bytes_col].astype("int64"):
+            if not first and fill + b > tgt:
+                gid += 1
+                fill = 0
+            offs.append(fill)
+            gids.append(gid)
+            fill += int(b)
+            first = False
+        pdf["group_id"] = pd.array(gids, dtype="int64")
+        pdf["group_offset"] = pd.array(offs, dtype="int64")
+        return pdf
+
+    return (
+        files_df.select(partition_col, file_col, bytes_col)
+        .groupBy(partition_col)
+        .applyInPandas(_fold, out_schema)
+    )
+
+
+def compaction_plan_sql(
+    table: str,
+    partition_col: str = "partition",
+    file_col: str = "file_id",
+    bytes_col: str = "bytes",
+    target_bytes: int = 512 * 1024 * 1024,
+    extra_ctes: str = "",
+) -> str:
+    """DuckDB twin of :func:`compaction_plan`: the same greedy fold as a
+    recursive CTE stepping through each partition's files in file_id
+    order."""
+    tgt = int(target_bytes)
+    return f"""
+      WITH RECURSIVE {extra_ctes} src AS (
+        SELECT {partition_col}, {file_col},
+               CAST({bytes_col} AS BIGINT) AS bytes,
+               row_number() OVER (
+                 PARTITION BY {partition_col} ORDER BY {file_col}
+               ) AS rn
+        FROM {table}
+      ),
+      grouped AS (
+        SELECT {partition_col}, {file_col}, bytes, rn,
+               CAST(0 AS BIGINT) AS group_id,
+               CAST(0 AS BIGINT) AS group_offset
+        FROM src WHERE rn = 1
+        UNION ALL
+        SELECT s.{partition_col}, s.{file_col}, s.bytes, s.rn,
+               CASE WHEN g.group_offset + g.bytes + s.bytes <= {tgt}
+                    THEN g.group_id ELSE g.group_id + 1 END,
+               CASE WHEN g.group_offset + g.bytes + s.bytes <= {tgt}
+                    THEN g.group_offset + g.bytes ELSE CAST(0 AS BIGINT)
+               END
+        FROM src s
+        JOIN grouped g
+          ON s.{partition_col} = g.{partition_col} AND s.rn = g.rn + 1
+      )
+      SELECT {partition_col}, {file_col}, bytes, group_id, group_offset
+      FROM grouped
+    """
+
+
+def compaction_report(
+    files_df: DataFrame,
+    partition_col: str = "partition",
+    file_col: str = "file_id",
+    bytes_col: str = "bytes",
+    target_bytes: int = 512 * 1024 * 1024,
+    small_bytes: int | None = None,
+) -> DataFrame:
+    """Per-partition compaction decision artifact: file counts before /
+    after the plan, small-file pressure, and byte totals. ``small_bytes``
+    defaults to target/2 (a file smaller than half the target always
+    shares a rewrite group when it has any neighbor)."""
+    small = int(small_bytes if small_bytes is not None else target_bytes // 2)
+    plan = compaction_plan(
+        files_df, partition_col, file_col, bytes_col, target_bytes
+    )
+    return (
+        plan.groupBy(partition_col)
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum((F.col(bytes_col) < small).cast("long"))
+            .cast("long")
+            .alias("n_small_files"),
+            (F.max("group_id") + 1).cast("long").alias("n_files_after"),
+            F.sum(bytes_col).cast("long").alias("bytes_total"),
+        )
+        .select(
+            partition_col,
+            "n_files",
+            "n_small_files",
+            "n_files_after",
+            (F.col("n_files") - F.col("n_files_after"))
+            .cast("long")
+            .alias("files_removed"),
+            "bytes_total",
+        )
+    )
+
+
+def compaction_report_sql(
+    table: str,
+    partition_col: str = "partition",
+    file_col: str = "file_id",
+    bytes_col: str = "bytes",
+    target_bytes: int = 512 * 1024 * 1024,
+    small_bytes: int | None = None,
+    extra_ctes: str = "",
+) -> str:
+    """DuckDB twin of :func:`compaction_report`."""
+    small = int(small_bytes if small_bytes is not None else target_bytes // 2)
+    inner = compaction_plan_sql(
+        table, partition_col, file_col, bytes_col, target_bytes, extra_ctes
+    )
+    return f"""
+      SELECT {partition_col},
+             CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(CASE WHEN bytes < {small} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_small_files,
+             CAST(max(group_id) + 1 AS BIGINT) AS n_files_after,
+             CAST(count(*) - (max(group_id) + 1) AS BIGINT)
+               AS files_removed,
+             CAST(sum(bytes) AS BIGINT) AS bytes_total
+      FROM ({inner})
+      GROUP BY {partition_col}
+    """
