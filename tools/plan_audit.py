@@ -71,6 +71,10 @@ CROSS_JOIN_SANCTIONED = {
     "x the generated day sequence — grid-sized dims by construction",
     "cross_perplexity": "G x G source grid completion + 1-row vocabulary"
     "-size scalar — both broadcast, dimension-sized by construction",
+    "kneser_ney_logprob": "scalar broadcast: cross against the 1-row "
+    "bigram-type-total aggregate (the continuation denominator)",
+    "ccnet_buckets": "scalar broadcast: same 1-row bigram-type total, "
+    "inherited from the embedded Kneser-Ney scorer",
 }
 
 
