@@ -2005,6 +2005,27 @@ def q_compaction_report(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_heldout_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """LM generalization gate: deterministic md5 holdout, Laplace
+    unigram LM fit on the rest, per-source held-out mean NLL + OOV rate
+    — broadcast-join scoring, decimal-summed cross-engine equality."""
+    from bistro_spark.operators.curation import heldout_perplexity
+
+    return heldout_perplexity(load_table(spark, "documents", sf))
+
+
+def q_mixture_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic data-mixing schedule: per-step per-source sequence
+    allocation whose cumulative draw tracks the corpus mixture exactly
+    (telescoping integer floors, overflow-safe q/r factorization); one
+    count aggregate + a map-side step explode, output grid-sized."""
+    from bistro_spark.operators.curation import mixture_schedule
+
+    return mixture_schedule(
+        load_table(spark, "documents", sf), n_steps=50, batch_size=1000
+    )
+
+
 def q_kneser_ney_logprob(spark: SparkSession, sf: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram LM score per document (D=0.75) —
     the smoothing family production perplexity filters deploy; four
@@ -2040,6 +2061,8 @@ def q_pack_segments(spark: SparkSession, sf: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "heldout_perplexity": q_heldout_perplexity,
+        "mixture_schedule": q_mixture_schedule,
         "kneser_ney_logprob": q_kneser_ney_logprob,
         "ccnet_buckets": q_ccnet_buckets,
         "pack_segments": q_pack_segments,
@@ -2660,6 +2683,10 @@ def oracle_sql() -> dict[str, str]:
             "documents", capacity=256, n_shards=4
         ),
         "unigram_logprob": _curation.unigram_logprob_sql("documents"),
+        "heldout_perplexity": _curation.heldout_perplexity_sql("documents"),
+        "mixture_schedule": _curation.mixture_schedule_sql(
+            "documents", n_steps=50, batch_size=1000
+        ),
         "kneser_ney_logprob": _curation.kneser_ney_logprob_sql("documents"),
         "compaction_plan": _maintenance.compaction_plan_sql(
             "files", partition_col="part", target_bytes=32768,

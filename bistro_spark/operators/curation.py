@@ -2762,3 +2762,225 @@ def pack_segments_sql(
       FROM ({inner})
       GROUP BY shard, pack_id
     """
+
+
+# ------------------------------------------------ data-mixing schedule ----
+
+
+def mixture_schedule(
+    df: DataFrame,
+    source_col: str = "source",
+    n_steps: int = 100,
+    batch_size: int = 1024,
+) -> DataFrame:
+    """Deterministic data-mixing schedule: for each training step
+    1..n_steps consuming ``batch_size`` sequences, how many to draw from
+    each source so the CUMULATIVE draw tracks the corpus mixture exactly
+    — the quota-apportionment view of "train on the natural mix" (swap
+    the count aggregate for any weight table to anneal a custom mix).
+
+        cum_s(t) = floor(n_s * B * t / N),  alloc_s(t) = cum_s(t) - cum_s(t-1)
+
+    Every quantity is integer; per-step totals deviate from B by less
+    than #sources and the deviation never accumulates (the floors
+    telescope). Overflow discipline: n_s*B*t would overflow BIGINT at
+    10^12-sequence corpora, so the floor is factored as
+
+        cum_s(t) = q*t + (r*t) DIV N,  q = (n_s*B) DIV N, r = (n_s*B) % N
+
+    exact for n_s*B < 2^63 and r*t < 2^63 (r < N, so t can reach
+    2^63/N — 9 million steps at a 10^12-sequence corpus). The plan is
+    one source-count aggregate, a 1-row total broadcast, and a map-side
+    sequence explode — the output is the #sources x n_steps grid, never
+    corpus-sized, and there is no per-step shuffle.
+    """
+    t_, b_ = int(n_steps), int(batch_size)
+    c = df.groupBy(source_col).agg(F.count("*").cast("long").alias("n"))
+    tot = c.agg(F.sum("n").cast("long").alias("n_total"))
+    qr = c.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.expr(f"(n * {b_}) DIV n_total").alias("q"),
+        F.expr(f"(n * {b_}) % n_total").alias("r"),
+        F.col("n_total"),
+    )
+    grid = qr.select(
+        source_col,
+        "q",
+        "r",
+        "n_total",
+        F.explode(F.sequence(F.lit(1), F.lit(t_))).alias("step"),
+    )
+    cum = F.expr("q * step + (r * step) DIV n_total")
+    prev = F.expr("q * (step - 1) + (r * (step - 1)) DIV n_total")
+    return grid.select(
+        F.col("step").cast("long").alias("step"),
+        source_col,
+        (cum - prev).cast("long").alias("n_seqs"),
+        cum.cast("long").alias("cum_seqs"),
+    )
+
+
+def mixture_schedule_sql(
+    table: str = "documents",
+    source_col: str = "source",
+    n_steps: int = 100,
+    batch_size: int = 1024,
+) -> str:
+    """DuckDB twin of :func:`mixture_schedule` (integer `//` truncates
+    like Spark DIV; all quantities non-negative, so truncate = floor)."""
+    t_, b_ = int(n_steps), int(batch_size)
+    return f"""
+      WITH c AS (
+        SELECT {source_col}, CAST(count(*) AS BIGINT) AS n
+        FROM {table} GROUP BY {source_col}
+      ),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+      qr AS (
+        SELECT {source_col},
+               (n * {b_}) // n_total AS q, (n * {b_}) % n_total AS r,
+               n_total
+        FROM c, tot
+      ),
+      steps AS (SELECT unnest(generate_series(1, {t_})) AS step)
+      SELECT CAST(step AS BIGINT) AS step, {source_col},
+             CAST((q * step + (r * step) // n_total)
+                  - (q * (step - 1) + (r * (step - 1)) // n_total)
+                  AS BIGINT) AS n_seqs,
+             CAST(q * step + (r * step) // n_total AS BIGINT) AS cum_seqs
+      FROM qr, steps
+    """
+
+
+# ------------------------------------------- held-out LM evaluation gate ----
+
+
+def heldout_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    holdout: float = 0.1,
+) -> DataFrame:
+    """The LM generalization gate a data pipeline runs per corpus
+    snapshot: deterministically hold out a slice of documents (the
+    md5-prefix discipline of :func:`split_corpus` — the same doc is
+    held out on every run, every cluster shape), fit a Laplace-smoothed
+    unigram LM on the REST, and report per-source held-out mean NLL and
+    OOV rate. Rising NLL / OOV on a new snapshot means the new data
+    distribution drifted from what the old data predicts — the cheap
+    early-warning before a real-model perplexity eval.
+
+        p(w) = (c_train(w) + 1) / (N_train + V_train)
+
+    Two aggregations fit the model (vocabulary-sized + one scalar row);
+    scoring is a broadcast left-join onto the held-out token stream
+    (unseen words take the +1 mass — finite by construction) and one
+    partial-aggregatable per-source mean. Per-token logs are rounded to
+    9 digits then decimal-summed; outputs round engine-side (HALF_UP on
+    both engines). Micro-averaged: mean NLL is per TOKEN, so long docs
+    weigh more — the quantity perplexity actually exponentiates.
+    """
+    thr = format(int(round(float(holdout) * 65536)), "04x")
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    is_valid = bucket < F.lit(thr)
+    terms = lambda d: (  # noqa: E731
+        d.select(
+            id_col,
+            source_col,
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        ).filter(F.col("term") != "")
+    )
+    vocab = (
+        terms(df.filter(~is_valid))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    stats = vocab.agg(
+        F.sum("cnt").cast("long").alias("n_train"),
+        F.count("*").cast("long").alias("v_size"),
+    )
+    scored = (
+        terms(df.filter(is_valid))
+        .join(F.broadcast(vocab), "term", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            source_col,
+            F.col("cnt").isNull().cast("long").alias("oov"),
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1)).cast(
+                        "double"
+                    )
+                    / (F.col("n_train") + F.col("v_size"))
+                ),
+                9,
+            )
+            .cast("decimal(30,15)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy(source_col).agg(
+        F.countDistinct(id_col).cast("long").alias("n_valid_docs"),
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(-F.sum("lp").cast("double") / F.count("*"), 6).alias(
+            "mean_nll"
+        ),
+        F.round(F.sum("oov").cast("double") / F.count("*"), 6).alias(
+            "oov_rate"
+        ),
+    )
+
+
+def heldout_perplexity_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    holdout: float = 0.1,
+) -> str:
+    """DuckDB twin of :func:`heldout_perplexity`."""
+    thr = format(int(round(float(holdout) * 65536)), "04x")
+    return f"""
+      WITH base AS (
+        SELECT {id_col}, {source_col}, {text_col},
+               substr(md5(CAST({id_col} AS VARCHAR)), 1, 4) < '{thr}'
+                 AS is_valid
+        FROM {table}
+      ),
+      tr AS (
+        SELECT unnest(string_split({text_col}, ' ')) AS term
+        FROM base WHERE NOT is_valid
+      ),
+      vocab AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        FROM tr WHERE term <> '' GROUP BY term
+      ),
+      stats AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_train,
+               CAST(count(*) AS BIGINT) AS v_size
+        FROM vocab
+      ),
+      va AS (
+        SELECT {id_col}, {source_col},
+               unnest(string_split({text_col}, ' ')) AS term
+        FROM base WHERE is_valid
+      ),
+      v AS (SELECT * FROM va WHERE term <> ''),
+      scored AS (
+        SELECT v.{id_col}, v.{source_col},
+               CASE WHEN vocab.cnt IS NULL THEN 1 ELSE 0 END AS oov,
+               CAST(round(ln(
+                 CAST(coalesce(vocab.cnt, 0) + 1 AS DOUBLE)
+                 / (stats.n_train + stats.v_size)), 9)
+                 AS DECIMAL(30,15)) AS lp
+        FROM v LEFT JOIN vocab USING (term), stats
+      )
+      SELECT {source_col},
+             CAST(count(DISTINCT {id_col}) AS BIGINT) AS n_valid_docs,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_nll,
+             round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+      FROM scored
+      GROUP BY {source_col}
+    """

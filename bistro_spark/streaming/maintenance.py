@@ -1,0 +1,175 @@
+"""Streaming twin of lakehouse compaction planning
+(``operators/maintenance.compaction_plan`` / ``compaction_report``).
+
+A per-trigger-committing streaming ingest is exactly what CREATES the
+small-files problem, so the natural place to decide "compact now" is the
+ingest loop itself: consume each trigger's manifest delta (the files the
+epoch just committed), keep the greedy merge-group fold warm per
+partition, and read the decision artifact live instead of re-scanning
+the full manifest per maintenance cycle.
+
+Shape (the ``StreamingPacker`` discipline, applied to files):
+
+- the greedy no-split fold is sequential per partition, so the monitor
+  carries ONE ``(group_id, fill)`` cursor per partition across triggers
+  and resumes the fold where the previous trigger stopped — state is
+  #partitions-sized, never manifest-sized;
+- the report counters (n_files, small files, bytes) are ADDITIVE, so
+  they are exact in any arrival order; ``n_files_after`` comes from the
+  fold cursor (group_id + 1).
+
+**Parity contract (pytest-pinned):** under file_id-monotone arrival per
+partition — the natural case, file ids are assigned at commit time —
+the union of per-trigger plan outputs EQUALS batch ``compaction_plan``
+over everything seen, and :meth:`report` equals batch
+``compaction_report`` at every trigger: the fold depends only on each
+partition's bytes sequence in file_id order, and monotone arrival makes
+the concatenation of per-batch folds THE single fold. Out-of-order
+arrival diverges by construction (an earlier-id file arriving late
+would have folded sooner) — pinned by counter-example, mirroring the
+packer's contract: an emitted merge group cannot be reopened.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bistro_spark.caching import pin, release
+
+
+class StreamingCompactionMonitor:
+    """Feed per-trigger manifest deltas to :meth:`process_batch` (rows:
+    partition, file_id, bytes); each call returns the delta's merge-group
+    assignments — same schema as batch ``compaction_plan`` — valid until
+    the next call (consumed-within-trigger, the foreachBatch contract).
+    :meth:`report` returns the live decision artifact."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        partition_col: str = "part",
+        file_col: str = "file_id",
+        bytes_col: str = "bytes",
+        target_bytes: int = 512 * 1024 * 1024,
+        small_bytes: int | None = None,
+        max_files_per_batch_partition: int = 50_000_000,
+    ):
+        self.spark = spark
+        self.partition_col = partition_col
+        self.file_col = file_col
+        self.bytes_col = bytes_col
+        self.target = int(target_bytes)
+        self.small = int(
+            small_bytes if small_bytes is not None else target_bytes // 2
+        )
+        self.max_files = max_files_per_batch_partition
+        # partition -> [group_id, fill, n_files, n_small, bytes_total]
+        self._state: dict[str, list[int]] = {}
+        self._trigger_ids: set[int] = set()
+        self.batches_seen = 0
+
+    # ------------------------------------------------------- recovery --
+    def state_snapshot(self) -> dict[str, list[int]]:
+        """Full recovery state: one 5-int row per touched partition."""
+        return {k: list(v) for k, v in self._state.items()}
+
+    def restore_state(self, snapshot: dict[str, list[int]]) -> None:
+        """Resume from a snapshot taken after the last COMMITTED trigger
+        (persist with the foreachBatch epoch, restore before
+        reprocessing) — kill/resume parity is pytest-pinned."""
+        self._state = {str(k): [int(x) for x in v] for k, v in snapshot.items()}
+
+    # ---------------------------------------------------------- fold --
+    def process_batch(self, batch_df: DataFrame) -> DataFrame:
+        import pandas as pd
+
+        self.batches_seen += 1
+        release(self.spark, self._trigger_ids)
+        pcol, fcol, bcol = self.partition_col, self.file_col, self.bytes_col
+        tgt, max_files = self.target, self.max_files
+        # cursor only (the additive counters stay driver-side)
+        carry = {p: (s[0], s[1]) for p, s in self._state.items()}
+
+        src = batch_df.select(
+            F.col(pcol), F.col(fcol), F.col(bcol).cast("long").alias(bcol)
+        )
+        schema = (
+            src.withColumn("group_id", F.lit(0).cast("long"))
+            .withColumn("group_offset", F.lit(0).cast("long"))
+            .schema
+        )
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) > max_files:
+                raise ValueError(
+                    f"StreamingCompactionMonitor: batch partition holds "
+                    f"{len(pdf)} files > {max_files}; split the manifest "
+                    f"delta so per-trigger partition frames fit in one task"
+                )
+            pdf = pdf.sort_values(fcol).reset_index(drop=True)
+            part = pdf[pcol].iloc[0]
+            cur = carry.get(part)
+            gids, offs = [], []
+            if cur is None:
+                gid, fill, first = 0, 0, True
+            else:
+                gid, fill = cur
+                first = False
+            for b in pdf[bcol].astype("int64"):
+                if not first and fill + b > tgt:
+                    gid, fill = gid + 1, 0
+                offs.append(fill)
+                gids.append(gid)
+                fill += int(b)
+                first = False
+            pdf["group_id"] = pd.array(gids, dtype="int64")
+            pdf["group_offset"] = pd.array(offs, dtype="int64")
+            return pdf
+
+        out, out_ids = pin(src.groupBy(pcol).applyInPandas(fold, schema))
+        # one row per touched partition: cursor advance + additive stats
+        upd = (
+            out.groupBy(pcol)
+            .agg(
+                F.max_by(
+                    F.struct(
+                        F.col("group_id"),
+                        (F.col("group_offset") + F.col(bcol)).alias("fill"),
+                    ),
+                    F.col(fcol),
+                ).alias("c"),
+                F.count("*").cast("long").alias("nf"),
+                F.sum((F.col(bcol) < self.small).cast("long"))
+                .cast("long")
+                .alias("ns"),
+                F.sum(bcol).cast("long").alias("bt"),
+            )
+            .collect()
+        )
+        for r in upd:
+            st = self._state.get(r[pcol], [0, 0, 0, 0, 0])
+            self._state[r[pcol]] = [
+                r["c"]["group_id"],
+                r["c"]["fill"],
+                st[2] + r["nf"],
+                st[3] + r["ns"],
+                st[4] + r["bt"],
+            ]
+        self._trigger_ids = out_ids
+        return out
+
+    # -------------------------------------------------------- report --
+    def report(self) -> DataFrame:
+        """Live decision artifact — same schema and (under monotone
+        arrival) same rows as batch ``compaction_report`` over everything
+        seen so far."""
+        rows = [
+            (p, s[2], s[3], s[0] + 1, s[2] - (s[0] + 1), s[4])
+            for p, s in sorted(self._state.items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            f"{self.partition_col} string, n_files long, n_small_files long, "
+            "n_files_after long, files_removed long, bytes_total long",
+        )

@@ -75,6 +75,10 @@ CROSS_JOIN_SANCTIONED = {
     "bigram-type-total aggregate (the continuation denominator)",
     "ccnet_buckets": "scalar broadcast: same 1-row bigram-type total, "
     "inherited from the embedded Kneser-Ney scorer",
+    "mixture_schedule": "scalar broadcast: cross against the 1-row "
+    "corpus-total aggregate (the apportionment denominator)",
+    "heldout_perplexity": "scalar broadcast: cross against the 1-row "
+    "(N_train, V_train) model-statistics aggregate",
 }
 
 
