@@ -18,6 +18,7 @@ from bistro_spark.pipeline import flagship
 from bistro_spark.schema import Schema
 from bistro_spark.sources.io import load_table
 from bistro_spark.operators import bpe as _bpe
+from bistro_spark.operators import cdc as _cdc
 from bistro_spark.operators import curation as _curation
 from bistro_spark.operators import maintenance as _maintenance
 from bistro_spark.operators import dedup as _dedup
@@ -2059,8 +2060,45 @@ def q_pack_segments(spark: SparkSession, sf: str) -> DataFrame:
     return pack_segments(docs, capacity=256, n_shards=4)
 
 
+def _changelog(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic CDC changelog derived from the events stream: each
+    event is an upsert for its user entity, 'error' events are delete
+    tombstones, event_id is the (globally unique) sequence number — the
+    input shape an exactly-once MERGE sink consumes."""
+    ev = load_table(spark, "events", sf)
+    return ev.select(
+        F.col("user_id").alias("entity_id"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "event_type",
+        "value",
+    )
+
+
+_CHANGELOG_CTE = """changelog AS (
+      SELECT user_id AS entity_id,
+             event_id AS seq,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             event_type, value
+      FROM events
+    ),"""
+
+
+def q_apply_changelog(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC MERGE snapshot: fold the changelog to the latest non-deleted
+    version per entity — partial-aggregatable struct-max (shuffle is
+    entity-bounded, never log-bounded), tombstones filtered post-agg so a
+    late lower-seq upsert cannot resurrect a deleted key."""
+    from bistro_spark.operators.cdc import apply_changelog
+
+    return apply_changelog(_changelog(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "apply_changelog": q_apply_changelog,
         "heldout_perplexity": q_heldout_perplexity,
         "mixture_schedule": q_mixture_schedule,
         "kneser_ney_logprob": q_kneser_ney_logprob,
@@ -2683,6 +2721,9 @@ def oracle_sql() -> dict[str, str]:
             "documents", capacity=256, n_shards=4
         ),
         "unigram_logprob": _curation.unigram_logprob_sql("documents"),
+        "apply_changelog": _cdc.apply_changelog_sql(
+            "changelog", extra_ctes=_CHANGELOG_CTE
+        ),
         "heldout_perplexity": _curation.heldout_perplexity_sql("documents"),
         "mixture_schedule": _curation.mixture_schedule_sql(
             "documents", n_steps=50, batch_size=1000
