@@ -2086,6 +2086,91 @@ _CHANGELOG_CTE = """changelog AS (
     ),"""
 
 
+def _snapshots(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic synthetic snapshot lineage: table = event_type,
+    one snapshot per UTC day, committed_at = the day's last event ts —
+    the shape an Iceberg snapshots metadata-table scan provides."""
+    ev = load_table(spark, "events", sf)
+    return ev.groupBy(
+        F.col("event_type").alias("tbl"),
+        F.expr("unix_micros(cast(ts as timestamp)) DIV 86400000000").cast("long").alias(
+            "snapshot_id"
+        ),
+    ).agg(F.max("ts").alias("committed_at"))
+
+
+_SNAPSHOTS_CTE = """snapshots AS (
+      SELECT event_type AS tbl,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS snapshot_id,
+             max(ts) AS committed_at
+      FROM events GROUP BY 1, 2
+    ),"""
+
+
+def _snapshot_refs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic (table, snapshot, file) reference edges: each data
+    file is written on day d (file_id encodes day and user bucket) and
+    stays referenced by the next three daily snapshots — the manifest
+    shape remove_orphan_files planning consumes."""
+    ev = load_table(spark, "events", sf)
+    base = ev.select(
+        F.col("event_type").alias("tbl"),
+        F.expr("unix_micros(cast(ts as timestamp)) DIV 86400000000").cast("long").alias("d"),
+        (
+            F.expr("unix_micros(cast(ts as timestamp)) DIV 86400000000") * 100
+            + F.expr("user_id DIV 30")
+        )
+        .cast("long")
+        .alias("file_id"),
+    ).distinct()
+    return base.withColumn(
+        "o", F.explode(F.sequence(F.lit(0), F.lit(2)))
+    ).select(
+        "tbl",
+        (F.col("d") + F.col("o")).cast("long").alias("snapshot_id"),
+        "file_id",
+    )
+
+
+_REFS_CTE = """refs AS (
+      SELECT f.tbl, f.d + g.o AS snapshot_id, f.file_id
+      FROM (SELECT DISTINCT event_type AS tbl,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) * 100
+                     + user_id // 30 AS file_id
+            FROM events) f
+      CROSS JOIN (SELECT CAST(range AS BIGINT) AS o FROM range(0, 3)) g
+    ),"""
+
+
+def q_snapshot_expiry_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg expire_snapshots planning: per table, newest-first rank
+    with retain-last + age cutoffs — the deterministic decision artifact
+    a maintenance job audits before dropping snapshots; the ranking
+    window is metadata-sized by construction."""
+    from bistro_spark.operators.maintenance import snapshot_expiry_plan
+
+    return snapshot_expiry_plan(
+        _snapshots(spark, sf), retain_last=3, older_than="2024-01-25"
+    )
+
+
+def q_orphan_files(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg remove_orphan_files planning: a file is deletable iff all
+    snapshots referencing it are expired — count-gated broadcast of the
+    lineage-sized plan onto the manifest edges, one partial-agg shuffle
+    on the file key."""
+    from bistro_spark.operators.maintenance import (
+        orphan_files,
+        snapshot_expiry_plan,
+    )
+
+    plan = snapshot_expiry_plan(
+        _snapshots(spark, sf), retain_last=3, older_than="2024-01-25"
+    )
+    return orphan_files(_snapshot_refs(spark, sf), plan)
+
+
 def q_apply_changelog(spark: SparkSession, sf: str) -> DataFrame:
     """CDC MERGE snapshot: fold the changelog to the latest non-deleted
     version per entity — partial-aggregatable struct-max (shuffle is
@@ -2099,6 +2184,8 @@ def q_apply_changelog(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "apply_changelog": q_apply_changelog,
+        "snapshot_expiry_plan": q_snapshot_expiry_plan,
+        "orphan_files": q_orphan_files,
         "heldout_perplexity": q_heldout_perplexity,
         "mixture_schedule": q_mixture_schedule,
         "kneser_ney_logprob": q_kneser_ney_logprob,
@@ -2723,6 +2810,21 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _curation.unigram_logprob_sql("documents"),
         "apply_changelog": _cdc.apply_changelog_sql(
             "changelog", extra_ctes=_CHANGELOG_CTE
+        ),
+        "snapshot_expiry_plan": _maintenance.snapshot_expiry_plan_sql(
+            "snapshots",
+            retain_last=3,
+            older_than="2024-01-25",
+            extra_ctes=_SNAPSHOTS_CTE,
+        ),
+        "orphan_files": (
+            f"WITH {_SNAPSHOTS_CTE} {_REFS_CTE[:-1]} "
+            + _maintenance.orphan_files_sql(
+                "refs",
+                _maintenance.snapshot_expiry_plan_sql(
+                    "snapshots", retain_last=3, older_than="2024-01-25"
+                ),
+            )
         ),
         "heldout_perplexity": _curation.heldout_perplexity_sql("documents"),
         "mixture_schedule": _curation.mixture_schedule_sql(

@@ -32,7 +32,7 @@ over the plan.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -186,4 +186,141 @@ def compaction_report_sql(
              CAST(sum(bytes) AS BIGINT) AS bytes_total
       FROM ({inner})
       GROUP BY {partition_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# snapshot expiry + orphan files (Iceberg expire_snapshots /
+# remove_orphan_files planning)
+# ---------------------------------------------------------------------------
+
+
+def snapshot_expiry_plan(
+    snap_df: DataFrame,
+    table_col: str = "tbl",
+    snapshot_col: str = "snapshot_id",
+    ts_col: str = "committed_at",
+    retain_last: int = 3,
+    older_than: str = "2024-01-25",
+) -> DataFrame:
+    """Iceberg ``expire_snapshots`` planning: per table, rank snapshots
+    newest-first and mark each one ``retained_recent`` (within the
+    ``retain_last`` newest — kept regardless of age), ``retained_age``
+    (older rank but committed at/after ``older_than``), or ``expired``.
+    Exactly Iceberg's two-condition rule: a snapshot expires only when it
+    is BOTH outside the retain-last window AND older than the cutoff.
+
+    Scale note: the ranking window is partitioned by table and snapshot
+    lineages are maintenance-metadata-sized (thousands of rows per table,
+    not data-sized), so the per-table sort is a sanctioned dim-sized
+    window — the same class as the grid windows in the report operators.
+    Ties are broken by snapshot_id so the rank is deterministic.
+    """
+    w = Window.partitionBy(table_col).orderBy(
+        F.col(ts_col).desc(), F.col(snapshot_col).desc()
+    )
+    status = (
+        F.when(F.col("recency_rank") <= retain_last, F.lit("retained_recent"))
+        .when(
+            F.col(ts_col).cast("timestamp")
+            >= F.lit(older_than).cast("timestamp"),
+            F.lit("retained_age"),
+        )
+        .otherwise(F.lit("expired"))
+    )
+    return (
+        snap_df.select(table_col, snapshot_col, ts_col)
+        .withColumn("recency_rank", F.row_number().over(w).cast("long"))
+        .withColumn("status", status)
+    )
+
+
+def snapshot_expiry_plan_sql(
+    table: str,
+    table_col: str = "tbl",
+    snapshot_col: str = "snapshot_id",
+    ts_col: str = "committed_at",
+    retain_last: int = 3,
+    older_than: str = "2024-01-25",
+    extra_ctes: str = "",
+) -> str:
+    """DuckDB twin of :func:`snapshot_expiry_plan`."""
+    return f"""
+      WITH {extra_ctes} ranked AS (
+        SELECT {table_col}, {snapshot_col}, {ts_col},
+               CAST(row_number() OVER (
+                 PARTITION BY {table_col}
+                 ORDER BY {ts_col} DESC, {snapshot_col} DESC
+               ) AS BIGINT) AS recency_rank
+        FROM {table}
+      )
+      SELECT {table_col}, {snapshot_col}, {ts_col}, recency_rank,
+             CASE WHEN recency_rank <= {int(retain_last)}
+                    THEN 'retained_recent'
+                  WHEN {ts_col} >= TIMESTAMP '{older_than}'
+                    THEN 'retained_age'
+                  ELSE 'expired' END AS status
+      FROM ranked
+    """
+
+
+def orphan_files(
+    refs_df: DataFrame,
+    plan_df: DataFrame,
+    table_col: str = "tbl",
+    snapshot_col: str = "snapshot_id",
+    file_col: str = "file_id",
+    broadcast_threshold: int = 5_000_000,
+) -> DataFrame:
+    """Iceberg ``remove_orphan_files`` planning: a data file is deletable
+    iff EVERY snapshot referencing it is expired (one live reference
+    keeps it).  Input: the (table, snapshot, file) reference edges from
+    the manifests plus an expiry plan; output one row per file with its
+    reference counts and the ``deletable`` verdict — manifest-sized.
+
+    Scale design: the plan side is snapshot-lineage-sized, so it is
+    count-gated onto a broadcast join (AQE picks the strategy above the
+    gate); liveness then folds with ONE partial-agg shuffle on the file
+    key — reference edges never self-join and never sort.
+    """
+    plan = plan_df.select(
+        table_col,
+        snapshot_col,
+        (F.col("status") != "expired").cast("long").alias("live"),
+    )
+    if plan.count() <= broadcast_threshold:
+        plan = F.broadcast(plan)
+    return (
+        refs_df.select(table_col, snapshot_col, file_col)
+        .join(plan, [table_col, snapshot_col])
+        .groupBy(table_col, file_col)
+        .agg(
+            F.count("*").cast("long").alias("n_refs"),
+            F.sum("live").cast("long").alias("n_live_refs"),
+        )
+        .withColumn("deletable", F.col("n_live_refs") == 0)
+    )
+
+
+def orphan_files_sql(
+    refs_table: str,
+    plan_sql: str,
+    table_col: str = "tbl",
+    snapshot_col: str = "snapshot_id",
+    file_col: str = "file_id",
+) -> str:
+    """DuckDB twin of :func:`orphan_files` (``plan_sql`` is the full
+    expiry-plan SELECT, inlined as a subquery)."""
+    return f"""
+      SELECT r.{table_col}, r.{file_col},
+             CAST(count(*) AS BIGINT) AS n_refs,
+             CAST(sum(CASE WHEN p.status <> 'expired' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_live_refs,
+             sum(CASE WHEN p.status <> 'expired' THEN 1 ELSE 0 END) = 0
+               AS deletable
+      FROM {refs_table} r
+      JOIN ({plan_sql}) p
+        ON r.{table_col} = p.{table_col}
+       AND r.{snapshot_col} = p.{snapshot_col}
+      GROUP BY r.{table_col}, r.{file_col}
     """

@@ -97,3 +97,107 @@ def test_report_math_and_twin(spark):
         compaction_report_sql("files", partition_col="part", target_bytes=200)
     ).fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# snapshot expiry + orphan files
+# ---------------------------------------------------------------------------
+
+
+def _snaps(spark):
+    # one table, six daily snapshots (day 1..6 of 2024-01)
+    from pyspark.sql import functions as F
+
+    rows = [("t", i, f"2024-01-0{i} 12:00:00") for i in range(1, 7)]
+    return spark.createDataFrame(
+        rows, "tbl string, snapshot_id long, committed_at string"
+    ).withColumn("committed_at", F.col("committed_at").cast("timestamp"))
+
+
+def test_snapshot_expiry_worked_example(spark):
+    from bistro_spark.operators.maintenance import snapshot_expiry_plan
+
+    got = {
+        r["snapshot_id"]: (r["recency_rank"], r["status"])
+        for r in snapshot_expiry_plan(
+            _snaps(spark), retain_last=2, older_than="2024-01-04"
+        ).collect()
+    }
+    # ranks newest-first: day6=1, day5=2 kept as recent regardless of age;
+    # day4 is old-rank but at/after the cutoff; days 3,2,1 expire
+    assert got == {
+        6: (1, "retained_recent"),
+        5: (2, "retained_recent"),
+        4: (3, "retained_age"),
+        3: (4, "expired"),
+        2: (5, "expired"),
+        1: (6, "expired"),
+    }
+
+
+def test_snapshot_expiry_rank_tie_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from bistro_spark.operators.maintenance import snapshot_expiry_plan
+
+    df = spark.createDataFrame(
+        [("t", 1, "2024-01-05 00:00:00"), ("t", 2, "2024-01-05 00:00:00")],
+        "tbl string, snapshot_id long, committed_at string",
+    ).withColumn("committed_at", F.col("committed_at").cast("timestamp"))
+    got = {
+        r["snapshot_id"]: r["recency_rank"]
+        for r in snapshot_expiry_plan(df, retain_last=1).collect()
+    }
+    # equal timestamps: the higher snapshot_id ranks first (documented tie)
+    assert got == {2: 1, 1: 2}
+
+
+def test_orphan_files_worked_example(spark):
+    from bistro_spark.operators.maintenance import (
+        orphan_files,
+        snapshot_expiry_plan,
+    )
+
+    plan = snapshot_expiry_plan(
+        _snaps(spark), retain_last=2, older_than="2024-01-04"
+    )
+    refs = spark.createDataFrame(
+        [
+            ("t", 1, 100),  # file 100: referenced only by expired snaps
+            ("t", 2, 100),
+            ("t", 3, 200),  # file 200: one live ref (day 4) keeps it
+            ("t", 4, 200),
+            ("t", 6, 300),  # file 300: live only
+        ],
+        "tbl string, snapshot_id long, file_id long",
+    )
+    got = {
+        r["file_id"]: (r["n_refs"], r["n_live_refs"], r["deletable"])
+        for r in orphan_files(refs, plan).collect()
+    }
+    assert got == {
+        100: (2, 0, True),
+        200: (2, 1, False),
+        300: (1, 1, False),
+    }
+
+
+def test_orphan_files_empty_refs_schema_stable(spark):
+    from bistro_spark.operators.maintenance import (
+        orphan_files,
+        snapshot_expiry_plan,
+    )
+
+    plan = snapshot_expiry_plan(_snaps(spark))
+    refs = spark.createDataFrame(
+        [], "tbl string, snapshot_id long, file_id long"
+    )
+    out = orphan_files(refs, plan)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "tbl",
+        "file_id",
+        "n_refs",
+        "n_live_refs",
+        "deletable",
+    ]
