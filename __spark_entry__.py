@@ -2171,6 +2171,16 @@ def q_orphan_files(spark: SparkSession, sf: str) -> DataFrame:
     return orphan_files(_snapshot_refs(spark, sf), plan)
 
 
+def q_watermark_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermark-delay decision artifact: per candidate delay, how many
+    events a stream would drop as late under Spark's trigger semantics —
+    one corpus pass evaluates the whole delay grid as parallel
+    conditional sums (grid multiplies agg columns, never rows)."""
+    from bistro_spark.operators.temporal import watermark_audit
+
+    return watermark_audit(load_table(spark, "events", sf))
+
+
 def q_apply_changelog(spark: SparkSession, sf: str) -> DataFrame:
     """CDC MERGE snapshot: fold the changelog to the latest non-deleted
     version per entity — partial-aggregatable struct-max (shuffle is
@@ -2184,6 +2194,7 @@ def q_apply_changelog(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "apply_changelog": q_apply_changelog,
+        "watermark_audit": q_watermark_audit,
         "snapshot_expiry_plan": q_snapshot_expiry_plan,
         "orphan_files": q_orphan_files,
         "heldout_perplexity": q_heldout_perplexity,
@@ -2811,6 +2822,7 @@ def oracle_sql() -> dict[str, str]:
         "apply_changelog": _cdc.apply_changelog_sql(
             "changelog", extra_ctes=_CHANGELOG_CTE
         ),
+        "watermark_audit": _temporal.watermark_audit_sql("events"),
         "snapshot_expiry_plan": _maintenance.snapshot_expiry_plan_sql(
             "snapshots",
             retain_last=3,

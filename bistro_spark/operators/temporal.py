@@ -814,3 +814,118 @@ def activity_spine_sql(
       FROM filled
       WINDOW w AS (PARTITION BY event_type ORDER BY day)
     """
+
+
+# ---------------------------------------------------------------------------
+# watermark audit: choosing the watermark delay from data
+# ---------------------------------------------------------------------------
+
+
+def watermark_audit(
+    df: DataFrame,
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+    n_batches: int = 20,
+    delays_s: tuple[int, ...] = (0, 86400, 604800, 1296000, 2592000),
+) -> DataFrame:
+    """How many events would a streaming job DROP as late, for each
+    candidate watermark delay? The number that decides the
+    ``withWatermark`` setting: too small silently loses data, too large
+    bloats every stateful operator's store.
+
+    Arrival model: triggers are md5 buckets of the arrival key (batch
+    index = arrival order) — a deterministic stand-in for an
+    out-of-order stream where every trigger carries a sample of event
+    times. Spark semantics are mirrored exactly: the watermark applied
+    to trigger ``t`` is ``max(event ts seen through trigger t-1) -
+    delay``, so batch 0 can never drop (no watermark yet), and an event
+    is late iff its ts (integer microseconds — no float time math) is
+    below its own trigger's watermark.
+
+    Scale design: one partial-agg shuffle reduces the corpus to
+    #batches maxima; the running max is a window over that tiny grid;
+    the grid broadcasts back; then ONE corpus pass evaluates ALL delay
+    candidates simultaneously as parallel conditional sums (the delay
+    grid multiplies agg columns, not rows — the oracle's corpus×grid
+    cross join is the definitional formulation only).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    batch = (
+        F.conv(
+            F.substring(F.md5(F.col(arrival_col).cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % int(n_batches)
+    )
+    e = df.select(batch.alias("batch"), us.alias("us"))
+    grid = e.groupBy("batch").agg(F.max("us").alias("mx"))
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, -1)
+    wm = grid.select("batch", F.max("mx").over(w).alias("wm_base"))
+    m = e.join(F.broadcast(wm), "batch")
+    aggs = [F.count("*").cast("long").alias("n_events")]
+    for d in delays_s:
+        d_us = int(d) * 1_000_000
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col("wm_base").isNotNull()
+                    & (F.col("us") < F.col("wm_base") - F.lit(d_us)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"late_{int(d)}")
+        )
+    row = m.agg(*aggs)
+    stack = ", ".join(f"{int(d)}L, late_{int(d)}" for d in delays_s)
+    return row.select(
+        F.expr(f"stack({len(delays_s)}, {stack}) AS (delay_s, n_late)"),
+        "n_events",
+    ).select(
+        "delay_s",
+        "n_events",
+        "n_late",
+        F.round(F.col("n_late") / F.col("n_events"), 9).alias("frac_late"),
+    )
+
+
+def watermark_audit_sql(
+    table: str = "events",
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+    n_batches: int = 20,
+    delays_s: tuple[int, ...] = (0, 86400, 604800, 1296000, 2592000),
+) -> str:
+    """DuckDB twin of :func:`watermark_audit` — the definitional
+    corpus×grid cross join."""
+    grid = ", ".join(str(int(d)) for d in delays_s)
+    late = (
+        "CASE WHEN m.wm_base IS NOT NULL "
+        "AND m.us < m.wm_base - d.delay_s * 1000000 THEN 1 ELSE 0 END"
+    )
+    return f"""
+      WITH e AS (
+        SELECT CAST(concat('0x',
+                 substr(md5(CAST({arrival_col} AS VARCHAR)), 1, 8))
+               AS BIGINT) % {int(n_batches)} AS batch,
+               epoch_us({ts_col}) AS us
+        FROM {table}
+      ),
+      b AS (SELECT batch, max(us) AS mx FROM e GROUP BY batch),
+      w AS (
+        SELECT batch,
+               max(mx) OVER (ORDER BY batch
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS wm_base
+        FROM b
+      ),
+      m AS (SELECT e.us, w.wm_base FROM e JOIN w USING (batch)),
+      d AS (SELECT CAST(unnest([{grid}]) AS BIGINT) AS delay_s)
+      SELECT d.delay_s,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum({late}) AS BIGINT) AS n_late,
+             round(CAST(sum({late}) AS DOUBLE) / count(*), 9) AS frac_late
+      FROM m CROSS JOIN d
+      GROUP BY d.delay_s
+    """
