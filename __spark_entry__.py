@@ -2171,6 +2171,35 @@ def q_orphan_files(spark: SparkSession, sf: str) -> DataFrame:
     return orphan_files(_snapshot_refs(spark, sf), plan)
 
 
+def q_anneal_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase annealed mixing schedule (uniform → char-weighted
+    natural mix): all-integer ppm interpolation with residual-to-last
+    repair and exact largest-remainder apportionment — every step draws
+    exactly batch_size; windows touch only the grid, corpus read once."""
+    from bistro_spark.operators.curation import anneal_schedule
+
+    return anneal_schedule(
+        load_table(spark, "documents", sf),
+        weight_col="n_chars",
+        n_steps=40,
+        batch_size=1000,
+    )
+
+
+def q_repetition_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-repetition accounting: per source, available vs drawn under
+    the annealed schedule, implied epochs, and the first repeating step
+    — the Muennighoff-style budget check before committing a mix."""
+    from bistro_spark.operators.curation import repetition_budget
+
+    return repetition_budget(
+        load_table(spark, "documents", sf),
+        weight_col="n_chars",
+        n_steps=40,
+        batch_size=1000,
+    )
+
+
 def q_watermark_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Watermark-delay decision artifact: per candidate delay, how many
     events a stream would drop as late under Spark's trigger semantics —
@@ -2194,6 +2223,8 @@ def q_apply_changelog(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "apply_changelog": q_apply_changelog,
+        "anneal_schedule": q_anneal_schedule,
+        "repetition_budget": q_repetition_budget,
         "watermark_audit": q_watermark_audit,
         "snapshot_expiry_plan": q_snapshot_expiry_plan,
         "orphan_files": q_orphan_files,
@@ -2821,6 +2852,12 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _curation.unigram_logprob_sql("documents"),
         "apply_changelog": _cdc.apply_changelog_sql(
             "changelog", extra_ctes=_CHANGELOG_CTE
+        ),
+        "anneal_schedule": _curation.anneal_schedule_sql(
+            "documents", weight_expr="n_chars", n_steps=40, batch_size=1000
+        ),
+        "repetition_budget": _curation.repetition_budget_sql(
+            "documents", weight_expr="n_chars", n_steps=40, batch_size=1000
         ),
         "watermark_audit": _temporal.watermark_audit_sql("events"),
         "snapshot_expiry_plan": _maintenance.snapshot_expiry_plan_sql(

@@ -33,7 +33,7 @@ columns and accu (C5) for the grouped reports):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bistro_spark.operators.dedup import ngram_set, ngram_set_sql
@@ -2983,4 +2983,288 @@ def heldout_perplexity_sql(
              round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
       FROM scored
       GROUP BY {source_col}
+    """
+
+
+# ------------------------------------------------- annealed mixing schedule ----
+
+
+def anneal_schedule(
+    df: DataFrame,
+    source_col: str = "source",
+    weight_col: str | None = None,
+    n_steps: int = 100,
+    batch_size: int = 1024,
+) -> DataFrame:
+    """Two-phase (annealed) data-mixing schedule: start training on a
+    UNIFORM source mix and linearly anneal to the corpus's NATURAL mix
+    (proportional to ``weight_col`` mass per source — pass the token
+    count for a token-weighted mixture; None weighs by documents) over
+    ``n_steps`` steps of ``batch_size`` sequences. The curriculum shape
+    production runs use for "warm up balanced, finish on the real
+    distribution" (or its reverse — swap the endpoints).
+
+    Everything is integer and therefore bit-reproducible cross-engine:
+
+    - endpoint weights live in ppm; each endpoint's floors are repaired
+      to sum EXACTLY to 1e6 by assigning the residual to the
+      lexicographically last source (deterministic, no float renorm);
+    - the per-step interpolation ``w0 + ((w1-w0)*t) DIV T`` floors per
+      source, and the same residual-to-last repair keeps every step's
+      weights summing to 1e6;
+    - the per-step allocation is largest-remainder apportionment:
+      ``base = (w*B) DIV 1e6`` plus +1 for the ``B - sum(base)`` largest
+      remainders (ties broken by source name) — every step draws
+      EXACTLY ``batch_size`` sequences (deficit < #sources by the floor
+      identity, so the repair never runs out of rows).
+
+    Plan shape: one source aggregate, a 1-row scalar broadcast
+    (sanctioned), a map-side step explode, then windows over the
+    #sources×n_steps GRID only — the corpus is touched once, the output
+    is grid-sized, and there is no per-step shuffle.
+    """
+    t_, b_ = int(n_steps), int(batch_size)
+    wexpr = (
+        F.count("*") if weight_col is None else F.sum(weight_col)
+    )
+    c = df.groupBy(source_col).agg(wexpr.cast("long").alias("wt"))
+    tot = c.agg(
+        F.sum("wt").cast("long").alias("wt_total"),
+        F.count("*").cast("long").alias("n_src"),
+        F.max(source_col).alias("last_src"),
+    )
+    prep = c.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.col("last_src"),
+        F.expr("1000000 DIV n_src").alias("w0f"),
+        F.expr("(wt * 1000000) DIV wt_total").alias("w1f"),
+    )
+    w_all = Window.partitionBy()
+    is_last = F.col(source_col) == F.col("last_src")
+    ends = prep.select(
+        source_col,
+        "last_src",
+        (
+            F.col("w0f")
+            + F.when(is_last, F.lit(1000000) - F.sum("w0f").over(w_all))
+            .otherwise(0)
+        ).alias("w0"),
+        (
+            F.col("w1f")
+            + F.when(is_last, F.lit(1000000) - F.sum("w1f").over(w_all))
+            .otherwise(0)
+        ).alias("w1"),
+    )
+    grid = ends.select(
+        source_col,
+        "last_src",
+        "w0",
+        "w1",
+        F.explode(F.sequence(F.lit(1), F.lit(t_))).alias("step"),
+    ).select(
+        "step",
+        source_col,
+        "last_src",
+        F.expr(f"w0 + (((w1 - w0) * step) DIV {t_})").alias("wtf"),
+    )
+    w_step = Window.partitionBy("step")
+    weighted = grid.select(
+        "step",
+        source_col,
+        (
+            F.col("wtf")
+            + F.when(
+                F.col(source_col) == F.col("last_src"),
+                F.lit(1000000) - F.sum("wtf").over(w_step),
+            ).otherwise(0)
+        ).alias("weight_ppm"),
+    ).select(
+        "step",
+        source_col,
+        "weight_ppm",
+        F.expr(f"(weight_ppm * {b_}) DIV 1000000").alias("base"),
+        F.expr(f"(weight_ppm * {b_}) % 1000000").alias("rem"),
+    )
+    w_rank = Window.partitionBy("step").orderBy(
+        F.col("rem").desc(), F.col(source_col).asc()
+    )
+    w_cum = (
+        Window.partitionBy(source_col)
+        .orderBy("step")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    alloc = weighted.select(
+        "step",
+        source_col,
+        "weight_ppm",
+        (
+            F.col("base")
+            + (
+                F.row_number().over(w_rank)
+                <= F.lit(b_) - F.sum("base").over(w_step)
+            ).cast("long")
+        ).alias("n_seqs"),
+    )
+    return alloc.select(
+        F.col("step").cast("long").alias("step"),
+        source_col,
+        F.col("weight_ppm").cast("long").alias("weight_ppm"),
+        F.col("n_seqs").cast("long").alias("n_seqs"),
+        F.sum("n_seqs").over(w_cum).cast("long").alias("cum_seqs"),
+    )
+
+
+def anneal_schedule_sql(
+    table: str = "documents",
+    source_col: str = "source",
+    weight_expr: str = "1",
+    n_steps: int = 100,
+    batch_size: int = 1024,
+) -> str:
+    """DuckDB twin of :func:`anneal_schedule` (``weight_expr`` is the
+    per-row mass; integer ``//`` truncates like Spark ``DIV`` on the
+    non-negative quantities used here)."""
+    t_, b_ = int(n_steps), int(batch_size)
+    return f"""
+      WITH c AS (
+        SELECT {source_col}, CAST(sum({weight_expr}) AS BIGINT) AS wt
+        FROM {table} GROUP BY {source_col}
+      ),
+      tot AS (
+        SELECT CAST(sum(wt) AS BIGINT) AS wt_total,
+               CAST(count(*) AS BIGINT) AS n_src,
+               max({source_col}) AS last_src
+        FROM c
+      ),
+      prep AS (
+        SELECT {source_col}, last_src,
+               1000000 // n_src AS w0f,
+               (wt * 1000000) // wt_total AS w1f
+        FROM c, tot
+      ),
+      ends AS (
+        SELECT {source_col}, last_src,
+               w0f + CASE WHEN {source_col} = last_src
+                          THEN 1000000 - sum(w0f) OVER ()
+                          ELSE 0 END AS w0,
+               w1f + CASE WHEN {source_col} = last_src
+                          THEN 1000000 - sum(w1f) OVER ()
+                          ELSE 0 END AS w1
+        FROM prep
+      ),
+      grid AS (
+        SELECT step, {source_col}, last_src,
+               w0 + (((w1 - w0) * step) // {t_}) AS wtf
+        FROM ends
+        CROSS JOIN (SELECT unnest(generate_series(1, {t_})) AS step) s
+      ),
+      weighted AS (
+        SELECT step, {source_col},
+               wtf + CASE WHEN {source_col} = last_src
+                          THEN 1000000 - sum(wtf)
+                                 OVER (PARTITION BY step)
+                          ELSE 0 END AS weight_ppm
+        FROM grid
+      ),
+      sized AS (
+        SELECT step, {source_col}, weight_ppm,
+               (weight_ppm * {b_}) // 1000000 AS base,
+               (weight_ppm * {b_}) % 1000000 AS rem
+        FROM weighted
+      ),
+      alloc AS (
+        SELECT step, {source_col}, weight_ppm,
+               base + CASE WHEN row_number() OVER (
+                              PARTITION BY step
+                              ORDER BY rem DESC, {source_col} ASC)
+                           <= {b_} - sum(base) OVER (PARTITION BY step)
+                           THEN 1 ELSE 0 END AS n_seqs
+        FROM sized
+      )
+      SELECT CAST(step AS BIGINT) AS step, {source_col},
+             CAST(weight_ppm AS BIGINT) AS weight_ppm,
+             CAST(n_seqs AS BIGINT) AS n_seqs,
+             CAST(sum(n_seqs) OVER (PARTITION BY {source_col}
+                    ORDER BY step
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_seqs
+      FROM alloc
+    """
+
+
+def repetition_budget(
+    df: DataFrame,
+    source_col: str = "source",
+    weight_col: str | None = None,
+    n_steps: int = 100,
+    batch_size: int = 1024,
+) -> DataFrame:
+    """Data-repetition accounting for a mixing schedule (Muennighoff et
+    al. 2023: repeated epochs decay in value): per source, sequences
+    available vs sequences the annealed schedule draws over the full
+    run, the implied epoch count, and the first step at which the
+    source starts repeating (cumulative draw exceeds availability;
+    NULL if the run never exhausts it).
+
+    One grid aggregate over :func:`anneal_schedule`'s output joined to
+    the per-source availability — #sources-sized output.
+    """
+    sched = anneal_schedule(
+        df, source_col, weight_col, n_steps, batch_size
+    )
+    avail = df.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_available")
+    )
+    j = sched.join(F.broadcast(avail), source_col)
+    return (
+        j.groupBy(source_col)
+        .agg(
+            F.max("n_available").alias("n_available"),
+            F.sum("n_seqs").cast("long").alias("n_drawn"),
+            F.min(
+                F.when(
+                    F.col("cum_seqs") > F.col("n_available"), F.col("step")
+                )
+            )
+            .cast("long")
+            .alias("first_repeat_step"),
+        )
+        .select(
+            source_col,
+            "n_available",
+            "n_drawn",
+            F.round(F.col("n_drawn") / F.col("n_available"), 9).alias(
+                "epochs"
+            ),
+            "first_repeat_step",
+        )
+    )
+
+
+def repetition_budget_sql(
+    table: str = "documents",
+    source_col: str = "source",
+    weight_expr: str = "1",
+    n_steps: int = 100,
+    batch_size: int = 1024,
+) -> str:
+    """DuckDB twin of :func:`repetition_budget`."""
+    inner = anneal_schedule_sql(
+        table, source_col, weight_expr, n_steps, batch_size
+    )
+    return f"""
+      SELECT s.{source_col},
+             max(a.n_available) AS n_available,
+             CAST(sum(s.n_seqs) AS BIGINT) AS n_drawn,
+             round(CAST(sum(s.n_seqs) AS DOUBLE) / max(a.n_available), 9)
+               AS epochs,
+             CAST(min(CASE WHEN s.cum_seqs > a.n_available
+                           THEN s.step END) AS BIGINT)
+               AS first_repeat_step
+      FROM ({inner}) s
+      JOIN (SELECT {source_col},
+                   CAST(count(*) AS BIGINT) AS n_available
+            FROM {table} GROUP BY {source_col}) a
+        ON s.{source_col} = a.{source_col}
+      GROUP BY s.{source_col}
     """
