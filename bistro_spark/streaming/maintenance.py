@@ -173,3 +173,137 @@ class StreamingCompactionMonitor:
             f"{self.partition_col} string, n_files long, n_small_files long, "
             "n_files_after long, files_removed long, bytes_total long",
         )
+
+
+class StreamingExpiryMonitor:
+    """Streaming twin of ``operators/maintenance.snapshot_expiry_plan``:
+    the expire-snapshots decision kept live inside the commit loop that
+    GROWS the lineage. Feed each trigger's newly committed snapshots
+    (rows: table, snapshot_id, committed_at) to :meth:`process_batch`;
+    it returns the snapshots that just became expirable — the actions a
+    maintenance job executes — and drops them from state.
+
+    **State is exactly what Iceberg itself retains**: the live (not yet
+    expired) snapshots per table — the ``retain_last`` newest plus the
+    younger-than-cutoff tail — so state is policy-bounded, not
+    history-bounded.
+
+    **Parity contract (pytest-pinned, ANY arrival order):** cumulative
+    emitted expiries plus :meth:`report`'s live rows carry exactly the
+    per-snapshot status of the batch plan over everything seen. The
+    any-order argument: the ``retain_last`` newest snapshots seen are
+    never expired, so if any snapshot newer than ``s`` has been expired
+    there were at least ``retain_last`` LIVE snapshots newer than it —
+    hence newer than ``s`` — at that trigger, which expires ``s`` too
+    (when old). Contrapositive: a live snapshot has no expired newer
+    sibling, so its live-set rank EQUALS its full-history rank — rank
+    parity holds for every retained row. Ranks on EXPIRED rows are
+    frozen at emission time (the batch plan keeps deepening them as the
+    lineage grows) — the one documented divergence, pinned by
+    counter-example.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        retain_last: int = 3,
+        older_than: str = "2024-01-25",
+        table_col: str = "tbl",
+        snapshot_col: str = "snapshot_id",
+        ts_col: str = "committed_at",
+        max_live_per_table: int = 10_000_000,
+    ):
+        self.spark = spark
+        self.retain_last = int(retain_last)
+        self.older_than = older_than
+        self.table_col = table_col
+        self.snapshot_col = snapshot_col
+        self.ts_col = ts_col
+        self.max_live = int(max_live_per_table)
+        # tbl -> list of (ts_us, snapshot_id, ts_value) LIVE snapshots
+        self._live: dict = {}
+        self.batches_seen = 0
+        self._cutoff_us: int | None = None
+
+    def _cutoff(self) -> int:
+        if self._cutoff_us is None:
+            self._cutoff_us = int(
+                self.spark.range(1)
+                .select(
+                    F.unix_micros(
+                        F.lit(self.older_than).cast("timestamp")
+                    ).alias("c")
+                )
+                .collect()[0]["c"]
+            )
+        return self._cutoff_us
+
+    # ------------------------------------------------------- recovery --
+    def state_snapshot(self) -> dict:
+        return {k: [list(x) for x in v] for k, v in self._live.items()}
+
+    def restore_state(self, snapshot: dict) -> None:
+        self._live = {
+            k: [tuple(x) for x in v] for k, v in snapshot.items()
+        }
+
+    # ---------------------------------------------------------- fold --
+    def process_batch(self, batch_df: DataFrame) -> DataFrame:
+        """Absorb newly committed snapshots; return the ones that are
+        now expirable (same columns as the batch plan, status literal
+        'expired', rank = recency rank at emission time)."""
+        self.batches_seen += 1
+        us = F.unix_micros(F.col(self.ts_col).cast("timestamp"))
+        delta = batch_df.select(
+            self.table_col, self.snapshot_col, self.ts_col, us.alias("_us")
+        ).collect()
+        cutoff_us = self._cutoff()
+        touched = set()
+        for r in delta:
+            t = r[self.table_col]
+            live = self._live.setdefault(t, [])
+            if len(live) >= self.max_live:
+                raise ValueError(
+                    f"StreamingExpiryMonitor: live lineage for {t!r} "
+                    f"exceeds {self.max_live}; tighten the expiry policy"
+                )
+            live.append((int(r["_us"]), r[self.snapshot_col], r[self.ts_col]))
+            touched.add(t)
+        expired_rows = []
+        for t in touched:
+            live = sorted(self._live[t], key=lambda x: (-x[0], -x[1]))
+            keep = []
+            for rank, (ts_us, sid, ts_val) in enumerate(live, start=1):
+                if rank > self.retain_last and ts_us < cutoff_us:
+                    expired_rows.append((t, sid, ts_val, rank, "expired"))
+                else:
+                    keep.append((ts_us, sid, ts_val))
+            self._live[t] = keep
+        return self.spark.createDataFrame(
+            expired_rows,
+            f"{self.table_col} string, {self.snapshot_col} long, "
+            f"{self.ts_col} timestamp, recency_rank long, status string",
+        )
+
+    # -------------------------------------------------------- report --
+    def report(self) -> DataFrame:
+        """The live rows of the plan: every retained snapshot with its
+        full-history-equal rank and its batch-identical status."""
+        cutoff_us = self._cutoff()
+        rows = []
+        for t in sorted(self._live):
+            live = sorted(self._live[t], key=lambda x: (-x[0], -x[1]))
+            for rank, (ts_us, sid, ts_val) in enumerate(live, start=1):
+                status = (
+                    "retained_recent"
+                    if rank <= self.retain_last
+                    else "retained_age"
+                    if ts_us >= cutoff_us
+                    else "expired"  # unreachable: expired rows left state
+                )
+                rows.append((t, sid, ts_val, rank, status))
+        return self.spark.createDataFrame(
+            rows,
+            f"{self.table_col} string, {self.snapshot_col} long, "
+            f"{self.ts_col} timestamp, recency_rank long, status string",
+        )
