@@ -2171,6 +2171,18 @@ def q_orphan_files(spark: SparkSession, sf: str) -> DataFrame:
     return orphan_files(_snapshot_refs(spark, sf), plan)
 
 
+def q_binidx_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Megatron-style .bin/.idx export layout: per-doc shard, in-shard
+    index, and exact byte offset (2 bytes/token) via ONE per-shard
+    ordered prefix-sum window — the writer's parallel seek plan."""
+    from bistro_spark.operators.curation import binidx_manifest
+
+    docs = load_table(spark, "documents", sf).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_words")
+    )
+    return binidx_manifest(docs, n_shards=4)
+
+
 def q_anneal_schedule(spark: SparkSession, sf: str) -> DataFrame:
     """Two-phase annealed mixing schedule (uniform → char-weighted
     natural mix): all-integer ppm interpolation with residual-to-last
@@ -2223,6 +2235,7 @@ def q_apply_changelog(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "apply_changelog": q_apply_changelog,
+        "binidx_manifest": q_binidx_manifest,
         "anneal_schedule": q_anneal_schedule,
         "repetition_budget": q_repetition_budget,
         "watermark_audit": q_watermark_audit,
@@ -2853,6 +2866,7 @@ def oracle_sql() -> dict[str, str]:
         "apply_changelog": _cdc.apply_changelog_sql(
             "changelog", extra_ctes=_CHANGELOG_CTE
         ),
+        "binidx_manifest": _curation.binidx_manifest_sql("documents"),
         "anneal_schedule": _curation.anneal_schedule_sql(
             "documents", weight_expr="n_chars", n_steps=40, batch_size=1000
         ),

@@ -3268,3 +3268,81 @@ def repetition_budget_sql(
         ON s.{source_col} = a.{source_col}
       GROUP BY s.{source_col}
     """
+
+
+# ----------------------------------------------- bin/idx export manifest ----
+
+
+def binidx_manifest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_words",
+    n_shards: int = 4,
+    bytes_per_token: int = 2,
+) -> DataFrame:
+    """Megatron-style ``.bin``/``.idx`` export layout: per document, the
+    shard it serializes into, its index within the shard, and its exact
+    byte offset in the shard's ``.bin`` file (tokens stored at
+    ``bytes_per_token`` — 2 for a <65k vocab). This IS the ``.idx``
+    sidecar, computed declaratively so the writer job can stream
+    documents to their precomputed offsets in parallel.
+
+    Sharding follows the packer's discipline (``id % n_shards``, id
+    order within shard — same layout on any cluster shape); the offset
+    is ONE per-shard ordered prefix sum (window), which is the
+    semantics: a serialized file is inherently sequential per shard, and
+    shards scale out with ``n_shards``. No pandas kernel — the window
+    stays in whole-stage codegen.
+    """
+    s_, bpt = int(n_shards), int(bytes_per_token)
+    base = df.select(
+        F.col(id_col),
+        F.expr(f"{id_col} % {s_}").cast("long").alias("shard"),
+        F.col(len_col).cast("long").alias("n_tokens"),
+        (F.col(len_col).cast("long") * bpt).alias("n_bytes"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    return base.select(
+        id_col,
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("seq_index"),
+        "n_tokens",
+        "n_bytes",
+        F.coalesce(
+            F.sum("n_bytes").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("byte_offset"),
+    )
+
+
+def binidx_manifest_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    len_expr: str = "len(string_split(text, ' '))",
+    n_shards: int = 4,
+    bytes_per_token: int = 2,
+) -> str:
+    """DuckDB twin of :func:`binidx_manifest`."""
+    s_, bpt = int(n_shards), int(bytes_per_token)
+    return f"""
+      WITH base AS (
+        SELECT {id_col},
+               CAST({id_col} % {s_} AS BIGINT) AS shard,
+               CAST({len_expr} AS BIGINT) AS n_tokens,
+               CAST({len_expr} AS BIGINT) * {bpt} AS n_bytes
+        FROM {table}
+      )
+      SELECT {id_col}, shard,
+             CAST(row_number() OVER w - 1 AS BIGINT) AS seq_index,
+             n_tokens, n_bytes,
+             CAST(coalesce(sum(n_bytes) OVER (
+                    PARTITION BY shard ORDER BY {id_col}
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS byte_offset
+      FROM base
+      WINDOW w AS (PARTITION BY shard ORDER BY {id_col})
+    """
