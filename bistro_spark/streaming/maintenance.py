@@ -307,3 +307,165 @@ class StreamingExpiryMonitor:
             f"{self.table_col} string, {self.snapshot_col} long, "
             f"{self.ts_col} timestamp, recency_rank long, status string",
         )
+
+
+class StreamingOrphanTracker:
+    """Streaming twin of ``operators/maintenance.orphan_files``: per-file
+    live-reference counts maintained as commits arrive and snapshots
+    expire — the remove-orphan-files decision kept warm instead of
+    re-joining the full manifest per maintenance cycle.
+
+    Owns a :class:`StreamingExpiryMonitor`; each trigger takes the newly
+    committed snapshots AND their manifest edges (snapshot → file).
+    State:
+
+    - per-file ``[n_refs, n_live_refs]`` counters (manifest-bounded —
+      the same bound the batch output carries);
+    - the per-LIVE-snapshot file lists needed to decrement at expiry
+      (policy-bounded: dropped the moment the snapshot expires);
+    - an expired-id membership set (snapshot-count-bounded, ids only —
+      the seen-URL-store class) so a late ref to an expired snapshot
+      counts as a dead reference, exactly as the batch join does;
+    - a pending buffer for refs that arrive BEFORE their snapshot row
+      (absorbed the trigger the snapshot shows up).
+
+    **Parity contract (pytest-pinned):** whenever no refs are pending —
+    in particular under the natural model where a commit's manifest
+    edges arrive with or after its snapshot row, in ANY trigger order —
+    :meth:`report` EQUALS batch ``orphan_files(refs_seen,
+    snapshot_expiry_plan(snaps_seen))`` at every trigger (ref counting
+    is additive; liveness transitions are governed by the expiry
+    monitor, whose any-order exactness is proven in its own docstring).
+    While a ref is pending the reports legitimately diverge and heal on
+    arrival — pinned as the eventual-consistency case.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        retain_last: int = 3,
+        older_than: str = "2024-01-25",
+        table_col: str = "tbl",
+        snapshot_col: str = "snapshot_id",
+        ts_col: str = "committed_at",
+        file_col: str = "file_id",
+        max_files: int = 50_000_000,
+    ):
+        self.spark = spark
+        self.table_col = table_col
+        self.snapshot_col = snapshot_col
+        self.file_col = file_col
+        self.max_files = int(max_files)
+        self.expiry = StreamingExpiryMonitor(
+            spark, retain_last, older_than, table_col, snapshot_col, ts_col
+        )
+        self._files: dict = {}  # (tbl, fid) -> [n_refs, n_live]
+        self._live_files: dict = {}  # (tbl, sid) -> [fid, ...]
+        self._expired: set = set()  # (tbl, sid)
+        self._pending: dict = {}  # (tbl, sid) -> [fid, ...]
+        self.batches_seen = 0
+
+    # ------------------------------------------------------- recovery --
+    def state_snapshot(self) -> dict:
+        return {
+            "expiry": self.expiry.state_snapshot(),
+            "files": {k: list(v) for k, v in self._files.items()},
+            "live_files": {k: list(v) for k, v in self._live_files.items()},
+            "expired": sorted(self._expired),
+            "pending": {k: list(v) for k, v in self._pending.items()},
+        }
+
+    def restore_state(self, snapshot: dict) -> None:
+        self.expiry.restore_state(snapshot["expiry"])
+        self._files = {
+            tuple(k) if isinstance(k, (list, tuple)) else k: list(v)
+            for k, v in snapshot["files"].items()
+        }
+        self._live_files = {
+            tuple(k) if isinstance(k, (list, tuple)) else k: list(v)
+            for k, v in snapshot["live_files"].items()
+        }
+        self._expired = {tuple(k) for k in snapshot["expired"]}
+        self._pending = {
+            tuple(k) if isinstance(k, (list, tuple)) else k: list(v)
+            for k, v in snapshot["pending"].items()
+        }
+
+    # ---------------------------------------------------------- fold --
+    def _live_ids(self) -> set:
+        out = set()
+        for t, rows in self.expiry._live.items():
+            for _us, sid, _ts in rows:
+                out.add((t, sid))
+        return out
+
+    def _register(self, key, fid, live_ids) -> None:
+        if key in self._expired:  # dead reference — counted, never live
+            st = self._files.setdefault((key[0], fid), [0, 0])
+            st[0] += 1
+        elif key in live_ids:
+            st = self._files.setdefault((key[0], fid), [0, 0])
+            st[0] += 1
+            st[1] += 1
+            self._live_files.setdefault(key, []).append(fid)
+        else:
+            # snapshot row not seen yet: the batch join would drop this
+            # edge entirely, so hold it out of the counters until the
+            # snapshot arrives (eventual consistency, pinned)
+            self._pending.setdefault(key, []).append(fid)
+
+    def process_batch(
+        self, snaps_df: DataFrame, refs_df: DataFrame
+    ) -> DataFrame:
+        """Absorb one trigger's commits (snapshot rows + manifest
+        edges); returns the newly expired snapshots (the expiry
+        actions), after the file counters have absorbed them."""
+        self.batches_seen += 1
+        expired_now = self.expiry.process_batch(snaps_df)
+        expired_rows = expired_now.collect()
+        # liveness transitions: decrement every file the dead snapshots
+        # referenced, then retire their tracking lists
+        for r in expired_rows:
+            key = (r[self.table_col], r[self.snapshot_col])
+            self._expired.add(key)
+            for fid in self._live_files.pop(key, []):
+                self._files[(key[0], fid)][1] -= 1
+        live_ids = self._live_ids()
+        # flush pending refs whose snapshot has now arrived
+        for key in [k for k in self._pending if k in live_ids or k in self._expired]:
+            for fid in self._pending.pop(key):
+                st = self._files.setdefault((key[0], fid), [0, 0])
+                st[0] += 1
+                if key not in self._expired:
+                    st[1] += 1
+                    self._live_files.setdefault(key, []).append(fid)
+        # new edges
+        if len(self._files) > self.max_files:
+            raise ValueError(
+                f"StreamingOrphanTracker: file count exceeds "
+                f"{self.max_files}; shard the tracker by table"
+            )
+        for r in refs_df.select(
+            self.table_col, self.snapshot_col, self.file_col
+        ).collect():
+            key = (r[self.table_col], r[self.snapshot_col])
+            self._register(key, r[self.file_col], live_ids)
+        return expired_now
+
+    @property
+    def pending_refs(self) -> int:
+        return sum(len(v) for v in self._pending.values())
+
+    # -------------------------------------------------------- report --
+    def report(self) -> DataFrame:
+        """Live orphan audit — same schema (and, with no pending refs,
+        same rows) as batch ``orphan_files`` over everything seen."""
+        rows = [
+            (t, fid, st[0], st[1], st[1] == 0)
+            for (t, fid), st in sorted(self._files.items())
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            f"{self.table_col} string, {self.file_col} long, "
+            "n_refs long, n_live_refs long, deletable boolean",
+        )
