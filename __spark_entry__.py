@@ -2171,6 +2171,16 @@ def q_orphan_files(spark: SparkSession, sf: str) -> DataFrame:
     return orphan_files(_snapshot_refs(spark, sf), plan)
 
 
+def q_kneser_ney3_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM score per document (D=0.75,
+    continuation-count recursion all derived from the trigram type
+    table) — five vocabulary-sized integer aggregates broadcast onto one
+    pass over the exploded triples, decimal-summed cross-engine."""
+    from bistro_spark.operators.curation import kneser_ney3_logprob
+
+    return kneser_ney3_logprob(load_table(spark, "documents", sf))
+
+
 def q_binidx_manifest(spark: SparkSession, sf: str) -> DataFrame:
     """Megatron-style .bin/.idx export layout: per-doc shard, in-shard
     index, and exact byte offset (2 bytes/token) via ONE per-shard
@@ -2235,6 +2245,7 @@ def q_apply_changelog(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "apply_changelog": q_apply_changelog,
+        "kneser_ney3_logprob": q_kneser_ney3_logprob,
         "binidx_manifest": q_binidx_manifest,
         "anneal_schedule": q_anneal_schedule,
         "repetition_budget": q_repetition_budget,
@@ -2865,6 +2876,9 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _curation.unigram_logprob_sql("documents"),
         "apply_changelog": _cdc.apply_changelog_sql(
             "changelog", extra_ctes=_CHANGELOG_CTE
+        ),
+        "kneser_ney3_logprob": _curation.kneser_ney3_logprob_sql(
+            "documents"
         ),
         "binidx_manifest": _curation.binidx_manifest_sql("documents"),
         "anneal_schedule": _curation.anneal_schedule_sql(

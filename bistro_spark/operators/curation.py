@@ -3346,3 +3346,175 @@ def binidx_manifest_sql(
       FROM base
       WINDOW w AS (PARTITION BY shard ORDER BY {id_col})
     """
+
+
+# -------------------------------------------- Kneser-Ney trigram scoring ----
+
+
+def kneser_ney3_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM LM quality score: mean
+    log p_KN(w3 | w1 w2) per document — one order deeper than
+    :func:`kneser_ney_logprob`, the next step toward the 5-gram KenLM
+    models CCNet-style filters ship. The recursion is the textbook one
+    (lower orders use CONTINUATION counts, all derived from the trigram
+    type table so both engines share one definition):
+
+        p_uni(w3)      = N1+(·,w3) / N1+(·,·)
+        p_bi(w3|w2)    = (max(N1+(·,w2,w3) − D, 0)
+                          + D·N1+(w2,·)·p_uni(w3)) / N1+(·,w2,·)
+        p_tri(w3|w1w2) = (max(c(w1w2w3) − D, 0)
+                          + D·N1+(w1w2,·)·p_bi(w3|w2)) / c(w1w2·)
+
+    where N1+(·,w2,w3) counts distinct w1 preceding the (w2,w3) type,
+    N1+(·,w2,·) sums those over w3, N1+(w2,·) counts distinct w3 types
+    after w2, N1+(·,w3)/N1+(·,·) are (w2,w3)-type-based continuation
+    unigram counts. Each layer redistributes exactly its discount mass,
+    so p_tri sums to 1 over the full vocabulary for every seen history
+    (property-pinned).
+
+    Scale and determinism mirror the bigram operator: the model is five
+    integer aggregates of the trigram type table (type-vocabulary-sized,
+    broadcast while they fit), D = 0.75 is binary-exact, the expression
+    is textually parallel in the SQL twin, per-triple logs are rounded
+    to 9 digits and decimal-summed. Docs with fewer than 3 words have no
+    trigrams and are absent.
+    """
+    d = float(discount)
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    triples = (
+        df.filter(n >= 3)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(words, 1, n - 2).alias("w1"),
+                    F.slice(words, 2, n - 2).alias("w2"),
+                    F.slice(words, 3, n - 2).alias("w3"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            id_col,
+            F.col("p.w1").alias("w1"),
+            F.col("p.w2").alias("w2"),
+            F.col("p.w3").alias("w3"),
+        )
+        .filter(
+            (F.col("w1") != "") & (F.col("w2") != "") & (F.col("w3") != "")
+        )
+    )
+    tc = triples.groupBy("w1", "w2", "w3").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    h12 = tc.groupBy("w1", "w2").agg(
+        F.sum("c").cast("long").alias("h12"),
+        F.count("*").cast("long").alias("n1fw12"),
+    )
+    m = tc.groupBy("w2", "w3").agg(F.count("*").cast("long").alias("m"))
+    mh = m.groupBy("w2").agg(
+        F.sum("m").cast("long").alias("mh"),
+        F.count("*").cast("long").alias("n1fw2c"),
+    )
+    bw = m.groupBy("w3").agg(F.count("*").cast("long").alias("n1bw"))
+    tt = m.agg(F.count("*").cast("long").alias("tt"))
+    # expression shape mirrored 1:1 in the SQL twin — see docstring
+    p_uni = F.col("n1bw").cast("double") / F.col("tt")
+    p_bi = (
+        F.greatest(F.col("m").cast("double") - F.lit(d), F.lit(0.0))
+        + F.lit(d) * F.col("n1fw2c") * p_uni
+    ) / F.col("mh")
+    p_tri = (
+        F.greatest(F.col("c").cast("double") - F.lit(d), F.lit(0.0))
+        + F.lit(d) * F.col("n1fw12") * p_bi
+    ) / F.col("h12")
+    scored = (
+        triples.join(F.broadcast(tc), ["w1", "w2", "w3"])
+        .join(F.broadcast(h12), ["w1", "w2"])
+        .join(F.broadcast(m), ["w2", "w3"])
+        .join(F.broadcast(mh), "w2")
+        .join(F.broadcast(bw), "w3")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            id_col,
+            F.round(F.log(p_tri), 9).cast("decimal(30,15)").alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_trigrams"),
+        F.round(F.sum("lp").cast("double") / F.count("*"), 6).alias(
+            "mean_logprob"
+        ),
+    )
+
+
+def kneser_ney3_logprob_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> str:
+    """DuckDB twin of :func:`kneser_ney3_logprob` — the p expressions are
+    textually parallel to the Spark side so both engines perform the same
+    IEEE-754 operations in the same order before the 9-digit round."""
+    d = repr(float(discount))
+    return f"""
+      WITH w AS (
+        SELECT {id_col}, string_split({text_col}, ' ') AS wrd
+        FROM {table}
+      ),
+      z AS (
+        SELECT {id_col},
+               unnest(wrd[1 : len(wrd) - 2]) AS w1,
+               unnest(wrd[2 : len(wrd) - 1]) AS w2,
+               unnest(wrd[3 : len(wrd)]) AS w3
+        FROM w WHERE len(wrd) >= 3
+      ),
+      t AS (SELECT * FROM z WHERE w1 <> '' AND w2 <> '' AND w3 <> ''),
+      tc AS (
+        SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c
+        FROM t GROUP BY w1, w2, w3
+      ),
+      h12 AS (
+        SELECT w1, w2, CAST(sum(c) AS BIGINT) AS h12,
+               CAST(count(*) AS BIGINT) AS n1fw12
+        FROM tc GROUP BY w1, w2
+      ),
+      m AS (
+        SELECT w2, w3, CAST(count(*) AS BIGINT) AS m
+        FROM tc GROUP BY w2, w3
+      ),
+      mh AS (
+        SELECT w2, CAST(sum(m) AS BIGINT) AS mh,
+               CAST(count(*) AS BIGINT) AS n1fw2c
+        FROM m GROUP BY w2
+      ),
+      bw AS (
+        SELECT w3, CAST(count(*) AS BIGINT) AS n1bw FROM m GROUP BY w3
+      ),
+      tt AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM m)
+      SELECT t.{id_col} AS {id_col},
+             CAST(count(*) AS BIGINT) AS n_trigrams,
+             round(CAST(sum(CAST(round(ln(
+                 (greatest(CAST(tc.c AS DOUBLE) - {d}, 0.0)
+                  + {d} * h12.n1fw12 *
+                    ((greatest(CAST(m.m AS DOUBLE) - {d}, 0.0)
+                      + {d} * mh.n1fw2c *
+                        (CAST(bw.n1bw AS DOUBLE) / tt.tt)) / mh.mh))
+                 / h12.h12
+               ), 9) AS DECIMAL(30,15))) AS DOUBLE) / count(*), 6)
+               AS mean_logprob
+      FROM t
+      JOIN tc ON t.w1 = tc.w1 AND t.w2 = tc.w2 AND t.w3 = tc.w3
+      JOIN h12 ON t.w1 = h12.w1 AND t.w2 = h12.w2
+      JOIN m ON t.w2 = m.w2 AND t.w3 = m.w3
+      JOIN mh ON t.w2 = mh.w2
+      JOIN bw ON t.w3 = bw.w3
+      CROSS JOIN tt
+      GROUP BY t.{id_col}
+    """
