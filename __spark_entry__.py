@@ -18,6 +18,7 @@ from bistro_spark.pipeline import flagship
 from bistro_spark.schema import Schema
 from bistro_spark.sources.io import load_table
 from bistro_spark.operators import bpe as _bpe
+from bistro_spark import skew as _skew
 from bistro_spark.operators import cdc as _cdc
 from bistro_spark.operators import curation as _curation
 from bistro_spark.operators import maintenance as _maintenance
@@ -2171,6 +2172,16 @@ def q_orphan_files(spark: SparkSession, sf: str) -> DataFrame:
     return orphan_files(_snapshot_refs(spark, sf), plan)
 
 
+def q_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Key-skew audit ahead of a keyed join/agg/state-store: per key,
+    load share vs uniform, the exact integer salt fan-out that levels
+    it, and the hot flag — one partial-agg shuffle + 1-row scalar
+    broadcast, key-bounded output (the measurement behind salted_agg)."""
+    from bistro_spark.skew import skew_report
+
+    return skew_report(load_table(spark, "events", sf), key_col="user_id")
+
+
 def q_kneser_ney3_logprob(spark: SparkSession, sf: str) -> DataFrame:
     """Interpolated Kneser-Ney TRIGRAM score per document (D=0.75,
     continuation-count recursion all derived from the trigram type
@@ -2245,6 +2256,7 @@ def q_apply_changelog(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "apply_changelog": q_apply_changelog,
+        "skew_report": q_skew_report,
         "kneser_ney3_logprob": q_kneser_ney3_logprob,
         "binidx_manifest": q_binidx_manifest,
         "anneal_schedule": q_anneal_schedule,
@@ -2877,6 +2889,7 @@ def oracle_sql() -> dict[str, str]:
         "apply_changelog": _cdc.apply_changelog_sql(
             "changelog", extra_ctes=_CHANGELOG_CTE
         ),
+        "skew_report": _skew.skew_report_sql("events", "user_id"),
         "kneser_ney3_logprob": _curation.kneser_ney3_logprob_sql(
             "documents"
         ),

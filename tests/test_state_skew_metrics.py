@@ -346,3 +346,42 @@ def test_fifo_window_stream_count_retention(spark, tmp_path):
         assert results[k][0] == want[k][0], k
         assert abs(results[k][1] - want[k][1]) < 1e-6, k
         assert results[k][2:] == want[k][2:], k
+
+
+def test_skew_report_worked_example(spark):
+    """8:4:2:1 zipf mix — the north rule's skew shape: web is hot at
+    ~2.13x uniform, books/wiki sit under 1x."""
+    from bistro_spark.skew import skew_report
+
+    rows = []
+    rid = 0
+    for src, n in (("web", 80), ("code", 40), ("books", 20), ("wiki", 10)):
+        for _ in range(n):
+            rows.append((rid, src))
+            rid += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {
+        r["source"]: (
+            r["n_rows"],
+            r["uniform_multiple"],
+            r["salt_factor"],
+            r["is_hot"],
+        )
+        for r in skew_report(df, "source").collect()
+    }
+    # multiples: n * 4 / 150
+    assert got["web"] == (80, round(320 / 150, 9), 3, True)
+    assert got["code"] == (40, round(160 / 150, 9), 2, False)
+    assert got["books"] == (20, round(80 / 150, 9), 1, False)
+    assert got["wiki"] == (10, round(40 / 150, 9), 1, False)
+
+
+def test_skew_report_uniform_has_no_hot_keys(spark):
+    from bistro_spark.skew import skew_report
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 5}") for i in range(100)], "doc_id long, source string"
+    )
+    rep = skew_report(df, "source").collect()
+    assert all(not r["is_hot"] and r["salt_factor"] == 1 for r in rep)
+    assert all(r["uniform_multiple"] == 1.0 for r in rep)
