@@ -162,3 +162,162 @@ def kn_score_fixed(
         *cols, F.col("_s.n_bigrams").alias("n_bigrams"),
         F.col("_s.mean_logprob").alias("mean_logprob"),
     )
+
+
+# ------------------------------------------------- trigram fixed model ----
+
+
+def fit_kn3_model(
+    df: DataFrame,
+    text_col: str = "text",
+    discount: float = 0.75,
+    max_types: int = 5_000_000,
+) -> dict:
+    """Collect the Kneser-Ney TRIGRAM sufficient statistics driver-side
+    (the ``operators/curation.kneser_ney3_logprob`` model): trigram
+    counts, per-(w1,w2) history totals + distinct-successor counts, the
+    (w2,w3) continuation type table with its per-w2 totals, and the
+    continuation-unigram counts — all trigram-TYPE-sized, guarded by
+    ``max_types``."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    triples = (
+        df.filter(n >= 3)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(words, 1, n - 2).alias("w1"),
+                    F.slice(words, 2, n - 2).alias("w2"),
+                    F.slice(words, 3, n - 2).alias("w3"),
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.w1").alias("w1"),
+            F.col("p.w2").alias("w2"),
+            F.col("p.w3").alias("w3"),
+        )
+        .filter(
+            (F.col("w1") != "") & (F.col("w2") != "") & (F.col("w3") != "")
+        )
+    )
+    tc = (
+        triples.groupBy("w1", "w2", "w3")
+        .agg(F.count("*").cast("long").alias("c"))
+        .collect()
+    )
+    if len(tc) > max_types:
+        raise ValueError(
+            f"KN3 model has {len(tc)} trigram types > max_types="
+            f"{max_types}; prune the corpus or raise max_types"
+        )
+    tcd: dict = {}
+    h12: dict = {}
+    n1fw12: dict = {}
+    m: dict = {}
+    for r in tc:
+        k = (r["w1"], r["w2"], r["w3"])
+        tcd[k] = r["c"]
+        h12[(r["w1"], r["w2"])] = h12.get((r["w1"], r["w2"]), 0) + r["c"]
+        n1fw12[(r["w1"], r["w2"])] = n1fw12.get((r["w1"], r["w2"]), 0) + 1
+        m[(r["w2"], r["w3"])] = m.get((r["w2"], r["w3"]), 0) + 1
+    mh: dict = {}
+    n1fw2c: dict = {}
+    bw: dict = {}
+    for (w2, w3), cnt in m.items():
+        mh[w2] = mh.get(w2, 0) + cnt
+        n1fw2c[w2] = n1fw2c.get(w2, 0) + 1
+        bw[w3] = bw.get(w3, 0) + 1
+    return {
+        "tc": tcd,
+        "h12": h12,
+        "n1fw12": n1fw12,
+        "m": m,
+        "mh": mh,
+        "n1fw2c": n1fw2c,
+        "bw": bw,
+        "tt": len(m),
+        "discount": float(discount),
+    }
+
+
+def kn3_score_fixed(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Score a (batch or streaming) DataFrame against a fixed trigram KN
+    model — map-only Arrow projection, no state store, no watermark.
+    OOV backoff chain (documented, deterministic, never -inf):
+
+    - unseen w3 type: continuation unigram gets half a type (0.5/T);
+    - unseen middle w2: back off to the continuation unigram;
+    - unseen (w1,w2) history: back off to p_bi(w3|w2);
+    - seen history, unseen trigram: interpolation mass only (c=0).
+
+    Parity anchor (pytest-pinned): on the TRAINING corpus every level is
+    seen, so the kernel reproduces the hash-checked batch scorer exactly
+    (HALF_UP scaled-integer sums at 9 digits, mean rounded at 6)."""
+    tcd, h12 = model["tc"], model["h12"]
+    n1fw12, m = model["n1fw12"], model["m"]
+    mh, n1fw2c, bw = model["mh"], model["n1fw2c"], model["bw"]
+    tt, d = model["tt"], model["discount"]
+
+    @pandas_udf("struct<n_trigrams: long, mean_logprob: double>")
+    def _score(texts: pd.Series) -> pd.DataFrame:
+        q9, q6 = Decimal(1), Decimal("0.000001")
+        ns, means = [], []
+        for t in texts:
+            raw = (t or "").split(" ")
+            tris = (
+                [
+                    (raw[i], raw[i + 1], raw[i + 2])
+                    for i in range(len(raw) - 2)
+                    if raw[i] != "" and raw[i + 1] != "" and raw[i + 2] != ""
+                ]
+                if len(raw) >= 3
+                else []
+            )
+            if not tris:
+                ns.append(None)
+                means.append(None)
+                continue
+            total = 0
+            for w1, w2, w3 in tris:
+                p_uni = (bw.get(w3, 0) or 0.5) / tt
+                h2 = mh.get(w2)
+                if h2 is None:
+                    p_bi = p_uni
+                else:
+                    p_bi = (
+                        max(m.get((w2, w3), 0) - d, 0.0)
+                        + d * n1fw2c[w2] * p_uni
+                    ) / h2
+                h = h12.get((w1, w2))
+                if h is None:
+                    p = p_bi
+                else:
+                    p = (
+                        max(tcd.get((w1, w2, w3), 0) - d, 0.0)
+                        + d * n1fw12[(w1, w2)] * p_bi
+                    ) / h
+                total += int(
+                    Decimal(math.log(p)).scaleb(9).quantize(q9, ROUND_HALF_UP)
+                )
+            ns.append(len(tris))
+            mean = total / 1e9 / len(tris)
+            means.append(float(Decimal(mean).quantize(q6, ROUND_HALF_UP)))
+        return pd.DataFrame({
+            "n_trigrams": pd.array(ns, dtype="Int64"),
+            "mean_logprob": np.array(means, dtype="float64"),
+        })
+
+    cols = [id_col] + (keep or [])
+    out = df.select(*cols, _score(F.col(text_col)).alias("_s"))
+    return out.select(
+        *cols,
+        F.col("_s.n_trigrams").alias("n_trigrams"),
+        F.col("_s.mean_logprob").alias("mean_logprob"),
+    )

@@ -116,3 +116,121 @@ def test_model_size_guard(spark):
     )
     with pytest.raises(ValueError, match="max_types"):
         fit_kn_model(docs, max_types=3)
+
+
+# ------------------------------------------------------ trigram gate ----
+
+
+def test_kn3_fixed_model_equals_batch_scorer_on_training_corpus(spark):
+    from bistro_spark.operators.curation import kneser_ney3_logprob
+    from bistro_spark.streaming.lm import fit_kn3_model, kn3_score_fixed
+
+    docs = (
+        spark.read.parquet(DOCS)
+        .select("doc_id", "text")
+        .filter("doc_id < 150")
+    )
+    model = fit_kn3_model(docs)
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["mean_logprob"])
+        for r in kn3_score_fixed(docs, model).collect()
+        if r["n_trigrams"] is not None
+    }
+    want = {
+        r["doc_id"]: (r["n_trigrams"], r["mean_logprob"])
+        for r in kneser_ney3_logprob(docs).collect()
+    }
+    assert got == want
+
+
+def test_kn3_oov_backoff_semantics(spark):
+    from bistro_spark.streaming.lm import fit_kn3_model, kn3_score_fixed
+
+    # model corpus: "a b c a b c" -> trigram types: (a,b,c)x2? No:
+    # triples: (a,b,c),(b,c,a),(c,a,b),(a,b,c) -> tc[(a,b,c)]=2, others 1
+    train = spark.createDataFrame(
+        [(1, "a b c a b c")], "doc_id long, text string"
+    )
+    model = fit_kn3_model(train)
+    # m types: (b,c),(c,a),(a,b); mh: b->1 c->1 a->1; bw: c->1 a->1 b->1; tt=3
+    held = spark.createDataFrame(
+        [
+            (10, "a b z"),   # seen history (a,b); unseen w3 z
+            (11, "z z a"),   # unseen history AND unseen middle: p_uni(a)
+            (12, "z b c"),   # unseen history, seen middle b, seen (b,c)
+            (13, "xy"),      # <3 words -> NULL
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in kn3_score_fixed(held, model).collect()
+    }
+    # doc 10: p_uni(z)=0.5/3; p_bi(z|b)=(0+D*1*(0.5/3))/1; seen hist (a,b):
+    # p=(max(0-D,0)+D*1*p_bi)/2
+    p_bi_zb = (0.0 + D * 1 * (0.5 / 3)) / 1
+    p10 = (0.0 + D * 1 * p_bi_zb) / 2
+    assert got[10]["mean_logprob"] == pytest.approx(
+        round(math.log(p10), 6), abs=2e-6
+    )
+    # doc 11: unseen middle z -> p_uni(a) = 1/3
+    assert got[11]["mean_logprob"] == pytest.approx(
+        round(math.log(1 / 3), 6), abs=2e-6
+    )
+    # doc 12: unseen history (z,b), seen middle b: p_bi(c|b)
+    p12 = (max(1 - D, 0.0) + D * 1 * (1 / 3)) / 1
+    assert got[12]["mean_logprob"] == pytest.approx(
+        round(math.log(p12), 6), abs=2e-6
+    )
+    assert got[13]["n_trigrams"] is None
+    for r in got.values():
+        if r["mean_logprob"] is not None:
+            assert math.isfinite(r["mean_logprob"])
+
+
+def test_kn3_gate_on_real_stream(spark, tmp_path):
+    import os
+
+    from bistro_spark.streaming.lm import fit_kn3_model, kn3_score_fixed
+
+    docs = (
+        spark.read.parquet(DOCS)
+        .select("doc_id", "text")
+        .filter("doc_id < 200")
+    )
+    model = fit_kn3_model(docs.filter("doc_id < 80"))
+    src_dir = str(tmp_path / "src3")
+    for k in range(2):
+        docs.filter(f"doc_id % 2 = {k}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src_dir, f"b{k}"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    gated = kn3_score_fixed(stream, model)
+    assert gated.isStreaming
+    out_dir, ckpt = str(tmp_path / "out3"), str(tmp_path / "ckpt3")
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    want = sorted(tuple(r) for r in kn3_score_fixed(docs, model).collect())
+    assert got == want
+
+
+def test_kn3_model_size_guard(spark):
+    from bistro_spark.streaming.lm import fit_kn3_model
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_types"):
+        fit_kn3_model(docs, max_types=2)
