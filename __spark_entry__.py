@@ -2172,6 +2172,16 @@ def q_orphan_files(spark: SparkSession, sf: str) -> DataFrame:
     return orphan_files(_snapshot_refs(spark, sf), plan)
 
 
+def q_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve + fitted exponent over md5
+    corpus checkpoints: one corpus pass (term first-appearance
+    min-aggregate), grid windows, decimal-summed log-log regression —
+    the vocab/state capacity-planning artifact."""
+    from bistro_spark.operators.olap import vocab_growth
+
+    return vocab_growth(load_table(spark, "documents", sf))
+
+
 def q_skew_report(spark: SparkSession, sf: str) -> DataFrame:
     """Key-skew audit ahead of a keyed join/agg/state-store: per key,
     load share vs uniform, the exact integer salt fan-out that levels
@@ -2256,6 +2266,7 @@ def q_apply_changelog(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "apply_changelog": q_apply_changelog,
+        "vocab_growth": q_vocab_growth,
         "skew_report": q_skew_report,
         "kneser_ney3_logprob": q_kneser_ney3_logprob,
         "binidx_manifest": q_binidx_manifest,
@@ -2889,6 +2900,7 @@ def oracle_sql() -> dict[str, str]:
         "apply_changelog": _cdc.apply_changelog_sql(
             "changelog", extra_ctes=_CHANGELOG_CTE
         ),
+        "vocab_growth": _olap.vocab_growth_sql("documents"),
         "skew_report": _skew.skew_report_sql("events", "user_id"),
         "kneser_ney3_logprob": _curation.kneser_ney3_logprob_sql(
             "documents"

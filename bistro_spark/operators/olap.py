@@ -18,7 +18,7 @@ Scale notes common to all five:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _ALL = "(all)"
@@ -1071,4 +1071,180 @@ def corpus_health_sql(
       JOIN ent USING ({group_col})
       JOIN alp USING ({group_col})
       JOIN qual USING ({group_col})
+    """
+
+
+# ------------------------------------------------ Heaps-law vocab growth ----
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_checkpoints: int = 10,
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: cumulative distinct terms vs
+    cumulative tokens at ``n_checkpoints`` deterministic corpus
+    checkpoints, plus the fitted Heaps exponent (V = K·N^β via least
+    squares on the log-log points). The capacity-planning artifact for
+    tokenizer vocab sizing and term-store state bounds: β ≈ 0.5 means a
+    10^12-token corpus still grows vocabulary at ~10^6 scale.
+
+    The checkpoint order is an md5 shuffle of doc ids (cluster-shape and
+    snapshot stable), so "first k/n of the corpus" is the SAME document
+    set everywhere. The curve needs no per-prefix rescans: a term's
+    FIRST-APPEARANCE checkpoint is one min-aggregate over the exploded
+    terms, cumulative vocabulary is a running sum of first-appearance
+    counts over the checkpoint GRID, and the regression runs on the grid
+    with 9-digit-rounded logs summed as decimals — order-free, so the
+    fit is bit-identical cross-engine. One corpus pass + grid windows;
+    output is n_checkpoints rows.
+    """
+    nb = int(n_checkpoints)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % nb
+    )
+    terms = (
+        df.select(bucket.alias("b"), F.col(text_col))
+        .select("b", F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tok = terms.groupBy("b").agg(F.count("*").cast("long").alias("n_tokens"))
+    first = (
+        terms.groupBy("term")
+        .agg(F.min("b").alias("fb"))
+        .groupBy("fb")
+        .agg(F.count("*").cast("long").alias("new_terms"))
+    )
+    grid = tok.join(
+        first.withColumnRenamed("fb", "b"), "b", "full_outer"
+    ).select(
+        "b",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    curve = grid.select(
+        F.col("b").cast("long").alias("checkpoint"),
+        "n_tokens",
+        "new_terms",
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        F.sum("new_terms").over(w).cast("long").alias("cum_vocab"),
+    )
+    pts = curve.select(
+        "checkpoint",
+        "n_tokens",
+        "new_terms",
+        "cum_tokens",
+        "cum_vocab",
+        F.round(F.log("cum_tokens"), 9).alias("x"),
+        F.round(F.log("cum_vocab"), 9).alias("y"),
+    )
+    dec = lambda c: F.sum(F.col(c).cast("decimal(30,15)")).cast("double")  # noqa: E731
+    fit = pts.select(
+        "x",
+        "y",
+        F.round(F.col("x") * F.col("y"), 9).alias("xy"),
+        F.round(F.col("x") * F.col("x"), 9).alias("xx"),
+    ).agg(
+        F.count("*").cast("double").alias("n"),
+        dec("x").alias("sx"),
+        dec("y").alias("sy"),
+        dec("xy").alias("sxy"),
+        dec("xx").alias("sxx"),
+    )
+    # textually parallel in the SQL twin
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit1 = fit.select(
+        # + 0.0 normalizes IEEE negative zero (a saturated-vocab corpus
+        # fits beta == -0.0 on one engine and 0.0 on the other)
+        (F.round(beta, 6) + F.lit(0.0)).alias("heaps_beta"),
+        F.round(
+            F.exp(
+                (F.col("sy") - beta * F.col("sx")) / F.col("n")
+            ),
+            6,
+        ).alias("heaps_k"),
+    )
+    return pts.crossJoin(F.broadcast(fit1)).select(
+        "checkpoint",
+        "n_tokens",
+        "new_terms",
+        "cum_tokens",
+        "cum_vocab",
+        "heaps_beta",
+        "heaps_k",
+    )
+
+
+def vocab_growth_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_checkpoints: int = 10,
+) -> str:
+    """DuckDB twin of :func:`vocab_growth` — the regression expressions
+    are textually parallel to the Spark side."""
+    nb = int(n_checkpoints)
+    return f"""
+      WITH terms AS (
+        SELECT CAST(concat('0x',
+                 substr(md5(CAST({id_col} AS VARCHAR)), 1, 8))
+               AS BIGINT) % {nb} AS b,
+               unnest(string_split({text_col}, ' ')) AS term
+        FROM {table}
+      ),
+      t AS (SELECT * FROM terms WHERE term <> ''),
+      tok AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS n_tokens FROM t GROUP BY b
+      ),
+      first AS (
+        SELECT fb AS b, CAST(count(*) AS BIGINT) AS new_terms
+        FROM (SELECT term, min(b) AS fb FROM t GROUP BY term)
+        GROUP BY fb
+      ),
+      grid AS (
+        SELECT coalesce(tok.b, first.b) AS b,
+               coalesce(n_tokens, 0) AS n_tokens,
+               coalesce(new_terms, 0) AS new_terms
+        FROM tok FULL OUTER JOIN first ON tok.b = first.b
+      ),
+      curve AS (
+        SELECT CAST(b AS BIGINT) AS checkpoint, n_tokens, new_terms,
+               CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+               CAST(sum(new_terms) OVER w AS BIGINT) AS cum_vocab
+        FROM grid
+        WINDOW w AS (ORDER BY b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ),
+      pts AS (
+        SELECT *, round(ln(cum_tokens), 9) AS x, round(ln(cum_vocab), 9) AS y
+        FROM curve
+      ),
+      fit AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(30,15))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(round(x * y, 9) AS DECIMAL(30,15)))
+                    AS DOUBLE) AS sxy,
+               CAST(sum(CAST(round(x * x, 9) AS DECIMAL(30,15)))
+                    AS DOUBLE) AS sxx
+        FROM pts
+      ),
+      fit1 AS (
+        SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0
+                 AS heaps_beta,
+               round(exp((sy - ((n * sxy - sx * sy)
+                                / (n * sxx - sx * sx)) * sx) / n), 6)
+                 AS heaps_k
+        FROM fit
+      )
+      SELECT checkpoint, n_tokens, new_terms, cum_tokens, cum_vocab,
+             heaps_beta, heaps_k
+      FROM pts CROSS JOIN fit1
     """

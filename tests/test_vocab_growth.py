@@ -1,0 +1,67 @@
+"""vocab_growth: brute-force parity (same md5 checkpoints, same
+first-appearance accounting), Heaps-exponent sanity on a growing-vocab
+corpus, and curve invariants."""
+
+from __future__ import annotations
+
+import hashlib
+
+from bistro_spark.operators.olap import vocab_growth
+
+NB = 5
+
+
+def _bucket(i):
+    return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % NB
+
+
+def _rows(n=120):
+    # vocabulary keeps growing: doc i introduces words up to index ~i
+    rows = []
+    for i in range(n):
+        words = [f"w{(i * 3 + j * j) % (10 + i)}" for j in range(12)]
+        rows.append((i, " ".join(words)))
+    return rows
+
+
+def test_matches_brute_force(spark):
+    rows = _rows()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["checkpoint"]: (
+            r["n_tokens"],
+            r["new_terms"],
+            r["cum_tokens"],
+            r["cum_vocab"],
+        )
+        for r in vocab_growth(df, n_checkpoints=NB).collect()
+    }
+    tok = {b: 0 for b in range(NB)}
+    first: dict = {}
+    for i, text in rows:
+        b = _bucket(i)
+        for w in text.split(" "):
+            if w:
+                tok[b] += 1
+                first[w] = min(first.get(w, NB), b)
+    new = {b: sum(1 for v in first.values() if v == b) for b in range(NB)}
+    ct = cv = 0
+    for b in range(NB):
+        ct += tok[b]
+        cv += new[b]
+        assert got[b] == (tok[b], new[b], ct, cv), f"checkpoint {b}"
+
+
+def test_heaps_fit_sane_and_constant_across_rows(spark):
+    df = spark.createDataFrame(_rows(), "doc_id long, text string")
+    out = vocab_growth(df, n_checkpoints=NB).collect()
+    betas = {r["heaps_beta"] for r in out}
+    ks = {r["heaps_k"] for r in out}
+    assert len(betas) == 1 and len(ks) == 1
+    beta = betas.pop()
+    # a genuinely growing vocabulary: sublinear but positive exponent
+    assert 0.0 < beta < 1.0
+    # curve invariants
+    cvs = [r["cum_vocab"] for r in sorted(out, key=lambda r: r["checkpoint"])]
+    assert cvs == sorted(cvs)
+    assert len(out) == NB
