@@ -2172,6 +2172,16 @@ def q_orphan_files(spark: SparkSession, sf: str) -> DataFrame:
     return orphan_files(_snapshot_refs(spark, sf), plan)
 
 
+def q_vocab_truncation_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """OOV rate per candidate vocabulary size: two-phase global
+    frequency rank (no single-reducer window), then the whole size grid
+    as parallel conditional sums in ONE vocab-table pass — the
+    tokenizer-sizing decision artifact."""
+    from bistro_spark.operators.ranking import vocab_truncation_sweep
+
+    return vocab_truncation_sweep(load_table(spark, "documents", sf))
+
+
 def q_vocab_growth(spark: SparkSession, sf: str) -> DataFrame:
     """Heaps-law vocabulary-growth curve + fitted exponent over md5
     corpus checkpoints: one corpus pass (term first-appearance
@@ -2266,6 +2276,7 @@ def q_apply_changelog(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "apply_changelog": q_apply_changelog,
+        "vocab_truncation_sweep": q_vocab_truncation_sweep,
         "vocab_growth": q_vocab_growth,
         "skew_report": q_skew_report,
         "kneser_ney3_logprob": q_kneser_ney3_logprob,
@@ -2899,6 +2910,9 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _curation.unigram_logprob_sql("documents"),
         "apply_changelog": _cdc.apply_changelog_sql(
             "changelog", extra_ctes=_CHANGELOG_CTE
+        ),
+        "vocab_truncation_sweep": _ranking.vocab_truncation_sweep_sql(
+            "documents"
         ),
         "vocab_growth": _olap.vocab_growth_sql("documents"),
         "skew_report": _skew.skew_report_sql("events", "user_id"),

@@ -502,3 +502,94 @@ def rrf_fusion_sql(
                + 1.0 / ({k} + r_brevity) AS rrf_score
       FROM r
     """
+
+
+# ------------------------------------------- vocab truncation OOV sweep ----
+
+
+def vocab_truncation_sweep(
+    df: DataFrame,
+    text_col: str = "text",
+    sizes: tuple[int, ...] = (500, 1000, 2000, 4000, 8000),
+) -> DataFrame:
+    """What OOV token rate does each candidate vocabulary size buy?
+    Rank terms by corpus frequency (ties by term — deterministic), then
+    for every candidate size report the token mass the top-k vocabulary
+    covers and the OOV rate a tokenizer truncated there would pay. The
+    sizing decision BEFORE training a tokenizer; pairs with
+    ``olap.vocab_growth`` (how fast the vocabulary grows) and the
+    fertility reports (what the chosen tokenizer actually costs).
+
+    Scale: term counts are one partial-agg shuffle; the frequency rank
+    uses the two-phase :func:`global_rank` (range-partitioned, no
+    single-reducer window); the whole size grid is then ONE pass over
+    the vocabulary-sized term table as parallel conditional sums (the
+    grid multiplies agg columns, not rows — the oracle's cross join is
+    definitional only).
+    """
+    tc = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    ranked = global_rank(
+        tc.withColumn("_negc", -F.col("c")),
+        ["_negc", "term"],
+        rank_col="rank",
+    )
+    aggs = [F.sum("c").cast("long").alias("total_tokens")]
+    for k in sizes:
+        aggs.append(
+            F.sum(F.when(F.col("rank") <= int(k), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias(f"cov_{int(k)}")
+        )
+    row = ranked.agg(*aggs)
+    stack = ", ".join(f"{int(k)}L, cov_{int(k)}" for k in sizes)
+    return row.select(
+        F.expr(
+            f"stack({len(sizes)}, {stack}) AS (vocab_size, covered_tokens)"
+        ),
+        "total_tokens",
+    ).select(
+        "vocab_size",
+        "covered_tokens",
+        "total_tokens",
+        F.round(
+            F.lit(1.0) - F.col("covered_tokens") / F.col("total_tokens"), 9
+        ).alias("oov_rate"),
+    )
+
+
+def vocab_truncation_sweep_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    sizes: tuple[int, ...] = (500, 1000, 2000, 4000, 8000),
+) -> str:
+    """DuckDB twin of :func:`vocab_truncation_sweep` — the definitional
+    rank window + grid cross join."""
+    grid = ", ".join(str(int(k)) for k in sizes)
+    return f"""
+      WITH t AS (
+        SELECT unnest(string_split({text_col}, ' ')) AS term FROM {table}
+      ),
+      tc AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS c
+        FROM t WHERE term <> '' GROUP BY term
+      ),
+      r AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, term ASC) AS rank
+        FROM tc
+      ),
+      d AS (SELECT CAST(unnest([{grid}]) AS BIGINT) AS vocab_size)
+      SELECT d.vocab_size,
+             CAST(sum(CASE WHEN r.rank <= d.vocab_size THEN r.c ELSE 0 END)
+                  AS BIGINT) AS covered_tokens,
+             CAST(sum(r.c) AS BIGINT) AS total_tokens,
+             round(1 - CAST(sum(CASE WHEN r.rank <= d.vocab_size
+                                     THEN r.c ELSE 0 END) AS DOUBLE)
+                     / sum(r.c), 9) AS oov_rate
+      FROM r CROSS JOIN d
+      GROUP BY d.vocab_size
+    """

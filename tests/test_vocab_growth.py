@@ -65,3 +65,28 @@ def test_heaps_fit_sane_and_constant_across_rows(spark):
     cvs = [r["cum_vocab"] for r in sorted(out, key=lambda r: r["checkpoint"])]
     assert cvs == sorted(cvs)
     assert len(out) == NB
+
+
+def test_vocab_truncation_sweep_brute_force(spark):
+    from bistro_spark.operators.ranking import vocab_truncation_sweep
+
+    rows = _rows(60)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts: dict = {}
+    for _, text in rows:
+        for w in text.split(" "):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(counts.values())
+    sizes = (3, 10, 25, 10_000)
+    got = {
+        r["vocab_size"]: (r["covered_tokens"], r["total_tokens"], r["oov_rate"])
+        for r in vocab_truncation_sweep(df, sizes=sizes).collect()
+    }
+    for k in sizes:
+        cov = sum(c for _, c in ranked[:k])
+        assert got[k][0] == cov and got[k][1] == total
+        assert abs(got[k][2] - (1 - cov / total)) < 1e-8
+    # a size >= the whole vocabulary covers everything
+    assert got[10_000][2] == 0.0
