@@ -165,3 +165,125 @@ class StreamingPacker:
             self._state[r["shard"]] = (r["c"]["pack_id"], r["c"]["end"])
         self._trigger_ids = out_ids
         return out
+
+
+class StreamingBinidxWriter:
+    """Streaming twin of ``operators/curation.binidx_manifest``: the
+    ``.bin``/``.idx`` layout assigned live, so an ingest loop can append
+    serialized tokens to shard files as documents arrive instead of
+    re-planning offsets from the full corpus. Completes the live
+    tokenize → pack → export chain next to ``StreamingPacker``.
+
+    State is ONE ``(next_index, next_offset)`` cursor per shard —
+    ``n_shards``-bounded, never corpus-bounded. Per trigger the delta
+    gets in-delta ranks/prefix-sums via a per-shard window over the
+    DELTA ONLY, then the carried cursors are added back via a
+    shard-grid broadcast join — no pandas kernel, no corpus re-scan.
+
+    **Parity contract (pytest-pinned, the StreamingPacker contract):**
+    under id-monotone arrival per shard (ids assigned at commit time —
+    the natural case) the union of per-trigger outputs EQUALS batch
+    ``binidx_manifest`` over everything seen: a serialized file is
+    append-only, so the concatenation of per-batch prefix sums IS the
+    single prefix sum. Out-of-order arrival diverges by construction
+    (bytes already written cannot be moved) — pinned by counter-example.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        n_shards: int = 4,
+        bytes_per_token: int = 2,
+        id_col: str = "doc_id",
+        len_col: str = "n_tok",
+    ):
+        self.spark = spark
+        self.n_shards = int(n_shards)
+        self.bpt = int(bytes_per_token)
+        self.id_col = id_col
+        self.len_col = len_col
+        # shard -> [next_index, next_offset]
+        self._state: dict[int, list[int]] = {}
+        self._trigger_ids: set[int] = set()
+        self.batches_seen = 0
+
+    # ------------------------------------------------------- recovery --
+    def state_snapshot(self) -> dict[int, list[int]]:
+        return {k: list(v) for k, v in self._state.items()}
+
+    def restore_state(self, snapshot: dict) -> None:
+        self._state = {int(k): [int(x) for x in v] for k, v in snapshot.items()}
+
+    # ---------------------------------------------------------- fold --
+    def process_batch(self, batch_df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        from bistro_spark.caching import pin, release
+
+        self.batches_seen += 1
+        release(self.spark, self._trigger_ids)
+        base = batch_df.select(
+            self.id_col,
+            F.expr(f"{self.id_col} % {self.n_shards}")
+            .cast("long")
+            .alias("shard"),
+            F.col(self.len_col).cast("long").alias("n_tokens"),
+            (F.col(self.len_col).cast("long") * self.bpt).alias("n_bytes"),
+        )
+        w = Window.partitionBy("shard").orderBy(self.id_col)
+        delta = base.select(
+            self.id_col,
+            "shard",
+            (F.row_number().over(w) - 1).cast("long").alias("_didx"),
+            "n_tokens",
+            "n_bytes",
+            F.coalesce(
+                F.sum("n_bytes").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("_doff"),
+        )
+        cur_rows = [
+            (s, v[0], v[1]) for s, v in self._state.items()
+        ] or [(-1, 0, 0)]
+        cursors = self.spark.createDataFrame(
+            cur_rows, "shard long, _cidx long, _coff long"
+        )
+        out, out_ids = pin(
+            delta.join(F.broadcast(cursors), "shard", "left")
+            .select(
+                self.id_col,
+                "shard",
+                (F.col("_didx") + F.coalesce("_cidx", F.lit(0)))
+                .cast("long")
+                .alias("seq_index"),
+                "n_tokens",
+                "n_bytes",
+                (F.col("_doff") + F.coalesce("_coff", F.lit(0)))
+                .cast("long")
+                .alias("byte_offset"),
+            )
+        )
+        upd = (
+            out.groupBy("shard")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.max(
+                    F.struct(
+                        F.col("seq_index"),
+                        (F.col("byte_offset") + F.col("n_bytes")).alias("e"),
+                    )
+                ).alias("m"),
+            )
+            .collect()
+        )
+        for r in upd:
+            self._state[int(r["shard"])] = [
+                int(r["m"]["seq_index"]) + 1,
+                int(r["m"]["e"]),
+            ]
+        self._trigger_ids = out_ids
+        return out
