@@ -2172,6 +2172,16 @@ def q_orphan_files(spark: SparkSession, sf: str) -> DataFrame:
     return orphan_files(_snapshot_refs(spark, sf), plan)
 
 
+def q_histogram_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact quantiles of a bounded-domain integer metric without
+    ranking the corpus: one partial-agg shuffle to the value DOMAIN +
+    a domain-sized cumulative window + conditional mins — the scale
+    path when the domain is small (lengths, quantized scores)."""
+    from bistro_spark.operators.olap import histogram_quantiles
+
+    return histogram_quantiles(load_table(spark, "documents", sf))
+
+
 def q_vocab_truncation_sweep(spark: SparkSession, sf: str) -> DataFrame:
     """OOV rate per candidate vocabulary size: two-phase global
     frequency rank (no single-reducer window), then the whole size grid
@@ -2276,6 +2286,7 @@ def q_apply_changelog(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "apply_changelog": q_apply_changelog,
+        "histogram_quantiles": q_histogram_quantiles,
         "vocab_truncation_sweep": q_vocab_truncation_sweep,
         "vocab_growth": q_vocab_growth,
         "skew_report": q_skew_report,
@@ -2911,6 +2922,7 @@ def oracle_sql() -> dict[str, str]:
         "apply_changelog": _cdc.apply_changelog_sql(
             "changelog", extra_ctes=_CHANGELOG_CTE
         ),
+        "histogram_quantiles": _olap.histogram_quantiles_sql("documents"),
         "vocab_truncation_sweep": _ranking.vocab_truncation_sweep_sql(
             "documents"
         ),

@@ -1248,3 +1248,94 @@ def vocab_growth_sql(
              heaps_beta, heaps_k
       FROM pts CROSS JOIN fit1
     """
+
+
+# ---------------------------------------------- histogram exact quantiles ----
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT quantiles of a bounded-domain integer metric (lengths,
+    quantized scores) without ranking the corpus: one partial-agg
+    shuffle to the VALUE DOMAIN (distinct values, not rows), a
+    domain-sized cumulative window, then every requested quantile as a
+    conditional min over the domain grid — the scale path
+    ``decile_report``'s rank machinery doesn't need when the domain is
+    small. Lower-quantile definition, integer-exact: the reported value
+    is the smallest v whose cumulative count reaches ceil(q·N); n_le is
+    that cumulative count (ties included).
+    """
+    vc = (
+        df.select(F.col(value_col).cast("long").alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    grid = vc.select(
+        "v", "c", F.sum("c").over(w).cast("long").alias("cum")
+    ).crossJoin(
+        F.broadcast(vc.agg(F.sum("c").cast("long").alias("n_total")))
+    )
+    aggs = [F.max("n_total").alias("n_total")]
+    for q in quantiles:
+        tag = str(q).replace(".", "_")
+        thr = F.ceil(F.lit(float(q)) * F.col("n_total")).cast("long")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= thr, F.col("v"))).alias(f"v_{tag}")
+        )
+        aggs.append(
+            F.min(F.when(F.col("cum") >= thr, F.col("cum"))).alias(
+                f"c_{tag}"
+            )
+        )
+    row = grid.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({repr(float(q))} AS DOUBLE), v_{str(q).replace('.', '_')}, "
+        f"c_{str(q).replace('.', '_')}"
+        for q in quantiles
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(quantiles)}, {stack}) AS (quantile, value, n_le)"
+        ),
+        "n_total",
+    ).select("quantile", "value", "n_le", "n_total")
+
+
+def histogram_quantiles_sql(
+    table: str = "documents",
+    value_col: str = "n_chars",
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+) -> str:
+    """DuckDB twin of :func:`histogram_quantiles` — the same cumulative
+    definition over the value domain, grid cross join definitional."""
+    grid = ", ".join(repr(float(q)) for q in quantiles)
+    return f"""
+      WITH vc AS (
+        SELECT CAST({value_col} AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS c
+        FROM {table} GROUP BY 1
+      ),
+      g AS (
+        SELECT v, c,
+               CAST(sum(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+        FROM vc
+      ),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM vc),
+      d AS (SELECT CAST(unnest([{grid}]) AS DOUBLE) AS quantile)
+      SELECT d.quantile,
+             min(CASE WHEN g.cum >= CAST(ceil(d.quantile * tot.n_total)
+                                         AS BIGINT)
+                      THEN g.v END) AS value,
+             CAST(min(CASE WHEN g.cum >= CAST(ceil(d.quantile * tot.n_total)
+                                              AS BIGINT)
+                           THEN g.cum END) AS BIGINT) AS n_le,
+             max(tot.n_total) AS n_total
+      FROM g CROSS JOIN tot CROSS JOIN d
+      GROUP BY d.quantile
+    """

@@ -90,3 +90,27 @@ def test_vocab_truncation_sweep_brute_force(spark):
         assert abs(got[k][2] - (1 - cov / total)) < 1e-8
     # a size >= the whole vocabulary covers everything
     assert got[10_000][2] == 0.0
+
+
+def test_histogram_quantiles_brute_force(spark):
+    from bistro_spark.operators.olap import histogram_quantiles
+
+    vals = [1 + (i * 2654435761) % 37 for i in range(300)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, n_chars long"
+    )
+    qs = (0.25, 0.5, 0.9, 0.99, 1.0)
+    got = {
+        r["quantile"]: (r["value"], r["n_le"], r["n_total"])
+        for r in histogram_quantiles(df, quantiles=qs).collect()
+    }
+    import math
+
+    s = sorted(vals)
+    for q in qs:
+        thr = math.ceil(q * len(vals))
+        v = s[thr - 1]  # smallest value whose cumulative count >= thr
+        n_le = sum(1 for x in vals if x <= v)
+        assert got[q] == (v, n_le, len(vals)), q
+    # the 100th percentile is the max
+    assert got[1.0][0] == max(vals)

@@ -79,6 +79,20 @@ CROSS_JOIN_SANCTIONED = {
     "corpus-total aggregate (the apportionment denominator)",
     "heldout_perplexity": "scalar broadcast: cross against the 1-row "
     "(N_train, V_train) model-statistics aggregate",
+    "kneser_ney3_logprob": "scalar broadcast: cross against the 1-row "
+    "continuation-type-total aggregate (the trigram model's tt "
+    "denominator — same class as the bigram scorer's)",
+    "anneal_schedule": "scalar broadcast: cross against the 1-row "
+    "(wt_total, n_src, last_src) apportionment aggregate",
+    "repetition_budget": "scalar broadcast inherited from the embedded "
+    "anneal_schedule (1-row apportionment aggregate); the availability "
+    "side is an equi broadcast join",
+    "skew_report": "scalar broadcast: cross against the 1-row "
+    "(n_total, n_keys) aggregate (the uniform-share denominator)",
+    "vocab_growth": "scalar broadcast: cross against the 1-row "
+    "Heaps-fit aggregate (beta, K) computed from the checkpoint grid",
+    "histogram_quantiles": "scalar broadcast: cross against the 1-row "
+    "corpus-total aggregate (the quantile thresholds' denominator)",
 }
 
 
