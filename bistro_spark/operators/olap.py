@@ -1119,8 +1119,13 @@ def vocab_growth(
         .groupBy("fb")
         .agg(F.count("*").cast("long").alias("new_terms"))
     )
+    # first ⊆ tok by construction: a term's first-appearance checkpoint
+    # contains at least one occurrence of it, so that bucket has tokens —
+    # a broadcast LEFT join (grid-sized build side) replaces the
+    # full-outer the first draft used (full-outer cannot broadcast and
+    # planned two SortMergeJoins over 10-row inputs)
     grid = tok.join(
-        first.withColumnRenamed("fb", "b"), "b", "full_outer"
+        F.broadcast(first.withColumnRenamed("fb", "b")), "b", "left"
     ).select(
         "b",
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
@@ -1209,10 +1214,10 @@ def vocab_growth_sql(
         GROUP BY fb
       ),
       grid AS (
-        SELECT coalesce(tok.b, first.b) AS b,
+        SELECT tok.b AS b,
                coalesce(n_tokens, 0) AS n_tokens,
                coalesce(new_terms, 0) AS new_terms
-        FROM tok FULL OUTER JOIN first ON tok.b = first.b
+        FROM tok LEFT JOIN first ON tok.b = first.b
       ),
       curve AS (
         SELECT CAST(b AS BIGINT) AS checkpoint, n_tokens, new_terms,

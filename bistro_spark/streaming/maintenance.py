@@ -38,6 +38,14 @@ from pyspark.sql import functions as F
 from bistro_spark.caching import pin, release
 
 
+def _ts(us: int):
+    """Exact naive-UTC timestamp from integer microseconds (timedelta
+    arithmetic — no float rounding), matching the TIMESTAMP_NTZ inputs."""
+    from datetime import datetime, timedelta
+
+    return datetime(1970, 1, 1) + timedelta(microseconds=int(us))
+
+
 class StreamingCompactionMonitor:
     """Feed per-trigger manifest deltas to :meth:`process_batch` (rows:
     partition, file_id, bytes); each call returns the delta's merge-group
@@ -220,7 +228,9 @@ class StreamingExpiryMonitor:
         self.snapshot_col = snapshot_col
         self.ts_col = ts_col
         self.max_live = int(max_live_per_table)
-        # tbl -> list of (ts_us, snapshot_id, ts_value) LIVE snapshots
+        # tbl -> list of (ts_us, snapshot_id) LIVE snapshots — integer
+        # micros only, so state_snapshot is JSON-persistable; emitted
+        # timestamps are reconstructed exactly from the micros
         self._live: dict = {}
         self.batches_seen = 0
         self._cutoff_us: int | None = None
@@ -267,17 +277,17 @@ class StreamingExpiryMonitor:
                     f"StreamingExpiryMonitor: live lineage for {t!r} "
                     f"exceeds {self.max_live}; tighten the expiry policy"
                 )
-            live.append((int(r["_us"]), r[self.snapshot_col], r[self.ts_col]))
+            live.append((int(r["_us"]), r[self.snapshot_col]))
             touched.add(t)
         expired_rows = []
         for t in touched:
             live = sorted(self._live[t], key=lambda x: (-x[0], -x[1]))
             keep = []
-            for rank, (ts_us, sid, ts_val) in enumerate(live, start=1):
+            for rank, (ts_us, sid) in enumerate(live, start=1):
                 if rank > self.retain_last and ts_us < cutoff_us:
-                    expired_rows.append((t, sid, ts_val, rank, "expired"))
+                    expired_rows.append((t, sid, _ts(ts_us), rank, "expired"))
                 else:
-                    keep.append((ts_us, sid, ts_val))
+                    keep.append((ts_us, sid))
             self._live[t] = keep
         return self.spark.createDataFrame(
             expired_rows,
@@ -293,7 +303,7 @@ class StreamingExpiryMonitor:
         rows = []
         for t in sorted(self._live):
             live = sorted(self._live[t], key=lambda x: (-x[0], -x[1]))
-            for rank, (ts_us, sid, ts_val) in enumerate(live, start=1):
+            for rank, (ts_us, sid) in enumerate(live, start=1):
                 status = (
                     "retained_recent"
                     if rank <= self.retain_last
@@ -301,7 +311,7 @@ class StreamingExpiryMonitor:
                     if ts_us >= cutoff_us
                     else "expired"  # unreachable: expired rows left state
                 )
-                rows.append((t, sid, ts_val, rank, status))
+                rows.append((t, sid, _ts(ts_us), rank, status))
         return self.spark.createDataFrame(
             rows,
             f"{self.table_col} string, {self.snapshot_col} long, "
@@ -367,35 +377,44 @@ class StreamingOrphanTracker:
 
     # ------------------------------------------------------- recovery --
     def state_snapshot(self) -> dict:
+        """JSON-persistable (lists and scalars only — persist with the
+        foreachBatch epoch, restore before reprocessing)."""
         return {
             "expiry": self.expiry.state_snapshot(),
-            "files": {k: list(v) for k, v in self._files.items()},
-            "live_files": {k: list(v) for k, v in self._live_files.items()},
-            "expired": sorted(self._expired),
-            "pending": {k: list(v) for k, v in self._pending.items()},
+            "files": [
+                [t, fid, st[0], st[1]]
+                for (t, fid), st in sorted(self._files.items())
+            ],
+            "live_files": [
+                [t, sid, list(v)]
+                for (t, sid), v in sorted(self._live_files.items())
+            ],
+            "expired": [list(k) for k in sorted(self._expired)],
+            "pending": [
+                [t, sid, list(v)]
+                for (t, sid), v in sorted(self._pending.items())
+            ],
         }
 
     def restore_state(self, snapshot: dict) -> None:
         self.expiry.restore_state(snapshot["expiry"])
         self._files = {
-            tuple(k) if isinstance(k, (list, tuple)) else k: list(v)
-            for k, v in snapshot["files"].items()
+            (t, fid): [int(a), int(b)]
+            for t, fid, a, b in snapshot["files"]
         }
         self._live_files = {
-            tuple(k) if isinstance(k, (list, tuple)) else k: list(v)
-            for k, v in snapshot["live_files"].items()
+            (t, sid): list(v) for t, sid, v in snapshot["live_files"]
         }
         self._expired = {tuple(k) for k in snapshot["expired"]}
         self._pending = {
-            tuple(k) if isinstance(k, (list, tuple)) else k: list(v)
-            for k, v in snapshot["pending"].items()
+            (t, sid): list(v) for t, sid, v in snapshot["pending"]
         }
 
     # ---------------------------------------------------------- fold --
     def _live_ids(self) -> set:
         out = set()
         for t, rows in self.expiry._live.items():
-            for _us, sid, _ts in rows:
+            for _us, sid in rows:
                 out.add((t, sid))
         return out
 

@@ -91,9 +91,12 @@ def test_expired_rank_frozen_counter_example(spark):
 
 def test_kill_resume_parity(spark):
     rows = _snaps()
+    import json
+
     full = StreamingExpiryMonitor(spark, retain_last=RETAIN, older_than=CUTOFF)
     full.process_batch(_df(spark, rows[:10])).collect()
-    snap = full.state_snapshot()
+    # JSON round trip: the snapshot is integer-micros scalars only
+    snap = json.loads(json.dumps(full.state_snapshot()))
     out_full = sorted(
         tuple(r) for r in full.process_batch(_df(spark, rows[10:])).collect()
     )

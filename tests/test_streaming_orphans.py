@@ -114,7 +114,10 @@ def test_kill_resume_parity(spark):
     full.process_batch(
         _sdf(spark, snaps[:10]), _rdf(spark, refs[: 10 * 3])
     ).collect()
-    snap = full.state_snapshot()
+    import json
+
+    # the snapshot must survive a JSON round trip (checkpoint persistence)
+    snap = json.loads(json.dumps(full.state_snapshot()))
     full.process_batch(
         _sdf(spark, snaps[10:]), _rdf(spark, refs[10 * 3 :])
     ).collect()
