@@ -270,3 +270,98 @@ def test_pow2_bucket_formula(n):
         assert bucket & (bucket - 1) == 0 or bucket == 1
     else:
         assert bucket == 0
+
+
+# ------------------------------------------------------ apply_changelog ----
+
+
+@SPARK_SETTINGS
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # key
+            st.booleans(),                           # delete?
+            st.integers(min_value=0, max_value=99),  # payload
+        ),
+        max_size=30,
+    )
+)
+def test_apply_changelog_matches_sequential_replay(spark, ops):
+    """For ANY log, the declarative snapshot equals a sequential replay
+    of the log in seq order onto a dict — upserts overwrite, deletes
+    remove, seq is the list position (unique by construction)."""
+    from bistro_spark.operators.cdc import apply_changelog
+
+    rows = [
+        (k, i, "D" if d else "U", f"e{p}", float(p))
+        for i, (k, d, p) in enumerate(ops)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "entity_id long, seq long, op string, event_type string, "
+        "value double"
+    )
+    got = {
+        r["entity_id"]: (r["version"], r["event_type"], r["value"])
+        for r in apply_changelog(df).collect()
+    }
+    table: dict = {}
+    for k, i, op, et, v in rows:  # already seq-ordered
+        if op == "D":
+            table.pop(k, None)
+        else:
+            table[k] = (i, et, v)
+    assert got == table
+
+
+# ------------------------------------------------------- anneal_schedule ----
+
+
+@SPARK_SETTINGS
+@given(
+    masses=st.lists(
+        st.integers(min_value=1, max_value=500), min_size=1, max_size=6
+    ),
+    n_steps=st.integers(min_value=1, max_value=12),
+    batch=st.integers(min_value=1, max_value=300),
+)
+def test_anneal_schedule_exact_apportionment(spark, masses, n_steps, batch):
+    """For ANY weight masses / steps / batch size: every step draws
+    exactly `batch` sequences, per-step ppm sums to exactly 1e6, the
+    final step's weights are the natural mix floors (+ residual on the
+    last source), and cum_seqs telescopes."""
+    from bistro_spark.operators.curation import anneal_schedule
+
+    rows = []
+    rid = 0
+    for s, m in enumerate(masses):
+        rows.append((rid, f"s{s}", m))
+        rid += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = anneal_schedule(
+        df, weight_col="n_chars", n_steps=n_steps, batch_size=batch
+    ).collect()
+    by_step: dict = {}
+    cum: dict = {}
+    for r in out:
+        by_step.setdefault(r["step"], [0, 0])
+        by_step[r["step"]][0] += r["n_seqs"]
+        by_step[r["step"]][1] += r["weight_ppm"]
+        cum[(r["step"], r["source"])] = r["cum_seqs"]
+    assert set(by_step) == set(range(1, n_steps + 1))
+    for t, (n, ppm) in by_step.items():
+        assert n == batch and ppm == 1_000_000, t
+    # telescoping: cum(t) - cum(t-1) == n_seqs(t)
+    for r in out:
+        prev = cum.get((r["step"] - 1, r["source"]), 0)
+        assert r["cum_seqs"] - prev == r["n_seqs"]
+    # endpoint = natural floors with residual-to-last
+    tot = sum(masses)
+    last = max(f"s{s}" for s in range(len(masses)))
+    w1 = {f"s{s}": (m * 1_000_000) // tot for s, m in enumerate(masses)}
+    w1[last] += 1_000_000 - sum(w1.values())
+    got_last = {
+        r["source"]: r["weight_ppm"] for r in out if r["step"] == n_steps
+    }
+    assert got_last == w1
