@@ -2273,6 +2273,20 @@ def q_watermark_audit(spark: SparkSession, sf: str) -> DataFrame:
     return watermark_audit(load_table(spark, "events", sf))
 
 
+def q_maintenance_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-table lakehouse maintenance decision row: lineage size,
+    policy-expired snapshots, referenced files, deletable files — the
+    expiry + orphan family composed into ONE table-count-sized plan."""
+    from bistro_spark.operators.maintenance import maintenance_report
+
+    return maintenance_report(
+        _snapshots(spark, sf),
+        _snapshot_refs(spark, sf),
+        retain_last=3,
+        older_than="2024-01-25",
+    )
+
+
 def q_apply_changelog(spark: SparkSession, sf: str) -> DataFrame:
     """CDC MERGE snapshot: fold the changelog to the latest non-deleted
     version per entity — partial-aggregatable struct-max (shuffle is
@@ -2286,6 +2300,7 @@ def q_apply_changelog(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "apply_changelog": q_apply_changelog,
+        "maintenance_report": q_maintenance_report,
         "histogram_quantiles": q_histogram_quantiles,
         "vocab_truncation_sweep": q_vocab_truncation_sweep,
         "vocab_growth": q_vocab_growth,
@@ -2921,6 +2936,12 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _curation.unigram_logprob_sql("documents"),
         "apply_changelog": _cdc.apply_changelog_sql(
             "changelog", extra_ctes=_CHANGELOG_CTE
+        ),
+        "maintenance_report": (
+            f"WITH {_SNAPSHOTS_CTE} {_REFS_CTE[:-1]} "
+            + _maintenance.maintenance_report_sql(
+                "snapshots", "refs", retain_last=3, older_than="2024-01-25"
+            )
         ),
         "histogram_quantiles": _olap.histogram_quantiles_sql("documents"),
         "vocab_truncation_sweep": _ranking.vocab_truncation_sweep_sql(

@@ -324,3 +324,96 @@ def orphan_files_sql(
        AND r.{snapshot_col} = p.{snapshot_col}
       GROUP BY r.{table_col}, r.{file_col}
     """
+
+
+def maintenance_report(
+    snap_df: DataFrame,
+    refs_df: DataFrame,
+    table_col: str = "tbl",
+    snapshot_col: str = "snapshot_id",
+    ts_col: str = "committed_at",
+    file_col: str = "file_id",
+    retain_last: int = 3,
+    older_than: str = "2024-01-25",
+) -> DataFrame:
+    """The one-row-per-table lakehouse maintenance decision artifact —
+    what an operator reads before scheduling the expire + orphan-delete
+    cycle: snapshot lineage size, how many snapshots the policy expires,
+    the referenced-file population, and how many files become deletable
+    once those snapshots are gone. Composes :func:`snapshot_expiry_plan`
+    and :func:`orphan_files` into ONE plan (the ``corpus_health``
+    discipline applied to the maintenance family); output is
+    table-count-sized.
+    """
+    plan = snapshot_expiry_plan(
+        snap_df, table_col, snapshot_col, ts_col, retain_last, older_than
+    )
+    orph = orphan_files(refs_df, plan, table_col, snapshot_col, file_col)
+    snaps = plan.groupBy(table_col).agg(
+        F.count("*").cast("long").alias("n_snapshots"),
+        F.sum((F.col("status") == "expired").cast("long"))
+        .cast("long")
+        .alias("n_expired"),
+    )
+    files = orph.groupBy(table_col).agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum(F.col("deletable").cast("long"))
+        .cast("long")
+        .alias("n_deletable"),
+        F.sum("n_refs").cast("long").alias("n_refs"),
+        F.sum("n_live_refs").cast("long").alias("n_live_refs"),
+    )
+    return snaps.join(files, table_col, "left").select(
+        table_col,
+        "n_snapshots",
+        "n_expired",
+        F.coalesce("n_files", F.lit(0)).cast("long").alias("n_files"),
+        F.coalesce("n_deletable", F.lit(0)).cast("long").alias(
+            "n_deletable"
+        ),
+        F.coalesce("n_refs", F.lit(0)).cast("long").alias("n_refs"),
+        F.coalesce("n_live_refs", F.lit(0)).cast("long").alias(
+            "n_live_refs"
+        ),
+    )
+
+
+def maintenance_report_sql(
+    snap_table: str,
+    refs_table: str,
+    table_col: str = "tbl",
+    snapshot_col: str = "snapshot_id",
+    ts_col: str = "committed_at",
+    file_col: str = "file_id",
+    retain_last: int = 3,
+    older_than: str = "2024-01-25",
+) -> str:
+    """DuckDB twin of :func:`maintenance_report`."""
+    plan = snapshot_expiry_plan_sql(
+        snap_table, table_col, snapshot_col, ts_col, retain_last, older_than
+    )
+    orph = orphan_files_sql(refs_table, plan, table_col, snapshot_col, file_col)
+    return f"""
+      SELECT s.{table_col},
+             s.n_snapshots, s.n_expired,
+             coalesce(f.n_files, 0) AS n_files,
+             coalesce(f.n_deletable, 0) AS n_deletable,
+             coalesce(f.n_refs, 0) AS n_refs,
+             coalesce(f.n_live_refs, 0) AS n_live_refs
+      FROM (
+        SELECT {table_col},
+               CAST(count(*) AS BIGINT) AS n_snapshots,
+               CAST(sum(CASE WHEN status = 'expired' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_expired
+        FROM ({plan}) GROUP BY {table_col}
+      ) s
+      LEFT JOIN (
+        SELECT {table_col},
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(CASE WHEN deletable THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_deletable,
+               CAST(sum(n_refs) AS BIGINT) AS n_refs,
+               CAST(sum(n_live_refs) AS BIGINT) AS n_live_refs
+        FROM ({orph}) GROUP BY {table_col}
+      ) f ON s.{table_col} = f.{table_col}
+    """

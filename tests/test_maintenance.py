@@ -201,3 +201,33 @@ def test_orphan_files_empty_refs_schema_stable(spark):
         "n_live_refs",
         "deletable",
     ]
+
+
+def test_maintenance_report_consistent_with_parts(spark):
+    from bistro_spark.operators.maintenance import (
+        maintenance_report,
+        orphan_files,
+        snapshot_expiry_plan,
+    )
+
+    snaps = _snaps(spark)
+    refs = spark.createDataFrame(
+        [("t", d, (d // 2) * 10) for d in range(1, 7)],
+        "tbl string, snapshot_id long, file_id long",
+    )
+    rep = {
+        r["tbl"]: r
+        for r in maintenance_report(
+            snaps, refs, retain_last=2, older_than="2024-01-04"
+        ).collect()
+    }
+    plan = snapshot_expiry_plan(snaps, retain_last=2, older_than="2024-01-04")
+    orph = orphan_files(refs, plan).collect()
+    n_expired = sum(
+        1 for r in plan.collect() if r["status"] == "expired"
+    )
+    assert rep["t"]["n_snapshots"] == 6
+    assert rep["t"]["n_expired"] == n_expired
+    assert rep["t"]["n_files"] == len(orph)
+    assert rep["t"]["n_deletable"] == sum(1 for r in orph if r["deletable"])
+    assert rep["t"]["n_refs"] == sum(r["n_refs"] for r in orph)
