@@ -2273,6 +2273,16 @@ def q_watermark_audit(spark: SparkSession, sf: str) -> DataFrame:
     return watermark_audit(load_table(spark, "events", sf))
 
 
+def q_bottomk_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic uniform sample without replacement: the k smallest
+    md5(id) — exact-size, snapshot/cluster-shape stable, MERGEABLE
+    (bottom-k of a union = bottom-k of merged bottom-ks); sort+limit
+    compiles to TakeOrderedAndProject, never a global sort."""
+    from bistro_spark.operators.curation import bottomk_sample
+
+    return bottomk_sample(load_table(spark, "documents", sf), k=60)
+
+
 def q_maintenance_report(spark: SparkSession, sf: str) -> DataFrame:
     """Per-table lakehouse maintenance decision row: lineage size,
     policy-expired snapshots, referenced files, deletable files — the
@@ -2300,6 +2310,7 @@ def q_apply_changelog(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "apply_changelog": q_apply_changelog,
+        "bottomk_sample": q_bottomk_sample,
         "maintenance_report": q_maintenance_report,
         "histogram_quantiles": q_histogram_quantiles,
         "vocab_truncation_sweep": q_vocab_truncation_sweep,
@@ -2937,6 +2948,7 @@ def oracle_sql() -> dict[str, str]:
         "apply_changelog": _cdc.apply_changelog_sql(
             "changelog", extra_ctes=_CHANGELOG_CTE
         ),
+        "bottomk_sample": _curation.bottomk_sample_sql("documents", k=60),
         "maintenance_report": (
             f"WITH {_SNAPSHOTS_CTE} {_REFS_CTE[:-1]} "
             + _maintenance.maintenance_report_sql(

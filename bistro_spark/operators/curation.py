@@ -3518,3 +3518,51 @@ def kneser_ney3_logprob_sql(
       CROSS JOIN tt
       GROUP BY t.{id_col}
     """
+
+
+# ------------------------------------------------- bottom-k uniform sample ----
+
+
+def bottomk_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 100,
+    keep_cols: tuple[str, ...] = ("source", "n_chars"),
+) -> DataFrame:
+    """Deterministic uniform sample WITHOUT replacement: the ``k``
+    documents with the smallest md5(id) — a bottom-k summary. Unlike
+    rate-based hash sampling (``hash_sample``), the output size is
+    EXACTLY ``k``; unlike ``ORDER BY rand()``, the same corpus yields
+    the same sample on every run, cluster shape, and snapshot, and the
+    summary is MERGEABLE: bottom-k of a union is the bottom-k of the
+    merged bottom-ks, which is what makes the streaming twin exact.
+
+    Plan shape: sort+limit compiles to TakeOrderedAndProject —
+    per-partition top-k then a k-row merge on the driver side of the
+    exchange, never a global sort (plan-pinned in pytest).
+    """
+    cols = [id_col, *keep_cols]
+    return (
+        df.select(
+            *cols,
+            F.md5(F.col(id_col).cast("string")).alias("sample_key"),
+        )
+        .orderBy("sample_key", id_col)
+        .limit(int(k))
+    )
+
+
+def bottomk_sample_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    k: int = 100,
+    keep_cols: tuple[str, ...] = ("source", "n_chars"),
+) -> str:
+    """DuckDB twin of :func:`bottomk_sample`."""
+    cols = ", ".join([id_col, *keep_cols])
+    return f"""
+      SELECT {cols}, md5(CAST({id_col} AS VARCHAR)) AS sample_key
+      FROM {table}
+      ORDER BY sample_key, {id_col}
+      LIMIT {int(k)}
+    """

@@ -1,0 +1,73 @@
+"""bottomk_sample + StreamingBottomKSampler: brute-force parity, the
+TakeOrderedAndProject plan shape, any-order streaming parity at every
+trigger, replay idempotence, O(k) state, kill/resume."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from bistro_spark.operators.curation import bottomk_sample
+from bistro_spark.streaming.sample import StreamingBottomKSampler
+
+K = 12
+
+
+def _rows(n=100):
+    return [(i, f"s{i % 4}", 10 + i) for i in range(n)]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+
+def _brute(rows, k=K):
+    keyed = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), i, s, c)
+        for i, s, c in rows
+    )[:k]
+    return sorted((i, s, c, h) for h, i, s, c in keyed)
+
+
+def test_batch_matches_brute_force_and_plan(spark):
+    df = _df(spark, _rows())
+    out = bottomk_sample(df, k=K)
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == _brute(_rows())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_streaming_any_order_parity_and_replay(spark):
+    rows = _rows()
+    orders = [rows, sorted(rows, key=lambda r: (r[0] * 7919) % 37)]
+    for order in orders:
+        mon = StreamingBottomKSampler(spark, k=K)
+        cuts = [0, 30, 70, len(order)]
+        seen: list = []
+        for lo, hi in zip(cuts, cuts[1:]):
+            seen.extend(order[lo:hi])
+            mon.process_batch(_df(spark, order[lo:hi]))
+            got = sorted(tuple(r) for r in mon.sample().collect())
+            want = sorted(
+                tuple(r)
+                for r in bottomk_sample(_df(spark, seen), k=K).collect()
+            )
+            assert got == want
+    # replay idempotence: refeeding a batch changes nothing
+    changed = mon.process_batch(_df(spark, rows[:30]))
+    assert changed == 0
+    assert len(mon.state_snapshot()) <= K
+
+
+def test_streaming_kill_resume(spark):
+    rows = _rows()
+    full = StreamingBottomKSampler(spark, k=K)
+    full.process_batch(_df(spark, rows[:50]))
+    snap = json.loads(json.dumps(full.state_snapshot()))
+    full.process_batch(_df(spark, rows[50:]))
+    fresh = StreamingBottomKSampler(spark, k=K)
+    fresh.restore_state(snap)
+    fresh.process_batch(_df(spark, rows[50:]))
+    assert fresh.state_snapshot() == full.state_snapshot()
