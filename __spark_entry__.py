@@ -2273,6 +2273,16 @@ def q_watermark_audit(spark: SparkSession, sf: str) -> DataFrame:
     return watermark_audit(load_table(spark, "events", sf))
 
 
+def q_changelog_history(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD-type-2 history view of the CDC changelog: one validity
+    interval [seq_from, seq_to) per upserted version, is_current flag —
+    the time-travel/audit complement of apply_changelog; one key shuffle
+    (per-key version ordering is the semantics)."""
+    from bistro_spark.operators.cdc import changelog_history
+
+    return changelog_history(_changelog(spark, sf))
+
+
 def q_bottomk_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic uniform sample without replacement: the k smallest
     md5(id) — exact-size, snapshot/cluster-shape stable, MERGEABLE
@@ -2310,6 +2320,7 @@ def q_apply_changelog(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "apply_changelog": q_apply_changelog,
+        "changelog_history": q_changelog_history,
         "bottomk_sample": q_bottomk_sample,
         "maintenance_report": q_maintenance_report,
         "histogram_quantiles": q_histogram_quantiles,
@@ -2946,6 +2957,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "unigram_logprob": _curation.unigram_logprob_sql("documents"),
         "apply_changelog": _cdc.apply_changelog_sql(
+            "changelog", extra_ctes=_CHANGELOG_CTE
+        ),
+        "changelog_history": _cdc.changelog_history_sql(
             "changelog", extra_ctes=_CHANGELOG_CTE
         ),
         "bottomk_sample": _curation.bottomk_sample_sql("documents", k=60),

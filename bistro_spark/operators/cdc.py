@@ -111,3 +111,76 @@ def apply_changelog_sql(
       FROM ranked
       WHERE rn = 1 AND op <> '{delete_op}'
     """
+
+
+def changelog_history(
+    log_df: DataFrame,
+    key_col: str = "entity_id",
+    seq_col: str = "seq",
+    op_col: str = "op",
+    payload_cols: Sequence[str] = ("event_type", "value"),
+    delete_op: str = "D",
+) -> DataFrame:
+    """SCD-type-2 history of the changelog: one validity interval per
+    upserted version — ``[seq_from, seq_to)`` where ``seq_to`` is the
+    next operation's sequence number for the key (NULL while current) —
+    plus ``is_current`` (an open interval not superseded by a delete).
+    The time-travel/audit view that complements
+    :func:`apply_changelog`'s "latest state" view: joining a fact at
+    sequence ``s`` to ``seq_from <= s < seq_to`` reconstructs the
+    dimension as of ``s``.
+
+    Scale: version ordering is inherently per-key, so the plan is ONE
+    key shuffle with per-key sort (window lead) — rows are touched
+    once, tombstones close intervals and then drop out of the output.
+    """
+    from pyspark.sql import Window
+
+    pays = list(payload_cols)
+    w = Window.partitionBy(key_col).orderBy("seq_from")
+    ordered = log_df.select(
+        key_col,
+        F.col(seq_col).cast("long").alias("seq_from"),
+        F.col(op_col).alias("op"),
+        *pays,
+    ).withColumn("seq_to", F.lead("seq_from").over(w))
+    return (
+        ordered.filter(F.col("op") != delete_op)
+        .select(
+            key_col,
+            "seq_from",
+            "seq_to",
+            F.col("seq_to").isNull().alias("is_current"),
+            *pays,
+        )
+    )
+
+
+def changelog_history_sql(
+    table: str,
+    key_col: str = "entity_id",
+    seq_col: str = "seq",
+    op_col: str = "op",
+    payload_cols: Sequence[str] = ("event_type", "value"),
+    delete_op: str = "D",
+    extra_ctes: str = "",
+) -> str:
+    """DuckDB twin of :func:`changelog_history`."""
+    pays = ", ".join(payload_cols)
+    return f"""
+      WITH {extra_ctes} ordered AS (
+        SELECT {key_col},
+               CAST({seq_col} AS BIGINT) AS seq_from,
+               {op_col} AS op,
+               {pays},
+               lead(CAST({seq_col} AS BIGINT)) OVER (
+                 PARTITION BY {key_col} ORDER BY {seq_col}
+               ) AS seq_to
+        FROM {table}
+      )
+      SELECT {key_col}, seq_from, seq_to,
+             seq_to IS NULL AS is_current,
+             {pays}
+      FROM ordered
+      WHERE op <> '{delete_op}'
+    """

@@ -152,3 +152,48 @@ def test_streaming_state_entity_bounded(spark):
         raise AssertionError("max_keys guard did not fire")
     except ValueError as e:
         assert "key count" in str(e)
+
+
+# ------------------------------------------------------ SCD2 history ----
+
+
+def test_changelog_history_worked_example(spark):
+    from bistro_spark.operators.cdc import changelog_history
+
+    got = {
+        (r["entity_id"], r["seq_from"]): (r["seq_to"], r["is_current"])
+        for r in changelog_history(_df(spark, LOG)).collect()
+    }
+    assert got == {
+        (1, 10): (20, False),
+        (1, 20): (None, True),
+        (2, 11): (25, False),   # closed by the delete tombstone
+        (3, 30): (None, True),  # the post-delete re-insert
+        (4, 35): (40, False),   # late upsert closed by the later delete
+        (5, 13): (None, True),
+    }
+
+
+def test_history_reconstructs_any_as_of_snapshot(spark):
+    """Filtering the history at sequence s equals replaying the log
+    prefix seq <= s — the time-travel contract."""
+    from pyspark.sql import functions as F
+
+    from bistro_spark.operators.cdc import apply_changelog, changelog_history
+
+    hist = changelog_history(_df(spark, LOG))
+    for s in (12, 22, 27, 36, 41):
+        as_of = {
+            r["entity_id"]: (r["event_type"], r["value"])
+            for r in hist.filter(
+                (F.col("seq_from") <= s)
+                & (F.col("seq_to").isNull() | (F.col("seq_to") > s))
+            ).collect()
+        }
+        replay = {
+            r["entity_id"]: (r["event_type"], r["value"])
+            for r in apply_changelog(
+                _df(spark, [r for r in LOG if r[1] <= s])
+            ).collect()
+        }
+        assert as_of == replay, f"as-of {s}"
