@@ -2273,6 +2273,15 @@ def q_watermark_audit(spark: SparkSession, sf: str) -> DataFrame:
     return watermark_audit(load_table(spark, "events", sf))
 
 
+def q_stratified_bottomk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-k-per-stratum deterministic sample (smallest md5 per
+    group): the rank-limit compiles to WindowGroupLimit, pruning every
+    input partition to its per-stratum top-k BEFORE the shuffle."""
+    from bistro_spark.operators.curation import stratified_bottomk
+
+    return stratified_bottomk(load_table(spark, "documents", sf), k=8)
+
+
 def q_changelog_history(spark: SparkSession, sf: str) -> DataFrame:
     """SCD-type-2 history view of the CDC changelog: one validity
     interval [seq_from, seq_to) per upserted version, is_current flag —
@@ -2320,6 +2329,7 @@ def q_apply_changelog(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "apply_changelog": q_apply_changelog,
+        "stratified_bottomk": q_stratified_bottomk,
         "changelog_history": q_changelog_history,
         "bottomk_sample": q_bottomk_sample,
         "maintenance_report": q_maintenance_report,
@@ -2958,6 +2968,9 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _curation.unigram_logprob_sql("documents"),
         "apply_changelog": _cdc.apply_changelog_sql(
             "changelog", extra_ctes=_CHANGELOG_CTE
+        ),
+        "stratified_bottomk": _curation.stratified_bottomk_sql(
+            "documents", k=8
         ),
         "changelog_history": _cdc.changelog_history_sql(
             "changelog", extra_ctes=_CHANGELOG_CTE

@@ -3566,3 +3566,67 @@ def bottomk_sample_sql(
       ORDER BY sample_key, {id_col}
       LIMIT {int(k)}
     """
+
+
+def stratified_bottomk(
+    df: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 25,
+    keep_cols: tuple[str, ...] = ("n_chars",),
+) -> DataFrame:
+    """Deterministic EXACT-k-per-stratum sample: within each stratum,
+    the ``k`` documents with the smallest md5(id). The eval-set /
+    human-review construction primitive — ``hash_sample`` gives a rate,
+    ``bottomk_sample`` a global k; this gives the per-group quota
+    exactly, reproducibly on any cluster shape or corpus snapshot.
+
+    Scale note: the rank-limit filter compiles to Spark's
+    WindowGroupLimit (plan-pinned) — each input partition is pruned to
+    its per-stratum top-k BEFORE the shuffle, so the exchange carries
+    ≤ k·#strata·#partitions rows and the per-group sort touches pruned
+    data, never the full group.
+    """
+    w = Window.partitionBy(strata_col).orderBy("sample_key", id_col)
+    return (
+        df.select(
+            strata_col,
+            id_col,
+            *keep_cols,
+            F.md5(F.col(id_col).cast("string")).alias("sample_key"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= int(k))
+        .select(
+            strata_col,
+            id_col,
+            *keep_cols,
+            "sample_key",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def stratified_bottomk_sql(
+    table: str = "documents",
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 25,
+    keep_cols: tuple[str, ...] = ("n_chars",),
+) -> str:
+    """DuckDB twin of :func:`stratified_bottomk`."""
+    keeps = "".join(f", {c}" for c in keep_cols)
+    return f"""
+      SELECT {strata_col}, {id_col}{keeps}, sample_key,
+             CAST(rk AS BIGINT) AS rk
+      FROM (
+        SELECT {strata_col}, {id_col}{keeps},
+               md5(CAST({id_col} AS VARCHAR)) AS sample_key,
+               row_number() OVER (
+                 PARTITION BY {strata_col}
+                 ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}
+               ) AS rk
+        FROM {table}
+      )
+      WHERE rk <= {int(k)}
+    """

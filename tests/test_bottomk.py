@@ -71,3 +71,32 @@ def test_streaming_kill_resume(spark):
     fresh.restore_state(snap)
     fresh.process_batch(_df(spark, rows[50:]))
     assert fresh.state_snapshot() == full.state_snapshot()
+
+
+def test_stratified_bottomk_brute_and_plan(spark):
+    from bistro_spark.operators.curation import stratified_bottomk
+
+    rows = _rows(120)
+    df = _df(spark, rows)
+    out = stratified_bottomk(df, k=5, keep_cols=("n_chars",))
+    got = sorted(
+        (r["source"], r["rk"], r["doc_id"]) for r in out.collect()
+    )
+    want = []
+    for s in {f"s{i}" for i in range(4)}:
+        keyed = sorted(
+            (hashlib.md5(str(i).encode()).hexdigest(), i)
+            for i, src, _ in rows
+            if src == s
+        )[:5]
+        want.extend((s, rk + 1, i) for rk, (_, i) in enumerate(keyed))
+    assert got == sorted(want)
+    # exact k per stratum
+    from collections import Counter
+
+    counts = Counter(r["source"] for r in out.collect())
+    assert all(v == 5 for v in counts.values()) and len(counts) == 4
+    # scale path: the rank-limit is pushed into WindowGroupLimit
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
