@@ -78,3 +78,91 @@ class StreamingBottomKSampler:
         assert self._schema is not None, "no batch processed yet"
         df = self.spark.createDataFrame(self._best, self._schema)
         return df.select(self.id_col, *self.keep_cols, "sample_key")
+
+
+class StreamingStratifiedSampler:
+    """Streaming twin of ``operators/curation.stratified_bottomk``: the
+    exact-k-per-stratum sample maintained live. Bottom-k is mergeable
+    PER GROUP, so state is ≤ k rows per stratum seen and the sample
+    equals the batch operator over everything seen at EVERY trigger in
+    ANY arrival order (pytest-pinned). Each trigger's delta is pruned
+    distributed-side first (WindowGroupLimit — the batch operator's own
+    plan), so the driver merge handles ≤ k·#strata rows per trigger."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        strata_col: str = "source",
+        id_col: str = "doc_id",
+        k: int = 25,
+        keep_cols: tuple[str, ...] = ("n_chars",),
+        max_strata: int = 1_000_000,
+    ):
+        self.spark = spark
+        self.strata_col = strata_col
+        self.id_col = id_col
+        self.k = int(k)
+        self.keep_cols = tuple(keep_cols)
+        self.max_strata = int(max_strata)
+        self._best: dict = {}  # stratum -> sorted [(key, id, *keep)] <= k
+        self.batches_seen = 0
+
+    # ------------------------------------------------------- recovery --
+    def state_snapshot(self) -> dict:
+        return {s: [list(r) for r in v] for s, v in self._best.items()}
+
+    def restore_state(self, snapshot: dict) -> None:
+        self._best = {
+            s: [tuple(r) for r in v] for s, v in snapshot.items()
+        }
+
+    # ---------------------------------------------------------- fold --
+    def process_batch(self, batch_df: DataFrame) -> int:
+        from bistro_spark.operators.curation import stratified_bottomk
+
+        self.batches_seen += 1
+        delta = stratified_bottomk(
+            batch_df, self.strata_col, self.id_col, self.k, self.keep_cols
+        ).collect()
+        if len(self._best) + len(delta) > self.max_strata * max(self.k, 1):
+            raise ValueError(
+                f"StreamingStratifiedSampler: strata budget exceeded "
+                f"({self.max_strata})"
+            )
+        changed = 0
+        touched: dict = {}
+        for r in delta:
+            touched.setdefault(r[self.strata_col], []).append(
+                (
+                    r["sample_key"],
+                    r[self.id_col],
+                    *[r[c] for c in self.keep_cols],
+                )
+            )
+        for s, rows in touched.items():
+            cur = {(r[0], r[1]): r for r in self._best.get(s, [])}
+            before = set(cur)
+            for r in rows:
+                cur[(r[0], r[1])] = r
+            best = sorted(cur.values())[: self.k]
+            changed += len(set((r[0], r[1]) for r in best) - before)
+            self._best[s] = best
+        return changed
+
+    # -------------------------------------------------------- sample --
+    def sample(self) -> DataFrame:
+        """Same schema and rows (incl. per-stratum rank) as batch
+        ``stratified_bottomk`` over everything seen."""
+        rows = []
+        for s in sorted(self._best):
+            for rk, r in enumerate(self._best[s], start=1):
+                rows.append((s, r[1], *r[2:], r[0], rk))
+        keeps = "".join(
+            f", {c} long" if c == "n_chars" else f", {c} string"
+            for c in self.keep_cols
+        )
+        return self.spark.createDataFrame(
+            rows,
+            f"{self.strata_col} string, {self.id_col} long{keeps}, "
+            "sample_key string, rk long",
+        )
