@@ -488,3 +488,46 @@ class StreamingOrphanTracker:
             f"{self.table_col} string, {self.file_col} long, "
             "n_refs long, n_live_refs long, deletable boolean",
         )
+
+
+def tracker_maintenance_report(tracker: "StreamingOrphanTracker") -> DataFrame:
+    """The live per-table maintenance decision row, composed from a
+    :class:`StreamingOrphanTracker`'s state — same schema (and, with no
+    pending refs, same rows) as batch
+    ``operators/maintenance.maintenance_report`` over everything seen:
+    the expiry monitor contributes lineage/expired counts, the file
+    counters contribute population/deletable counts. Any-order exactness
+    is inherited from the two constituents (pytest-pinned)."""
+    spark = tracker.spark
+    tbl = tracker.table_col
+    n_snaps: dict = {}
+    n_expired: dict = {}
+    for t, rows in tracker.expiry._live.items():
+        n_snaps[t] = n_snaps.get(t, 0) + len(rows)
+    for t, _sid in tracker._expired:
+        n_snaps[t] = n_snaps.get(t, 0) + 1
+        n_expired[t] = n_expired.get(t, 0) + 1
+    files: dict = {}
+    for (t, _fid), st in tracker._files.items():
+        f = files.setdefault(t, [0, 0, 0, 0])
+        f[0] += 1
+        f[1] += 1 if st[1] == 0 else 0
+        f[2] += st[0]
+        f[3] += st[1]
+    rows = [
+        (
+            t,
+            n_snaps[t],
+            n_expired.get(t, 0),
+            files.get(t, [0, 0, 0, 0])[0],
+            files.get(t, [0, 0, 0, 0])[1],
+            files.get(t, [0, 0, 0, 0])[2],
+            files.get(t, [0, 0, 0, 0])[3],
+        )
+        for t in sorted(n_snaps)
+    ]
+    return spark.createDataFrame(
+        rows,
+        f"{tbl} string, n_snapshots long, n_expired long, n_files long, "
+        "n_deletable long, n_refs long, n_live_refs long",
+    )

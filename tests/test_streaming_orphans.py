@@ -129,3 +129,36 @@ def test_kill_resume_parity(spark):
     assert sorted(map(tuple, fresh.report().collect())) == sorted(
         map(tuple, full.report().collect())
     )
+
+
+def test_live_maintenance_report_parity(spark):
+    from bistro_spark.operators.maintenance import maintenance_report
+    from bistro_spark.streaming.maintenance import (
+        StreamingOrphanTracker,
+        tracker_maintenance_report,
+    )
+
+    snaps = _snaps()
+    mon = StreamingOrphanTracker(spark, retain_last=RETAIN, older_than=CUTOFF)
+    cuts = [0, 9, 17, len(snaps)]
+    seen_s: list = []
+    seen_r: list = []
+    for lo, hi in zip(cuts, cuts[1:]):
+        batch_s = snaps[lo:hi]
+        batch_r = [e for t, d, _ in batch_s for e in _refs_for(t, d)]
+        seen_s.extend(batch_s)
+        seen_r.extend(batch_r)
+        mon.process_batch(_sdf(spark, batch_s), _rdf(spark, batch_r)).collect()
+        got = sorted(
+            tuple(r) for r in tracker_maintenance_report(mon).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in maintenance_report(
+                _sdf(spark, seen_s),
+                _rdf(spark, seen_r),
+                retain_last=RETAIN,
+                older_than=CUTOFF,
+            ).collect()
+        )
+        assert got == want
