@@ -2273,6 +2273,18 @@ def q_watermark_audit(spark: SparkSession, sf: str) -> DataFrame:
     return watermark_audit(load_table(spark, "events", sf))
 
 
+def q_mixture_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """The data-loader artifact: which docs each training step draws —
+    per-source md5 consumption order + the schedule's cumulative floor
+    INVERTED in closed form (double neighborhood + exact integer
+    3-candidate verification; no corpus×steps interval join)."""
+    from bistro_spark.operators.curation import mixture_manifest
+
+    return mixture_manifest(
+        load_table(spark, "documents", sf), n_steps=12, batch_size=40
+    )
+
+
 def q_stratified_bottomk(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-k-per-stratum deterministic sample (smallest md5 per
     group): the rank-limit compiles to WindowGroupLimit, pruning every
@@ -2329,6 +2341,7 @@ def q_apply_changelog(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "apply_changelog": q_apply_changelog,
+        "mixture_manifest": q_mixture_manifest,
         "stratified_bottomk": q_stratified_bottomk,
         "changelog_history": q_changelog_history,
         "bottomk_sample": q_bottomk_sample,
@@ -2968,6 +2981,9 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _curation.unigram_logprob_sql("documents"),
         "apply_changelog": _cdc.apply_changelog_sql(
             "changelog", extra_ctes=_CHANGELOG_CTE
+        ),
+        "mixture_manifest": _curation.mixture_manifest_sql(
+            "documents", n_steps=12, batch_size=40
         ),
         "stratified_bottomk": _curation.stratified_bottomk_sql(
             "documents", k=8

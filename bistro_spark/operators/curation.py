@@ -3630,3 +3630,182 @@ def stratified_bottomk_sql(
       )
       WHERE rk <= {int(k)}
     """
+
+
+def mixture_manifest(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_steps: int = 100,
+    batch_size: int = 1024,
+) -> DataFrame:
+    """Materialize WHICH documents each training step draws under
+    :func:`mixture_schedule`: per source, documents are consumed in
+    md5(id) order (snapshot/cluster-shape-stable), and step ``t`` takes
+    the per-source slice ``(cum(t-1), cum(t)]`` of that order. Returns
+    (doc_id, source, rank, step, position) — ``position`` is 1-based
+    within the step's per-source slice; documents beyond ``cum(T)``
+    (never drawn this run) are absent. This is the data-loader artifact:
+    a shard reader joins it to serve exactly the schedule.
+
+    Scale design — the step is computed by INVERTING the schedule's
+    closed form, not by joining the corpus to the step grid (an
+    interval join would probe every step of a doc's source — O(corpus ×
+    steps)):
+
+        cum_s(t) = q·t + (r·t) DIV N,  q = (n_s·B) DIV N, r = (n_s·B) % N
+
+    is within 1 of ``rate·t`` (rate = n_s·B/N), so the unique step with
+    ``cum(t-1) < rank <= cum(t)`` lies in {t0−1, t0, t0+1} for
+    ``t0 = ceil(rank / rate)`` — the double selects the neighborhood,
+    EXACT integer verification of the three candidates picks the step
+    (overflow-safe q/r form, deterministic cross-engine). The per-source
+    rank is one key shuffle + per-group sort — the consumption order IS
+    the semantics (the binidx argument).
+    """
+    t_, b_ = int(n_steps), int(batch_size)
+    c = df.groupBy(source_col).agg(F.count("*").cast("long").alias("n"))
+    tot = c.agg(F.sum("n").cast("long").alias("n_total"))
+    qr = c.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.col("n"),
+        F.expr(f"(n * {b_}) DIV n_total").alias("q"),
+        F.expr(f"(n * {b_}) % n_total").alias("r"),
+        "n_total",
+    )
+    w = Window.partitionBy(source_col).orderBy("sample_key", id_col)
+    ranked = (
+        df.select(
+            source_col,
+            id_col,
+            F.md5(F.col(id_col).cast("string")).alias("sample_key"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(qr), source_col)
+    )
+
+    def cumf(texpr: str) -> str:  # exact integer cumulative draw
+        return f"(q * ({texpr}) + (r * ({texpr})) DIV n_total)"
+
+    # the schedule draws cum_T sequences per source over the run — MORE
+    # than n_s when the run repeats data (the repetition_budget case) —
+    # so a doc at consumption rank k serves draws k, k + n_s, k + 2·n_s,
+    # ... <= cum_T: explode the per-doc epoch list map-side (factor =
+    # the source's epoch count), then invert each DRAW to its step
+    drawn = (
+        ranked.withColumn("cum_t", F.expr(cumf(str(t_))))
+        .filter(F.col("rank") <= F.col("cum_t"))
+        .withColumn(
+            "epoch",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    (F.expr("(cum_t - rank) DIV n") + F.lit(1)).cast("int"),
+                )
+            ),
+        )
+        .withColumn("draw", F.expr("rank + (epoch - 1) * n"))
+    )
+
+    t0 = F.expr(
+        "CAST(ceil(draw / ((q * n_total + r) / CAST(n_total AS DOUBLE)))"
+        " AS BIGINT)"
+    )
+    with_t0 = drawn.withColumn(
+        "t0", F.greatest(F.least(t0, F.lit(t_)), F.lit(1))
+    )
+    hits = []
+    for d in (-1, 0, 1):
+        t = f"greatest(least(t0 + ({d}), {t_}), 1)"
+        hits.append(
+            f"CASE WHEN draw <= {cumf(t)} AND draw > {cumf(f'({t}) - 1')} "
+            f"THEN {t} END"
+        )
+    out = with_t0.withColumn(
+        "step", F.expr("coalesce(" + ", ".join(hits) + ")").cast("long")
+    ).filter(F.col("step").isNotNull())
+    return out.select(
+        id_col,
+        source_col,
+        "rank",
+        F.col("epoch").cast("long").alias("epoch"),
+        "draw",
+        "step",
+        (
+            F.col("draw")
+            - F.expr("q * (step - 1) + (r * (step - 1)) DIV n_total")
+        )
+        .cast("long")
+        .alias("position"),
+    )
+
+
+def mixture_manifest_sql(
+    table: str = "documents",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_steps: int = 100,
+    batch_size: int = 1024,
+) -> str:
+    """DuckDB twin of :func:`mixture_manifest` — the same closed-form
+    inverse with exact integer candidate verification."""
+    t_, b_ = int(n_steps), int(batch_size)
+
+    def cumf(t):
+        return f"(q * ({t}) + (r * ({t})) // n_total)"
+
+    hits = []
+    for d in (-1, 0, 1):
+        t = f"greatest(least(t0 + ({d}), {t_}), 1)"
+        hits.append(
+            f"CASE WHEN draw <= {cumf(t)} AND draw > {cumf(f'({t}) - 1')} "
+            f"THEN {t} END"
+        )
+    step = f"coalesce({', '.join(hits)})"
+    return f"""
+      WITH c AS (
+        SELECT {source_col}, CAST(count(*) AS BIGINT) AS n
+        FROM {table} GROUP BY {source_col}
+      ),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c),
+      qr AS (
+        SELECT {source_col}, n,
+               (n * {b_}) // n_total AS q, (n * {b_}) % n_total AS r,
+               n_total
+        FROM c, tot
+      ),
+      ranked AS (
+        SELECT d.{source_col}, d.{id_col},
+               CAST(row_number() OVER (
+                 PARTITION BY d.{source_col}
+                 ORDER BY md5(CAST(d.{id_col} AS VARCHAR)), d.{id_col}
+               ) AS BIGINT) AS rank,
+               qr.n, qr.q, qr.r, qr.n_total
+        FROM {table} d JOIN qr ON d.{source_col} = qr.{source_col}
+      ),
+      drawn AS (
+        SELECT *,
+               CAST(e AS BIGINT) + 1 AS epoch,
+               rank + CAST(e AS BIGINT) * n AS draw
+        FROM (SELECT *, {cumf(str(t_))} AS cum_t FROM ranked)
+        CROSS JOIN LATERAL unnest(generate_series(0, (cum_t - rank) // n))
+          AS u(e)
+        WHERE rank <= cum_t
+      ),
+      with_t0 AS (
+        SELECT *, greatest(least(CAST(ceil(draw /
+                 ((q * n_total + r) / CAST(n_total AS DOUBLE)))
+               AS BIGINT), {t_}), 1) AS t0
+        FROM drawn
+      ),
+      stepped AS (
+        SELECT {id_col}, {source_col}, rank, epoch, draw, q, r, n_total,
+               CAST({step} AS BIGINT) AS step
+        FROM with_t0
+      )
+      SELECT {id_col}, {source_col}, rank, epoch, draw, step,
+             CAST(draw - (q * (step - 1) + (r * (step - 1)) // n_total)
+                  AS BIGINT) AS position
+      FROM stepped
+      WHERE step IS NOT NULL
+    """
