@@ -93,6 +93,9 @@ CROSS_JOIN_SANCTIONED = {
     "Heaps-fit aggregate (beta, K) computed from the checkpoint grid",
     "histogram_quantiles": "scalar broadcast: cross against the 1-row "
     "corpus-total aggregate (the quantile thresholds' denominator)",
+    "mixture_manifest": "scalar broadcast: cross against the 1-row "
+    "corpus-total aggregate (the apportionment denominator — same class "
+    "as mixture_schedule); the step inversion itself is map-only",
 }
 
 
