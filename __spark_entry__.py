@@ -2273,6 +2273,18 @@ def q_watermark_audit(spark: SparkSession, sf: str) -> DataFrame:
     return watermark_audit(load_table(spark, "events", sf))
 
 
+def q_step_read_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """The loader's per-(step, shard) I/O plan: mixture_manifest ⨝
+    binidx_manifest → offset-ordered read arrays per cell, each bounded
+    by the training batch (capacity-bounded collect discipline)."""
+    from bistro_spark.operators.curation import step_read_plan
+
+    docs = load_table(spark, "documents", sf).select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_words")
+    )
+    return step_read_plan(docs, n_steps=12, batch_size=40)
+
+
 def q_mixture_manifest(spark: SparkSession, sf: str) -> DataFrame:
     """The data-loader artifact: which docs each training step draws —
     per-source md5 consumption order + the schedule's cumulative floor
@@ -2341,6 +2353,7 @@ def q_apply_changelog(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "apply_changelog": q_apply_changelog,
+        "step_read_plan": q_step_read_plan,
         "mixture_manifest": q_mixture_manifest,
         "stratified_bottomk": q_stratified_bottomk,
         "changelog_history": q_changelog_history,
@@ -2981,6 +2994,9 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": _curation.unigram_logprob_sql("documents"),
         "apply_changelog": _cdc.apply_changelog_sql(
             "changelog", extra_ctes=_CHANGELOG_CTE
+        ),
+        "step_read_plan": _curation.step_read_plan_sql(
+            "documents", n_steps=12, batch_size=40
         ),
         "mixture_manifest": _curation.mixture_manifest_sql(
             "documents", n_steps=12, batch_size=40

@@ -3809,3 +3809,84 @@ def mixture_manifest_sql(
       FROM stepped
       WHERE step IS NOT NULL
     """
+
+
+def step_read_plan(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    len_col: str = "n_words",
+    n_steps: int = 100,
+    batch_size: int = 1024,
+    n_shards: int = 4,
+    bytes_per_token: int = 2,
+) -> DataFrame:
+    """The loader's per-(step, shard) I/O plan: join the mixing manifest
+    (WHICH doc serves each step — :func:`mixture_manifest`) to the
+    ``.bin`` layout (WHERE each doc's tokens live —
+    :func:`binidx_manifest`) and aggregate each step's reads per shard
+    file into offset-ordered arrays. This is the artifact a data loader
+    executes: for training step ``t``, open shard ``s`` and read exactly
+    these (byte_offset, n_bytes) segments.
+
+    Scale: one equi join on the doc id (both sides corpus-sized once,
+    then the manifest is step-filtered upstream in practice), then a
+    partial-agg shuffle to the step×shard grid; per-row arrays are
+    batch-size-bounded (a step draws ``batch_size`` docs total), so the
+    collect per cell can never exceed the training batch — the
+    ``pack_segments`` capacity-bounded-collect discipline.
+    """
+    man = mixture_manifest(df, source_col, id_col, n_steps, batch_size)
+    layout = binidx_manifest(
+        df, id_col, len_col, n_shards, bytes_per_token
+    ).select(id_col, "shard", "n_bytes", "byte_offset")
+    j = man.join(layout, id_col)
+    return (
+        j.groupBy("step", "shard")
+        .agg(
+            F.count("*").cast("long").alias("n_reads"),
+            F.sum("n_bytes").cast("long").alias("bytes_total"),
+            F.array_sort(
+                F.collect_list(F.struct("byte_offset", "n_bytes"))
+            ).alias("reads"),
+        )
+        .select(
+            "step",
+            "shard",
+            "n_reads",
+            "bytes_total",
+            F.transform("reads", lambda r: r["byte_offset"]).alias(
+                "offsets"
+            ),
+            F.transform("reads", lambda r: r["n_bytes"]).alias("sizes"),
+        )
+    )
+
+
+def step_read_plan_sql(
+    table: str = "documents",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    len_expr: str = "len(string_split(text, ' '))",
+    n_steps: int = 100,
+    batch_size: int = 1024,
+    n_shards: int = 4,
+    bytes_per_token: int = 2,
+) -> str:
+    """DuckDB twin of :func:`step_read_plan`."""
+    man = mixture_manifest_sql(
+        table, source_col, id_col, n_steps, batch_size
+    )
+    layout = binidx_manifest_sql(
+        table, id_col, len_expr, n_shards, bytes_per_token
+    )
+    return f"""
+      SELECT m.step, l.shard,
+             CAST(count(*) AS BIGINT) AS n_reads,
+             CAST(sum(l.n_bytes) AS BIGINT) AS bytes_total,
+             list(l.byte_offset ORDER BY l.byte_offset) AS offsets,
+             list(l.n_bytes ORDER BY l.byte_offset) AS sizes
+      FROM ({man}) m
+      JOIN ({layout}) l ON m.{id_col} = l.{id_col}
+      GROUP BY m.step, l.shard
+    """

@@ -82,3 +82,44 @@ def test_manifest_cluster_shape_invariant(spark):
         )
     )
     assert a == b
+
+
+def test_step_read_plan_consistency(spark):
+    """Every manifest draw appears in exactly one read cell; per-cell
+    read counts sum to the schedule; offsets/sizes align with binidx."""
+    from pyspark.sql import functions as F
+
+    from bistro_spark.operators.curation import (
+        binidx_manifest,
+        step_read_plan,
+    )
+
+    df = _corpus(spark).withColumn("n_words", F.lit(7) + F.col("doc_id") % 5)
+    plan = step_read_plan(
+        df, len_col="n_words", n_steps=T, batch_size=B, n_shards=3
+    ).collect()
+    man = mixture_manifest(df, n_steps=T, batch_size=B).collect()
+    layout = {
+        r["doc_id"]: (r["shard"], r["byte_offset"], r["n_bytes"])
+        for r in binidx_manifest(
+            df.select("doc_id", "n_words"), n_shards=3
+        ).collect()
+    }
+    # rebuild the expected cells from the two constituents
+    want: dict = {}
+    for r in man:
+        shard, off, nb = layout[r["doc_id"]]
+        want.setdefault((r["step"], shard), []).append((off, nb))
+    got = {}
+    for r in plan:
+        got[(r["step"], r["shard"])] = (
+            r["n_reads"],
+            r["bytes_total"],
+            list(zip(r["offsets"], r["sizes"])),
+        )
+    assert set(got) == set(want)
+    for cell, reads in want.items():
+        n, bt, pairs = got[cell]
+        assert n == len(reads) and bt == sum(b for _, b in reads)
+        assert pairs == sorted(reads)
+        assert n <= B  # capacity-bounded collect: never beyond the batch
