@@ -96,6 +96,9 @@ CROSS_JOIN_SANCTIONED = {
     "mixture_manifest": "scalar broadcast: cross against the 1-row "
     "corpus-total aggregate (the apportionment denominator — same class "
     "as mixture_schedule); the step inversion itself is map-only",
+    "step_read_plan": "scalar broadcast inherited from the embedded "
+    "mixture_manifest (1-row apportionment aggregate); the layout join "
+    "is an equi join on the doc id",
 }
 
 
