@@ -29,6 +29,7 @@ from bistro_spark.operators import ranking as _ranking
 from bistro_spark.operators import similarity as _similarity
 from bistro_spark.operators import temporal as _temporal
 from bistro_spark.operators import text as _text
+from bistro_spark.operators import trainprep as _trainprep
 from bistro_spark.operators import unigram as _unigram
 from bistro_spark.operators import wordpiece as _wordpiece
 from bistro_spark.operators import web as _web
@@ -2350,8 +2351,51 @@ def q_apply_changelog(spark: SparkSession, sf: str) -> DataFrame:
     return apply_changelog(_changelog(spark, sf))
 
 
+def q_fim_transform(spark: SparkSession, sf: str) -> DataFrame:
+    """Fill-in-the-middle augmentation (Bavarian et al. 2022): an
+    md5-gated half of the corpus reordered into <PRE>/<SUF>/<MID> form
+    with id-deterministic cut points — pure projection, zero shuffle,
+    identical on any cluster shape; applies to a stream unchanged."""
+    return _trainprep.fim_transform(load_table(spark, "documents", sf))
+
+
+def q_concat_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-cut chunk packing (the GPT-style split-docs layout,
+    complementing pack_sequences' no-split fold): per-shard ordered
+    prefix-sum window + bounded chunk explode, no pandas kernel."""
+    docs = load_table(spark, "documents", sf).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_words")
+    )
+    return _trainprep.concat_chunks(docs, capacity=256, n_shards=4)
+
+
+def q_curriculum_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum step assignment: rank by length through the two-phase
+    global_rank (no single-reducer sort), integer-floor apportionment
+    into 20 contiguous training buckets, grid-sized integer report."""
+    docs = load_table(spark, "documents", sf).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_words")
+    )
+    return _trainprep.curriculum_schedule(docs, n_steps=20)
+
+
+def q_chunk_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-chunk segment manifest for the concat-and-cut layout (the
+    pack_segments counterpart for split docs): offset-ordered doc/start/
+    len/EOD arrays per chunk — capacity-bounded collect, one extra
+    partial-agg shuffle on (shard, chunk_id)."""
+    docs = load_table(spark, "documents", sf).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_words")
+    )
+    return _trainprep.chunk_manifest(docs, capacity=256, n_shards=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "fim_transform": q_fim_transform,
+        "chunk_manifest": q_chunk_manifest,
+        "concat_chunks": q_concat_chunks,
+        "curriculum_schedule": q_curriculum_schedule,
         "apply_changelog": q_apply_changelog,
         "step_read_plan": q_step_read_plan,
         "mixture_manifest": q_mixture_manifest,
@@ -2639,6 +2683,16 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "fim_transform": _trainprep.fim_transform_sql("documents"),
+        "chunk_manifest": _trainprep.chunk_manifest_sql(
+            "documents", capacity=256, n_shards=4
+        ),
+        "concat_chunks": _trainprep.concat_chunks_sql(
+            "documents", capacity=256, n_shards=4
+        ),
+        "curriculum_schedule": _trainprep.curriculum_schedule_sql(
+            "documents", n_steps=20
+        ),
         "text_winnow_fp": f"""
             SELECT doc_id,
                    array_to_string({winnow_fingerprint_sql('text')}, ',')

@@ -1,0 +1,488 @@
+"""Training-sequence preparation transforms: fill-in-the-middle (FIM)
+reordering, concat-and-cut chunk packing, and curriculum step
+assignment.
+
+These are the three sequence-level decisions left between a curated
+corpus and a trainer's data loader that the packing family
+(``curation.pack_sequences`` / ``pack_segments`` / ``binidx_manifest``)
+does not cover:
+
+- :func:`fim_transform` — the FIM data augmentation (Bavarian et al.
+  2022, "Efficient Training of Language Models to Fill in the Middle"):
+  for a deterministic md5-gated fraction of documents, split the token
+  sequence at two deterministic cut points and emit it in
+  prefix/suffix/middle order with sentinel tokens. Pure projection —
+  zero shuffle, whole-stage codegen, applies unchanged to a stream.
+
+- :func:`concat_chunks` — the OTHER standard packing: concatenate every
+  document (plus an end-of-document token) into one per-shard token
+  stream and cut it every ``capacity`` tokens, documents splitting
+  across chunk boundaries (GPT-style pretraining batches), in contrast
+  to ``pack_sequences``'s greedy no-split fold. One per-shard ordered
+  prefix-sum window + a bounded sequence-explode — no pandas kernel.
+
+- :func:`curriculum_schedule` — curriculum learning order: rank the
+  corpus by a difficulty signal through the two-phase
+  ``ranking.global_rank`` (no single-reducer sort) and apportion ranks
+  into ``n_steps`` contiguous training buckets; the report is the
+  grid-sized artifact a scheduler consumes.
+
+Reference anchor: the bistro reference (asavinov/bistro) has no
+sequence-transform layer at all — these extend its calc/link/accu
+calculus with the LLM-pipeline operations the north rule targets; the
+calc-style contract (derived columns from existing ones, no row
+multiplication except the documented chunk explode) is preserved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ------------------------------------------------- fill-in-the-middle ----
+
+
+def _h(id_col: str, salt: str, mod: int | None = None):
+    """Deterministic nonnegative BIGINT from md5(id || salt) — the
+    repo-wide cross-engine hash idiom (8 hex chars < 2^32, exact in
+    BIGINT on both engines)."""
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return v % mod if mod else v
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_pct: int = 50,
+    min_words: int = 4,
+    pre: str = "<PRE>",
+    suf: str = "<SUF>",
+    mid: str = "<MID>",
+) -> DataFrame:
+    """Fill-in-the-middle reordering of a ``rate_pct``-percent
+    md5-deterministic sample of documents (PSM format): pick a prefix
+    length ``a`` in [1, n-1] and a middle end ``b`` in [a, n] from the
+    document's own id hash, then emit
+
+        <PRE> w[1..a] <SUF> w[b+1..n] <MID> w[a+1..b]
+
+    (the middle may be empty — a legal FIM instance that teaches pure
+    continuation). Documents outside the gate, or shorter than
+    ``min_words``, pass through unchanged. Returns
+    (id, is_fim, fim_start, fim_end, n_out, out_text).
+
+    Scale: pure per-row projection — no shuffle, no UDF, one
+    whole-stage-codegen span; the same expressions serve a streaming
+    DataFrame verbatim (``streaming/pack.streaming_fim_gate``).
+    Determinism: cut points are md5 functions of the id, so the
+    transform is identical on any cluster shape, any partitioning, and
+    across re-runs — the property that makes the augmentation
+    checkpoint-safe (a resumed run re-derives the same sequences).
+    The clamped moduli (``greatest(.., 1)``) keep the unused cut
+    expressions ANSI-safe on short and empty documents.
+    """
+    wrd = F.filter(
+        F.split(F.col(text_col), " "), lambda x: x != F.lit("")
+    )
+    d = df.select(F.col(id_col), wrd.alias("_w"))
+    n = F.size("_w")
+    gate = _h(id_col, ":fim", 100)
+    a = (_h(id_col, ":fima") % F.greatest(n - 1, F.lit(1))) + 1
+    d = d.select(
+        id_col,
+        "_w",
+        n.alias("_n"),
+        ((gate < rate_pct) & (n >= min_words)).alias("is_fim"),
+        a.alias("_a"),
+    )
+    b = F.col("_a") + (
+        _h(id_col, ":fimb")
+        % F.greatest(F.col("_n") - F.col("_a") + 1, F.lit(1))
+    )
+    d = d.withColumn("_b", b)
+    psm = F.concat(
+        F.array(F.lit(pre)),
+        F.slice("_w", F.lit(1), F.col("_a")),
+        F.array(F.lit(suf)),
+        F.slice("_w", F.col("_b") + 1, F.col("_n") - F.col("_b")),
+        F.array(F.lit(mid)),
+        F.slice("_w", F.col("_a") + 1, F.col("_b") - F.col("_a")),
+    )
+    out = F.when(F.col("is_fim"), psm).otherwise(F.col("_w"))
+    return d.select(
+        id_col,
+        "is_fim",
+        F.when(F.col("is_fim"), F.col("_a"))
+        .cast("long")
+        .alias("fim_start"),
+        F.when(F.col("is_fim"), F.col("_b")).cast("long").alias("fim_end"),
+        F.size(out).cast("long").alias("n_out"),
+        F.concat_ws(" ", out).alias("out_text"),
+    )
+
+
+def fim_transform_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_pct: int = 50,
+    min_words: int = 4,
+    pre: str = "<PRE>",
+    suf: str = "<SUF>",
+    mid: str = "<MID>",
+) -> str:
+    """DuckDB twin of :func:`fim_transform` (1-based inclusive list
+    slices; ``COALESCE('')`` because DuckDB's array_to_string of an
+    empty list is NULL where Spark's concat_ws is '')."""
+    h = (
+        lambda salt: f"CAST(concat('0x', substr(md5({id_col} || '{salt}'),"
+        f" 1, 8)) AS BIGINT)"
+    )
+    return f"""
+      WITH w AS (
+        SELECT {id_col},
+               list_filter(string_split({text_col}, ' '),
+                           x -> x <> '') AS wrd
+        FROM {table}
+      ),
+      s AS (
+        SELECT {id_col}, wrd, len(wrd) AS n,
+               ({h(':fim')} % 100 < {int(rate_pct)}
+                AND len(wrd) >= {int(min_words)}) AS is_fim,
+               ({h(':fima')} % greatest(len(wrd) - 1, 1)) + 1 AS a
+        FROM w
+      ),
+      c AS (SELECT *, a + ({h(':fimb')} % greatest(n - a + 1, 1)) AS b
+            FROM s)
+      SELECT {id_col}, is_fim,
+             CASE WHEN is_fim THEN CAST(a AS BIGINT) END AS fim_start,
+             CASE WHEN is_fim THEN CAST(b AS BIGINT) END AS fim_end,
+             CAST(CASE WHEN is_fim THEN n + 3 ELSE n END AS BIGINT)
+               AS n_out,
+             COALESCE(array_to_string(
+               CASE WHEN is_fim THEN
+                 list_concat(list_concat(list_concat(list_concat(
+                   list_concat(['{pre}'], wrd[1:a]), ['{suf}']),
+                   wrd[b+1:n]), ['{mid}']), wrd[a+1:b])
+               ELSE wrd END, ' '), '') AS out_text
+      FROM c
+    """
+
+
+# ------------------------------------------------ concat-and-cut packing ----
+
+
+def concat_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_words",
+    capacity: int = 256,
+    n_shards: int = 4,
+    sep_tokens: int = 1,
+) -> DataFrame:
+    """Concat-and-cut packing: per shard, concatenate every document's
+    tokens (plus ``sep_tokens`` end-of-document tokens) into one stream
+    in id order and cut it every ``capacity`` tokens — documents SPLIT
+    across chunk boundaries, the GPT-style pretraining layout, where
+    ``pack_sequences`` is the no-split alternative. One output row per
+    (document, chunk) overlap:
+
+      (shard, chunk_id, id, start_in_chunk, start_in_doc, n_tok, has_eod)
+
+    ``n_tok`` counts the doc's tokens (incl. its EOD span) landing in
+    the chunk; ``has_eod`` marks the chunk holding the document's final
+    separator token — the flag loaders use to reset position ids.
+
+    Scale: one per-shard ordered prefix-sum window (the
+    ``binidx_manifest`` discipline — no pandas kernel, whole-stage
+    codegen) followed by a sequence-explode bounded per document by
+    ``len/capacity + 1`` chunks. Sharding follows the packer's
+    ``id % n_shards`` rule, so the layout is identical on any cluster
+    shape; zero data-dependent collects, zero joins.
+    """
+    cap = int(capacity)
+    sep = int(sep_tokens)
+    from pyspark.sql import Window
+
+    src = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        (F.col(len_col).cast("long") + sep).alias("_span"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum = src.withColumn(
+        "_start",
+        F.coalesce(
+            F.sum("_span").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    ex = cum.select(
+        id_col,
+        "shard",
+        "_span",
+        "_start",
+        F.explode(
+            F.sequence(
+                F.expr(f"_start DIV {cap}"),
+                F.expr(f"(_start + _span - 1) DIV {cap}"),
+            )
+        ).alias("chunk_id"),
+    )
+    c0 = F.col("chunk_id") * cap
+    lo = F.greatest(F.col("_start"), c0)
+    hi = F.least(F.col("_start") + F.col("_span"), c0 + cap)
+    return ex.select(
+        "shard",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        id_col,
+        (lo - c0).cast("long").alias("start_in_chunk"),
+        (lo - F.col("_start")).cast("long").alias("start_in_doc"),
+        (hi - lo).cast("long").alias("n_tok"),
+        (
+            F.expr(f"(_start + _span - 1) DIV {cap}") == F.col("chunk_id")
+        ).alias("has_eod"),
+    )
+
+
+def concat_chunks_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    len_expr: str = "len(string_split(text, ' '))",
+    capacity: int = 256,
+    n_shards: int = 4,
+    sep_tokens: int = 1,
+) -> str:
+    """DuckDB twin of :func:`concat_chunks` (same prefix-sum window +
+    generate_series explode; all quantities nonnegative so ``//`` and
+    Spark ``DIV`` agree)."""
+    cap, sep = int(capacity), int(sep_tokens)
+    return f"""
+      WITH src AS (
+        SELECT {id_col},
+               CAST({id_col} % {n_shards} AS INTEGER) AS shard,
+               CAST({len_expr} AS BIGINT) + {sep} AS span
+        FROM {table}
+      ),
+      cum AS (
+        SELECT *,
+               CAST(COALESCE(sum(span) OVER (
+                 PARTITION BY shard ORDER BY {id_col}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS strt
+        FROM src
+      ),
+      ex AS (
+        SELECT *, unnest(range(strt // {cap},
+                               (strt + span - 1) // {cap} + 1)) AS chunk_id
+        FROM cum
+      )
+      SELECT shard,
+             CAST(chunk_id AS BIGINT) AS chunk_id,
+             {id_col},
+             CAST(greatest(strt, chunk_id * {cap}) - chunk_id * {cap}
+                  AS BIGINT) AS start_in_chunk,
+             CAST(greatest(strt, chunk_id * {cap}) - strt AS BIGINT)
+               AS start_in_doc,
+             CAST(least(strt + span, (chunk_id + 1) * {cap})
+                  - greatest(strt, chunk_id * {cap}) AS BIGINT) AS n_tok,
+             ((strt + span - 1) // {cap} = chunk_id) AS has_eod
+      FROM ex
+    """
+
+
+# --------------------------------------------------- curriculum schedule ----
+
+
+def curriculum_schedule(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    signal_col: str = "n_words",
+    n_steps: int = 20,
+) -> DataFrame:
+    """Curriculum-learning step assignment: rank the corpus by a
+    difficulty signal (ascending — e.g. length for the classic
+    short-to-long curriculum) and apportion the ranks into ``n_steps``
+    contiguous buckets, ``step = (rank-1) * n_steps DIV N``. Returns the
+    grid-sized report a scheduler consumes: per step, document count and
+    the exact integer signal mass/min/max (integers only — no float
+    means to diverge cross-engine).
+
+    Scale: the rank goes through the two-phase
+    ``ranking.global_rank`` (range-partition + per-partition offsets —
+    never a single-reducer window), then ONE partial-agg shuffle to the
+    ``n_steps`` grid. ``N`` is a one-scalar count. Overflow bound:
+    ``(rank-1) * n_steps`` must fit BIGINT — at 10^12 documents that
+    allows n_steps up to ~9·10^6, far beyond any curriculum; the bound
+    is asserted rather than silently wrapped.
+    """
+    from bistro_spark.operators.ranking import global_rank
+
+    n_rows = df.count()
+    if n_rows == 0:
+        return df.sparkSession.createDataFrame(
+            [],
+            "step long, n_docs long, sig_sum long, sig_min long,"
+            " sig_max long",
+        )
+    if n_rows * int(n_steps) > 2**62:
+        raise ValueError(
+            "curriculum_schedule: rank*n_steps would overflow BIGINT; "
+            "reduce n_steps"
+        )
+    sig = df.select(
+        F.col(id_col), F.col(signal_col).cast("long").alias("_sig")
+    )
+    ranked = global_rank(sig, ["_sig", id_col], rank_col="_rank")
+    return (
+        ranked.withColumn(
+            "step",
+            F.expr(f"(_rank - 1) * {int(n_steps)} DIV {int(n_rows)}").cast(
+                "long"
+            ),
+        )
+        .groupBy("step")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_sig").cast("long").alias("sig_sum"),
+            F.min("_sig").cast("long").alias("sig_min"),
+            F.max("_sig").cast("long").alias("sig_max"),
+        )
+    )
+
+
+def curriculum_schedule_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    signal_expr: str = "len(string_split(text, ' '))",
+    n_steps: int = 20,
+) -> str:
+    """DuckDB twin of :func:`curriculum_schedule` (single-window rank is
+    fine at oracle scale; same integer floor apportionment)."""
+    return f"""
+      WITH s AS (
+        SELECT {id_col}, CAST({signal_expr} AS BIGINT) AS sig
+        FROM {table}
+      ),
+      r AS (
+        SELECT sig,
+               row_number() OVER (ORDER BY sig, {id_col}) AS rnk,
+               count(*) OVER () AS n
+        FROM s
+      )
+      SELECT CAST((rnk - 1) * {int(n_steps)} // n AS BIGINT) AS step,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(sig) AS BIGINT) AS sig_sum,
+             CAST(min(sig) AS BIGINT) AS sig_min,
+             CAST(max(sig) AS BIGINT) AS sig_max
+      FROM r
+      GROUP BY 1
+    """
+
+
+def chunk_manifest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_words",
+    capacity: int = 256,
+    n_shards: int = 4,
+    sep_tokens: int = 1,
+) -> DataFrame:
+    """Trainer-ready view of :func:`concat_chunks`: one row per chunk
+    with the offset-ordered segment arrays a loader needs to build the
+    block-diagonal attention mask and reset position ids inside a
+    concat-and-cut chunk — (doc_ids, starts_in_chunk, starts_in_doc,
+    seg_lens, eod_flags) plus fill accounting. The ``pack_segments``
+    counterpart for the split-docs layout.
+
+    One extra partial-agg shuffle on (shard, chunk_id) over the chunk
+    rows; a chunk holds at most ``capacity`` segments (every segment
+    lands >= 1 token), so the collect_list is capacity-bounded — the
+    ``pack_segments`` capacity-bounded-collect discipline. Offsets are
+    strictly increasing within a chunk, so the struct sort is a total
+    order and the arrays are deterministic on any cluster shape.
+    """
+    chunks = concat_chunks(
+        df,
+        id_col=id_col,
+        len_col=len_col,
+        capacity=int(capacity),
+        n_shards=n_shards,
+        sep_tokens=sep_tokens,
+    )
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                "start_in_chunk",
+                F.col(id_col),
+                "start_in_doc",
+                "n_tok",
+                "has_eod",
+            )
+        )
+    )
+    return (
+        chunks.groupBy("shard", "chunk_id")
+        .agg(
+            F.count("*").cast("long").alias("n_segments"),
+            F.sum("n_tok").cast("long").alias("tok_filled"),
+            arr.alias("_a"),
+        )
+        .select(
+            "shard",
+            "chunk_id",
+            "n_segments",
+            "tok_filled",
+            F.transform("_a", lambda x: x[id_col]).alias("doc_ids"),
+            F.transform("_a", lambda x: x["start_in_chunk"]).alias(
+                "starts_in_chunk"
+            ),
+            F.transform("_a", lambda x: x["start_in_doc"]).alias(
+                "starts_in_doc"
+            ),
+            F.transform("_a", lambda x: x["n_tok"]).alias("seg_lens"),
+            F.transform("_a", lambda x: x["has_eod"]).alias("eod_flags"),
+        )
+    )
+
+
+def chunk_manifest_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    len_expr: str = "len(string_split(text, ' '))",
+    capacity: int = 256,
+    n_shards: int = 4,
+    sep_tokens: int = 1,
+) -> str:
+    """DuckDB twin of :func:`chunk_manifest` (ORDER BY start_in_chunk
+    list aggregation over the chunk-rows twin)."""
+    inner = concat_chunks_sql(
+        table,
+        id_col=id_col,
+        len_expr=len_expr,
+        capacity=int(capacity),
+        n_shards=n_shards,
+        sep_tokens=int(sep_tokens),
+    )
+    return f"""
+      SELECT shard, chunk_id,
+             CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(sum(n_tok) AS BIGINT) AS tok_filled,
+             list({id_col} ORDER BY start_in_chunk) AS doc_ids,
+             list(start_in_chunk ORDER BY start_in_chunk)
+               AS starts_in_chunk,
+             list(start_in_doc ORDER BY start_in_chunk) AS starts_in_doc,
+             list(n_tok ORDER BY start_in_chunk) AS seg_lens,
+             list(has_eod ORDER BY start_in_chunk) AS eod_flags
+      FROM ({inner})
+      GROUP BY shard, chunk_id
+    """

@@ -287,3 +287,148 @@ class StreamingBinidxWriter:
             ]
         self._trigger_ids = out_ids
         return out
+
+
+def streaming_fim_gate(
+    stream_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_pct: int = 50,
+    min_words: int = 4,
+) -> DataFrame:
+    """Fill-in-the-middle on a live stream: ``trainprep.fim_transform``
+    is a pure per-row projection whose cut points are md5 functions of
+    the document id, so the batch operator applies to a streaming
+    DataFrame UNCHANGED — no state store, no watermark, and per-document
+    output identical to the (oracle-hash-checked) batch transform no
+    matter how the stream is micro-batched. The wrapper exists to make
+    that contract explicit and tested on a real file-source stream."""
+    from bistro_spark.operators.trainprep import fim_transform
+
+    return fim_transform(
+        stream_df, id_col, text_col, rate_pct=rate_pct, min_words=min_words
+    )
+
+
+class StreamingConcatChunker:
+    """Streaming twin of ``trainprep.concat_chunks``: the GPT-style
+    concat-and-cut chunk layout assigned live as documents arrive.
+
+    State is ONE BIGINT per shard — the next global token offset of the
+    shard's concatenated stream (``n_shards``-bounded, never
+    corpus-bounded; the offset is additive in the delta's token mass, so
+    the cursor update is a single n_shards-row aggregate). Per trigger
+    the delta gets its in-delta prefix sums via a per-shard window over
+    the DELTA ONLY, carried cursors return via a shard-grid broadcast
+    join, and the chunk explode/projection reuses the batch operator's
+    expressions verbatim.
+
+    **Parity contract (pytest-pinned, the StreamingBinidxWriter
+    contract):** under id-monotone arrival per shard, the union of
+    per-trigger outputs EQUALS batch ``concat_chunks`` over everything
+    seen — a concatenated token stream is append-only, so the
+    concatenation of per-batch prefix sums IS the single prefix sum.
+    Out-of-order arrival diverges by construction (tokens already laid
+    out cannot move) — pinned by counter-example.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        capacity: int = 256,
+        n_shards: int = 4,
+        sep_tokens: int = 1,
+        id_col: str = "doc_id",
+        len_col: str = "n_tok",
+    ):
+        self.spark = spark
+        self.capacity = int(capacity)
+        self.n_shards = int(n_shards)
+        self.sep = int(sep_tokens)
+        self.id_col = id_col
+        self.len_col = len_col
+        self._state: dict[int, int] = {}  # shard -> next token offset
+        self._trigger_ids: set[int] = set()
+        self.batches_seen = 0
+
+    # ------------------------------------------------------- recovery --
+    def state_snapshot(self) -> dict[int, int]:
+        """Full recovery state: one token-offset cursor per touched
+        shard. Persist with the foreachBatch epoch; restore before
+        reprocessing — kill/resume parity is pytest-pinned."""
+        return dict(self._state)
+
+    def restore_state(self, snapshot: dict) -> None:
+        self._state = {int(k): int(v) for k, v in snapshot.items()}
+
+    # ---------------------------------------------------------- fold --
+    def process_batch(self, batch_df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        self.batches_seen += 1
+        release(self.spark, self._trigger_ids)
+        cap = self.capacity
+        base = batch_df.select(
+            self.id_col,
+            (F.col(self.id_col) % self.n_shards).cast("int").alias("shard"),
+            (F.col(self.len_col).cast("long") + self.sep).alias("_span"),
+        )
+        w = Window.partitionBy("shard").orderBy(self.id_col)
+        delta = base.withColumn(
+            "_dstart",
+            F.coalesce(
+                F.sum("_span").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        cur_rows = list(self._state.items()) or [(-1, 0)]
+        cursors = self.spark.createDataFrame(
+            cur_rows, "shard int, _coff long"
+        )
+        laid = delta.join(F.broadcast(cursors), "shard", "left").withColumn(
+            "_start", F.col("_dstart") + F.coalesce("_coff", F.lit(0))
+        )
+        ex = laid.select(
+            self.id_col,
+            "shard",
+            "_span",
+            "_start",
+            F.explode(
+                F.sequence(
+                    F.expr(f"_start DIV {cap}"),
+                    F.expr(f"(_start + _span - 1) DIV {cap}"),
+                )
+            ).alias("chunk_id"),
+        )
+        c0 = F.col("chunk_id") * cap
+        lo = F.greatest(F.col("_start"), c0)
+        hi = F.least(F.col("_start") + F.col("_span"), c0 + cap)
+        out, out_ids = pin(
+            ex.select(
+                "shard",
+                F.col("chunk_id").cast("long").alias("chunk_id"),
+                self.id_col,
+                (lo - c0).cast("long").alias("start_in_chunk"),
+                (lo - F.col("_start")).cast("long").alias("start_in_doc"),
+                (hi - lo).cast("long").alias("n_tok"),
+                (
+                    F.expr(f"(_start + _span - 1) DIV {cap}")
+                    == F.col("chunk_id")
+                ).alias("has_eod"),
+            )
+        )
+        # each (doc, chunk) row carries the doc's tokens landing in that
+        # chunk, so per-shard sum(n_tok) over the pinned output equals
+        # the delta's total span mass — no second pass over the delta
+        upd = (
+            out.groupBy("shard")
+            .agg(F.sum("n_tok").cast("long").alias("mass"))
+            .collect()
+        )
+        for r in upd:
+            s = int(r["shard"])
+            self._state[s] = self._state.get(s, 0) + int(r["mass"])
+        self._trigger_ids = out_ids
+        return out

@@ -1,0 +1,148 @@
+"""Streaming trainprep twins: the FIM gate on a real file-source stream
+(pure projection — per-doc parity with the hash-checked batch
+transform), and StreamingConcatChunker's id-monotone parity with batch
+concat_chunks, kill/resume via the cursor snapshot, the out-of-order
+divergence counter-example, and state/pin bounds."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from bistro_spark.caching import pinned_ids
+from bistro_spark.operators.trainprep import concat_chunks, fim_transform
+from bistro_spark.streaming.pack import (
+    StreamingConcatChunker,
+    streaming_fim_gate,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _with_len(df):
+    return df.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+        .cast("long")
+        .alias("n_tok"),
+    )
+
+
+def test_streaming_fim_gate_on_real_stream(spark, tmp_path):
+    """FIM is a pure md5-keyed projection: the batch operator applies to
+    a streaming DataFrame unchanged and committed rows equal the batch
+    transform regardless of micro-batching."""
+    docs = spark.read.parquet(DOCS).select("doc_id", "text")
+    src_dir = str(tmp_path / "src")
+    for k in range(3):
+        docs.filter(f"doc_id % 3 = {k}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src_dir, f"b{k}"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    gated = streaming_fim_gate(stream)
+    assert gated.isStreaming
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    want = sorted(tuple(r) for r in fim_transform(docs).collect())
+    assert got == want
+
+
+# ----------------------------------------------------- concat chunker --
+
+
+def test_streaming_chunker_id_monotone_parity(spark):
+    """Id-monotone arrival: the union of per-trigger outputs equals
+    batch concat_chunks over everything seen (concatenated per-batch
+    prefix sums ARE the single prefix sum)."""
+    docs = _with_len(spark.read.parquet(DOCS))
+    cuts = [0, 120, 260, 400, 10**9]
+    ch = StreamingConcatChunker(spark, capacity=256, n_shards=4)
+    got = []
+    for lo, hi in zip(cuts, cuts[1:]):
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        got.extend(tuple(r) for r in ch.process_batch(batch).collect())
+    want = sorted(
+        tuple(r)
+        for r in concat_chunks(
+            docs, len_col="n_tok", capacity=256, n_shards=4
+        ).collect()
+    )
+    assert sorted(got) == want
+    assert ch.batches_seen == 4
+
+
+def test_streaming_chunker_kill_resume(spark):
+    """A fresh chunker restored from the cursor snapshot continues the
+    layout exactly where the snapshotted one stopped."""
+    docs = _with_len(spark.read.parquet(DOCS))
+    cuts = [0, 150, 320, 10**9]
+    a = StreamingConcatChunker(spark, capacity=128, n_shards=4)
+    got = []
+    for lo, hi in zip(cuts[:2], cuts[1:3]):
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        got.extend(tuple(r) for r in a.process_batch(batch).collect())
+    snap = a.state_snapshot()
+    # simulate a crash: brand-new instance, restore, process the rest
+    b = StreamingConcatChunker(spark, capacity=128, n_shards=4)
+    b.restore_state({str(k): v for k, v in snap.items()})  # JSON round trip
+    last = docs.filter(F.col("doc_id") >= 320)
+    got.extend(tuple(r) for r in b.process_batch(last).collect())
+    want = sorted(
+        tuple(r)
+        for r in concat_chunks(
+            docs, len_col="n_tok", capacity=128, n_shards=4
+        ).collect()
+    )
+    assert sorted(got) == want
+
+
+def test_streaming_chunker_out_of_order_divergence(spark):
+    """Counter-example pinned: a later-arriving smaller id would have
+    laid out earlier in the batch stream — tokens already placed cannot
+    move, so out-of-id-order arrival diverges by construction."""
+    rows = [(0, 100), (4, 100), (8, 100)]  # all shard 0 (n_shards=4)
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    ch = StreamingConcatChunker(spark, capacity=64, n_shards=4)
+    got = []
+    # id 8 arrives before id 4
+    for ids in ([0, 8], [4]):
+        batch = df.filter(F.col("doc_id").isin(ids))
+        got.extend(tuple(r) for r in ch.process_batch(batch).collect())
+    want = sorted(tuple(r) for r in concat_chunks(df, len_col="n_tok",
+                                                  capacity=64,
+                                                  n_shards=4).collect())
+    assert sorted(got) != want
+
+
+def test_streaming_chunker_state_and_pin_bounds(spark):
+    docs = _with_len(spark.read.parquet(DOCS))
+    before = pinned_ids(spark)
+    ch = StreamingConcatChunker(spark, capacity=256, n_shards=4)
+    for lo, hi in [(0, 200), (200, 10**9)]:
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        ch.process_batch(batch).collect()
+    # state is one BIGINT cursor per shard, never corpus-sized
+    assert len(ch._state) <= 4
+    total = docs.agg(
+        F.sum(F.col("n_tok") + 1).cast("long").alias("s")
+    ).collect()[0]["s"]
+    assert sum(ch._state.values()) == total
+    # pins: only the last trigger's output may remain pinned
+    from bistro_spark.caching import release
+
+    release(spark, ch._trigger_ids)
+    assert pinned_ids(spark) - before == set()
