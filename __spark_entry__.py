@@ -2390,8 +2390,23 @@ def q_chunk_manifest(spark: SparkSession, sf: str) -> DataFrame:
     return _trainprep.chunk_manifest(docs, capacity=256, n_shards=4)
 
 
+def q_chunk_read_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """The loader's per-chunk I/O plan for the concat-and-cut layout
+    (step_read_plan's counterpart for split docs): chunk layout joined
+    to the .bin byte layout on doc_id (same id%n_shards discipline on
+    both sides), EOD-only segments filtered, reads clamped to the doc's
+    real byte span, aggregated to offset-ordered (offsets, sizes) per
+    (shard, chunk_id) — one equi join + one grid partial-agg shuffle,
+    capacity-bounded arrays."""
+    docs = load_table(spark, "documents", sf).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_words")
+    )
+    return _trainprep.chunk_read_plan(docs, capacity=256, n_shards=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "chunk_read_plan": q_chunk_read_plan,
         "fim_transform": q_fim_transform,
         "chunk_manifest": q_chunk_manifest,
         "concat_chunks": q_concat_chunks,
@@ -2684,6 +2699,9 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "fim_transform": _trainprep.fim_transform_sql("documents"),
+        "chunk_read_plan": _trainprep.chunk_read_plan_sql(
+            "documents", capacity=256, n_shards=4
+        ),
         "chunk_manifest": _trainprep.chunk_manifest_sql(
             "documents", capacity=256, n_shards=4
         ),

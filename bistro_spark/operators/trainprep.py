@@ -486,3 +486,127 @@ def chunk_manifest_sql(
       FROM ({inner})
       GROUP BY shard, chunk_id
     """
+
+
+def chunk_read_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_words",
+    capacity: int = 256,
+    n_shards: int = 4,
+    sep_tokens: int = 1,
+    bytes_per_token: int = 2,
+) -> DataFrame:
+    """The loader's per-chunk I/O plan for the concat-and-cut layout —
+    ``step_read_plan``'s counterpart for :func:`concat_chunks`: join the
+    chunk layout (WHICH doc segment fills each chunk) to the ``.bin``
+    layout (WHERE each doc's tokens live — ``curation.binidx_manifest``)
+    and aggregate each chunk's reads into offset-ordered (offsets,
+    sizes) byte arrays. To materialize training chunk ``c`` of shard
+    ``s``, open the shard file and read exactly these ranges (EOD
+    separators are inserted by the loader, not stored, so EOD-only
+    segments produce no read and every segment's read is clamped to the
+    document's real token span).
+
+    Scale: one doc-id equi join (both sides corpus-sized, derived from
+    the same input) + one partial-agg shuffle to the (shard, chunk_id)
+    grid; per-cell arrays are capacity-bounded (a chunk holds at most
+    ``capacity`` segments) — the capacity-bounded-collect discipline.
+    """
+    from bistro_spark.operators.curation import binidx_manifest
+
+    bpt = int(bytes_per_token)
+    chunks = concat_chunks(
+        df,
+        id_col=id_col,
+        len_col=len_col,
+        capacity=int(capacity),
+        n_shards=n_shards,
+        sep_tokens=int(sep_tokens),
+    )
+    layout = binidx_manifest(
+        df, id_col, len_col, n_shards, bpt
+    ).select(id_col, "n_tokens", "byte_offset")
+    j = chunks.join(layout, id_col).select(
+        "shard",
+        "chunk_id",
+        (F.col("byte_offset") + F.col("start_in_doc") * bpt).alias("off"),
+        (
+            F.greatest(
+                F.least(
+                    F.col("start_in_doc") + F.col("n_tok"),
+                    F.col("n_tokens"),
+                )
+                - F.col("start_in_doc"),
+                F.lit(0),
+            )
+            * bpt
+        ).alias("nb"),
+    )
+    return (
+        j.filter(F.col("nb") > 0)
+        .groupBy("shard", "chunk_id")
+        .agg(
+            F.count("*").cast("long").alias("n_reads"),
+            F.sum("nb").cast("long").alias("bytes_total"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("off"), F.col("nb")))
+            ).alias("_r"),
+        )
+        .select(
+            "shard",
+            "chunk_id",
+            "n_reads",
+            "bytes_total",
+            F.transform("_r", lambda r: r["off"].cast("long")).alias(
+                "offsets"
+            ),
+            F.transform("_r", lambda r: r["nb"].cast("long")).alias(
+                "sizes"
+            ),
+        )
+    )
+
+
+def chunk_read_plan_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    len_expr: str = "len(string_split(text, ' '))",
+    capacity: int = 256,
+    n_shards: int = 4,
+    sep_tokens: int = 1,
+    bytes_per_token: int = 2,
+) -> str:
+    """DuckDB twin of :func:`chunk_read_plan`."""
+    from bistro_spark.operators.curation import binidx_manifest_sql
+
+    bpt = int(bytes_per_token)
+    chunks = concat_chunks_sql(
+        table,
+        id_col=id_col,
+        len_expr=len_expr,
+        capacity=int(capacity),
+        n_shards=n_shards,
+        sep_tokens=int(sep_tokens),
+    )
+    layout = binidx_manifest_sql(
+        table, id_col, len_expr, n_shards, bpt
+    )
+    return f"""
+      WITH reads AS (
+        SELECT c.shard, c.chunk_id,
+               l.byte_offset + c.start_in_doc * {bpt} AS off,
+               greatest(least(c.start_in_doc + c.n_tok, l.n_tokens)
+                        - c.start_in_doc, 0) * {bpt} AS nb
+        FROM ({chunks}) c
+        JOIN ({layout}) l ON c.{id_col} = l.{id_col}
+      )
+      SELECT shard, chunk_id,
+             CAST(count(*) AS BIGINT) AS n_reads,
+             CAST(sum(nb) AS BIGINT) AS bytes_total,
+             list(CAST(off AS BIGINT) ORDER BY off) AS offsets,
+             list(CAST(nb AS BIGINT) ORDER BY off) AS sizes
+      FROM reads
+      WHERE nb > 0
+      GROUP BY shard, chunk_id
+    """

@@ -316,3 +316,97 @@ def test_chunk_manifest_sql_twin(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# ------------------------------------------------------ chunk read plan --
+
+
+def test_chunk_read_plan_consistency_and_disjoint(spark):
+    """The loader I/O plan equals the Python join of the chunk layout to
+    the .bin layout (same-shard discipline, EOD spans produce no read,
+    reads clamped to the doc's real byte span), arrays offset-ordered,
+    totals consistent, and — the real invariant — all reads within one
+    shard file are pairwise DISJOINT (every doc byte read exactly once
+    across the whole plan)."""
+    from bistro_spark.operators.curation import binidx_manifest
+    from bistro_spark.operators.trainprep import chunk_read_plan
+
+    rows = [(i, 1 + (i * 31) % 400) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, n_words long")
+    bpt = 2
+    plan = {
+        (r["shard"], r["chunk_id"]): r
+        for r in chunk_read_plan(
+            df, capacity=128, n_shards=4, bytes_per_token=bpt
+        ).collect()
+    }
+    chunks = concat_chunks(df, capacity=128, n_shards=4).collect()
+    layout = {
+        r["doc_id"]: r
+        for r in binidx_manifest(df, "doc_id", "n_words", 4, bpt).collect()
+    }
+    want = {}
+    for c in chunks:
+        lay = layout[c["doc_id"]]
+        assert c["shard"] == lay["shard"]  # shared id%n_shards rule
+        off = lay["byte_offset"] + c["start_in_doc"] * bpt
+        nb = (
+            max(
+                min(c["start_in_doc"] + c["n_tok"], lay["n_tokens"])
+                - c["start_in_doc"],
+                0,
+            )
+            * bpt
+        )
+        if nb > 0:
+            want.setdefault((c["shard"], c["chunk_id"]), []).append(
+                (off, nb)
+            )
+    assert set(plan) == set(want)
+    by_shard = {}
+    for (shard, _), reads in want.items():
+        reads.sort()
+        r = plan[(shard, _)]
+        assert list(r["offsets"]) == [o for o, _n in reads]
+        assert list(r["sizes"]) == [n for _o, n in reads]
+        assert r["n_reads"] == len(reads)
+        assert r["bytes_total"] == sum(n for _o, n in reads)
+        assert r["n_reads"] <= 128  # every read covers >= 1 token
+        by_shard.setdefault(shard, []).extend(reads)
+    for shard, reads in by_shard.items():
+        reads.sort()
+        for (o1, n1), (o2, _n2) in zip(reads, reads[1:]):
+            assert o1 + n1 <= o2  # disjoint within the shard file
+        # reads stay inside the shard file's real byte extent
+        extent = sum(
+            lay["n_tokens"] * bpt
+            for lay in layout.values()
+            if lay["shard"] == shard
+        )
+        assert reads[-1][0] + reads[-1][1] <= extent
+
+
+def test_chunk_read_plan_sql_twin(spark):
+    from bistro_spark.operators.trainprep import (
+        chunk_read_plan,
+        chunk_read_plan_sql,
+    )
+
+    rows = [(i, 1 + (i * 31) % 400) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, n_words long")
+    got = sorted(
+        str(tuple(list(x) if isinstance(x, list) else x for x in r))
+        for r in chunk_read_plan(df, capacity=128, n_shards=4).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, n_words BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    want = sorted(
+        str(tuple(list(x) if isinstance(x, list) else x for x in r))
+        for r in con.execute(
+            chunk_read_plan_sql(
+                "t", len_expr="n_words", capacity=128, n_shards=4
+            )
+        ).fetchall()
+    )
+    assert got == want
