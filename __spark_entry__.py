@@ -1669,6 +1669,62 @@ def q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _ann_queries_df(emb: DataFrame) -> DataFrame:
+    return emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+
+def q_ann_l2_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact integer squared-L2 top-5 — PQ's ground truth (PQ
+    approximates L2, not cosine). Vectors integer-quantized at 10^6 so
+    the ranking key is exact BIGINT: no rounding anywhere, cross-engine
+    verbatim. Same no-shuffle plan shape as the cosine baseline."""
+    from bistro_spark.operators.similarity import l2_topk
+
+    emb = load_table(spark, "embeddings", sf)
+    return l2_topk(emb, _ann_queries_df(emb), k=5)
+
+
+def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ADC top-5 (Jégou et al. 2011): md5-bottom-16
+    sampled codebook, per-subspace exact-int argmin codes (8 bytes/vec —
+    32× smaller than the float32 vectors at 100 TB), per-query lookup
+    tables summed over codes. Map-only scoring over the code column;
+    everything that ranks is exact BIGINT, so the DuckDB oracle
+    reproduces codes and ranking verbatim."""
+    from bistro_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, "embeddings", sf)
+    return pq_topk(emb, _ann_queries_df(emb), k=5, m=8, n_codes=16)
+
+
+def q_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@5 of the PQ/ADC path against the exact integer-L2 top-k —
+    the self-audit a 100 TB operator watches before trusting the 32×-
+    compressed index (the ann_recall pattern, measured against PQ's own
+    metric). Join cost is (queries × k) rows — audit-sized."""
+    ex = q_ann_l2_topk(spark, sf)
+    ap = q_ann_pq_topk(spark, sf).select(
+        "query_id", "vec_id", F.lit(1).alias("_hit")
+    )
+    return (
+        ex.join(ap, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.coalesce(F.sum("_hit"), F.lit(0))
+            .cast("long")
+            .alias("n_hit"),
+            F.round(
+                F.coalesce(F.sum("_hit"), F.lit(0)) / F.count(F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
     """PII scrub gate: deterministic synthetic PII (the corpus has
     none) injected with the same expression on both engines, then the
@@ -2407,6 +2463,9 @@ def q_chunk_read_plan(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_read_plan": q_chunk_read_plan,
+        "ann_l2_topk": q_ann_l2_topk,
+        "ann_pq_topk": q_ann_pq_topk,
+        "pq_recall": q_pq_recall,
         "fim_transform": q_fim_transform,
         "chunk_manifest": q_chunk_manifest,
         "concat_chunks": q_concat_chunks,
@@ -2701,6 +2760,23 @@ def oracle_sql() -> dict[str, str]:
         "fim_transform": _trainprep.fim_transform_sql("documents"),
         "chunk_read_plan": _trainprep.chunk_read_plan_sql(
             "documents", capacity=256, n_shards=4
+        ),
+        "ann_l2_topk": _similarity.l2_topk_sql("embeddings"),
+        "ann_pq_topk": _similarity.pq_topk_sql("embeddings"),
+        "pq_recall": (
+            "WITH ex AS (SELECT * FROM ("
+            + _similarity.l2_topk_sql("embeddings")
+            + ") t),\n     ap AS (SELECT * FROM ("
+            + _similarity.pq_topk_sql("embeddings")
+            + ") t)\n"
+            "SELECT ex.query_id,\n"
+            "       CAST(count(*) AS BIGINT) AS n_exact,\n"
+            "       CAST(count(ap.vec_id) AS BIGINT) AS n_hit,\n"
+            "       round(CAST(count(ap.vec_id) AS DOUBLE) / count(*), 6)\n"
+            "         AS recall\n"
+            "FROM ex LEFT JOIN ap\n"
+            "  ON ex.query_id = ap.query_id AND ex.vec_id = ap.vec_id\n"
+            "GROUP BY ex.query_id"
         ),
         "chunk_manifest": _trainprep.chunk_manifest_sql(
             "documents", capacity=256, n_shards=4

@@ -737,3 +737,345 @@ def quantize_embeddings_sql(
                6) AS max_err
       FROM q
     """
+
+
+# ------------------------------------------------------------------- PQ --
+# Product quantization (Jégou, Douze & Schmid, "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011): split the d-dim vector into m
+# subspaces, quantize each subvector to one of n_codes centroids, and
+# answer queries with asymmetric distance computation (ADC) — a per-query
+# (m × n_codes) lookup table summed over the stored codes. The 100 TB
+# story: the corpus index is m bytes/vector instead of 4d (64-dim float32
+# → 8 bytes at m=8: 32×), the codebook is literal-sized and broadcast,
+# scoring is a map-only table lookup, and the corpus never shuffles.
+#
+# Everything that RANKS is exact BIGINT: vectors are integer-quantized at
+# 10^6 (the repo's cross-engine-exact discipline — float noise can never
+# flip an argmin or a top-k order, so the DuckDB oracle reproduces codes
+# and rankings verbatim), and the codebook is the bottom-n_codes md5(id)
+# corpus sample (the bottomk_sample primitive; deterministic, mergeable,
+# SQL-expressible — the stand-in for Lloyd iterations, which would train
+# per-subspace k-means on this same sample at scale).
+
+
+def _int_quantize_expr(vec_col: str, scale: int):
+    """array<float> -> array<long>: round(x * scale) per component.
+
+    HALF_UP on both engines (Spark `round`, DuckDB `round`) — ties are
+    measure-zero for float32 inputs at scale 10^6 but the modes agree
+    anyway."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(float(scale)), 0).cast(
+            "long"
+        ),
+    )
+
+
+def pq_sample_codebook(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_codes: int = 16,
+    scale: int = 10**6,
+) -> list:
+    """The shared codebook sample: the ``n_codes`` corpus vectors with the
+    smallest md5(id) (deterministic uniform sample without replacement —
+    exactly ``bottomk_sample``'s rule), integer-quantized; centroid j of
+    every subspace is row j's subvector. TakeOrderedAndProject (no global
+    sort); the collect is n_codes × dim longs — literal-sized."""
+    if n_codes > 4096:
+        raise ValueError(f"codebook collect guard: n_codes={n_codes} > 4096")
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            _int_quantize_expr(vec_col, scale).alias("_iq"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "_id")
+        .limit(int(n_codes))
+        .collect()
+    )
+    return [list(r["_iq"]) for r in rows]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: list,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Encode each vector to m codes: per subspace, the index of the
+    nearest centroid (exact int64 squared L2; ties -> smallest index,
+    numpy argmin's rule == the oracle's ORDER BY dist, j). Map-only:
+    the codebook closes over the Arrow kernel (the numpy analog of
+    F.broadcast), one pass, no shuffle."""
+    import numpy as np
+
+    C = np.asarray(codebook, dtype=np.int64)
+    n_codes, dim = C.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    iq = corpus.select(id_col, _int_quantize_expr(vec_col, scale).alias("_iq"))
+
+    def enc(batches):
+        import pandas as pd
+
+        for b in batches:
+            if not len(b):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.int64) for v in b["_iq"]])
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                Xs = X[:, s * sub : (s + 1) * sub]
+                Cs = C[:, s * sub : (s + 1) * sub]
+                d = ((Xs[:, None, :] - Cs[None, :, :]) ** 2).sum(-1)
+                codes[:, s] = d.argmin(1)
+            yield pd.DataFrame(
+                {id_col: b[id_col], "codes": list(codes)}
+            )
+
+    id_t = dict(corpus.dtypes)[id_col]
+    return iq.mapInPandas(enc, f"{id_col} {id_t}, codes array<int>")
+
+
+def l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Exact integer squared-L2 top-k — PQ's ground truth (PQ approximates
+    L2, not cosine, so its recall is measured against THIS, not the cosine
+    baseline). Same plan shape as cosine_topk: queries collected once,
+    every partition emits its local top-k, corpus never shuffles; but the
+    ranking key is exact BIGINT — no rounding anywhere."""
+    import numpy as np
+
+    qrows = queries.select(
+        query_id_col, _int_quantize_expr(query_vec_col, scale).alias("_qi")
+    ).collect()
+    qids = [r[query_id_col] for r in qrows]
+    Q = np.stack([np.asarray(r["_qi"], dtype=np.int64) for r in qrows])
+    n_q = len(qids)
+
+    iq = corpus.select(id_col, _int_quantize_expr(vec_col, scale).alias("_iq"))
+
+    def score(batches):
+        import pandas as pd
+
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b[id_col].to_numpy()
+            X = np.stack([np.asarray(v, dtype=np.int64) for v in b["_iq"]])
+            take = min(k, len(ids))
+            for qi in range(n_q):
+                d = ((X - Q[qi][None, :]) ** 2).sum(1)
+                idx = np.lexsort((ids, d))[:take]
+                yield pd.DataFrame(
+                    {
+                        query_id_col: [qids[qi]] * take,
+                        id_col: ids[idx],
+                        "l2_sq": d[idx],
+                    }
+                )
+
+    q_t = dict(queries.dtypes)[query_id_col]
+    id_t = dict(corpus.dtypes)[id_col]
+    local = iq.mapInPandas(
+        score, f"{query_id_col} {q_t}, {id_col} {id_t}, l2_sq long"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("l2_sq").asc(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "l2_sq")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    scale: int = 10**6,
+) -> DataFrame:
+    """ADC top-k over the PQ index: adist(x, q) = sum_s T[q][s][code_s(x)]
+    where T is the per-query (m × n_codes) exact-int distance table built
+    from the literal-sized codebook. The scan side touches only the m-byte
+    codes — at 100 TB the index is 32× smaller than the vectors, the
+    table is driver-built (m·n_codes ints per query), and scoring is one
+    map-only Arrow pass emitting per-partition top-k survivors."""
+    import numpy as np
+
+    codebook = pq_sample_codebook(
+        corpus, id_col=id_col, vec_col=vec_col, n_codes=n_codes, scale=scale
+    )
+    C = np.asarray(codebook, dtype=np.int64)
+    dim = C.shape[1]
+    sub = dim // m
+
+    qrows = queries.select(
+        query_id_col, _int_quantize_expr(query_vec_col, scale).alias("_qi")
+    ).collect()
+    qids = [r[query_id_col] for r in qrows]
+    Q = np.stack([np.asarray(r["_qi"], dtype=np.int64) for r in qrows])
+    n_q = len(qids)
+    # exact-int ADC tables: T[qi, s, j] = ||q_s - c_{s,j}||^2
+    T = np.empty((n_q, m, C.shape[0]), dtype=np.int64)
+    for s in range(m):
+        Qs = Q[:, s * sub : (s + 1) * sub]
+        Cs = C[:, s * sub : (s + 1) * sub]
+        T[:, s, :] = ((Qs[:, None, :] - Cs[None, :, :]) ** 2).sum(-1)
+
+    enc = pq_encode(
+        corpus, codebook, m=m, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    cols = np.arange(m)
+
+    def score(batches):
+        import pandas as pd
+
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b[id_col].to_numpy()
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in b["codes"]]
+            )
+            take = min(k, len(ids))
+            for qi in range(n_q):
+                ad = T[qi][cols[None, :], codes].sum(1)
+                idx = np.lexsort((ids, ad))[:take]
+                yield pd.DataFrame(
+                    {
+                        query_id_col: [qids[qi]] * take,
+                        id_col: ids[idx],
+                        "adist": ad[idx],
+                    }
+                )
+
+    q_t = dict(queries.dtypes)[query_id_col]
+    id_t = dict(corpus.dtypes)[id_col]
+    local = enc.mapInPandas(
+        score, f"{query_id_col} {q_t}, {id_col} {id_t}, adist long"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adist").asc(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "adist")
+    )
+
+
+def l2_topk_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id < 3",
+    k: int = 5,
+    dim: int = 64,
+    scale: int = 10**6,
+) -> str:
+    """DuckDB twin of :func:`l2_topk` (exact BIGINT throughout)."""
+    return f"""
+      WITH iq AS (
+        SELECT {id_col},
+               list_transform({vec_col},
+                 x -> CAST(round(CAST(x AS DOUBLE) * {scale}, 0) AS BIGINT)
+               ) AS v
+        FROM {table}),
+      q AS (SELECT {id_col} AS query_id, v AS qv FROM iq WHERE {query_pred}),
+      d AS (
+        SELECT q.query_id, iq.{id_col},
+               CAST(list_sum(list_transform(range(1, {dim} + 1),
+                    i -> (iq.v[i] - q.qv[i]) * (iq.v[i] - q.qv[i])))
+                    AS BIGINT) AS l2_sq
+        FROM iq CROSS JOIN q)
+      SELECT query_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY l2_sq, {id_col})
+               AS INTEGER) AS rank,
+             {id_col}, l2_sq
+      FROM d QUALIFY rank <= {k}
+    """
+
+
+def pq_topk_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: str = "vec_id < 3",
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    scale: int = 10**6,
+) -> str:
+    """DuckDB twin of :func:`pq_topk`: recomputes the md5-bottom-k
+    codebook, the per-subspace argmin codes, the per-query ADC tables,
+    and the final (adist, id) ranking — all exact BIGINT, so the match
+    is verbatim. The corpus × codes unnests are definitional oracle
+    cost, not the engine's plan."""
+    sub = dim // m
+    return f"""
+      WITH iq AS (
+        SELECT {id_col},
+               list_transform({vec_col},
+                 x -> CAST(round(CAST(x AS DOUBLE) * {scale}, 0) AS BIGINT)
+               ) AS v
+        FROM {table}),
+      cb AS (
+        SELECT CAST(row_number() OVER (ORDER BY h, {id_col})
+                    AS INTEGER) - 1 AS j, v
+        FROM (SELECT {id_col}, v, md5(CAST({id_col} AS VARCHAR)) AS h
+              FROM iq ORDER BY h, {id_col} LIMIT {n_codes})),
+      subs AS (SELECT unnest(range(0, {m})) AS s),
+      sd AS (
+        SELECT iq.{id_col}, subs.s, cb.j,
+               CAST(list_sum(list_transform(range(1, {sub} + 1),
+                    t -> (iq.v[subs.s * {sub} + t] - cb.v[subs.s * {sub} + t])
+                       * (iq.v[subs.s * {sub} + t] - cb.v[subs.s * {sub} + t])
+                    )) AS BIGINT) AS dist
+        FROM iq CROSS JOIN subs CROSS JOIN cb),
+      codes AS (
+        SELECT {id_col}, s, j FROM sd
+        QUALIFY row_number() OVER (
+          PARTITION BY {id_col}, s ORDER BY dist, j) = 1),
+      q AS (SELECT {id_col} AS query_id, v AS qv FROM iq WHERE {query_pred}),
+      qt AS (
+        SELECT q.query_id, subs.s, cb.j,
+               CAST(list_sum(list_transform(range(1, {sub} + 1),
+                    t -> (q.qv[subs.s * {sub} + t] - cb.v[subs.s * {sub} + t])
+                       * (q.qv[subs.s * {sub} + t] - cb.v[subs.s * {sub} + t])
+                    )) AS BIGINT) AS dist
+        FROM q CROSS JOIN subs CROSS JOIN cb),
+      ad AS (
+        SELECT qt.query_id, c.{id_col},
+               CAST(sum(qt.dist) AS BIGINT) AS adist
+        FROM codes c JOIN qt ON qt.s = c.s AND qt.j = c.j
+        GROUP BY qt.query_id, c.{id_col})
+      SELECT query_id,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY adist, {id_col})
+               AS INTEGER) AS rank,
+             {id_col}, adist
+      FROM ad QUALIFY rank <= {k}
+    """
