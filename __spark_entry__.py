@@ -2446,6 +2446,15 @@ def q_chunk_manifest(spark: SparkSession, sf: str) -> DataFrame:
     return _trainprep.chunk_manifest(docs, capacity=256, n_shards=4)
 
 
+def q_fim_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """FIM loss/attention manifest: sentinel positions + prefix/suffix/
+    middle span boundaries in OUTPUT coordinates (the trainer's loss-
+    mask frame; spans tile [0, n_out) exactly — pytest-pinned against
+    the realized tokens). Pure projection stacked on fim_transform's
+    projection — zero shuffle, one codegen span."""
+    return _trainprep.fim_spans(load_table(spark, "documents", sf))
+
+
 def q_chunk_read_plan(spark: SparkSession, sf: str) -> DataFrame:
     """The loader's per-chunk I/O plan for the concat-and-cut layout
     (step_read_plan's counterpart for split docs): chunk layout joined
@@ -2463,6 +2472,7 @@ def q_chunk_read_plan(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "chunk_read_plan": q_chunk_read_plan,
+        "fim_spans": q_fim_spans,
         "ann_l2_topk": q_ann_l2_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "pq_recall": q_pq_recall,
@@ -2761,6 +2771,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_read_plan": _trainprep.chunk_read_plan_sql(
             "documents", capacity=256, n_shards=4
         ),
+        "fim_spans": _trainprep.fim_spans_sql("documents"),
         "ann_l2_topk": _similarity.l2_topk_sql("embeddings"),
         "ann_pq_topk": _similarity.pq_topk_sql("embeddings"),
         "pq_recall": (

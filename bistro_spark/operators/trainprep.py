@@ -610,3 +610,97 @@ def chunk_read_plan_sql(
       WHERE nb > 0
       GROUP BY shard, chunk_id
     """
+
+
+def fim_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_pct: int = 50,
+    min_words: int = 4,
+) -> DataFrame:
+    """The FIM loss/attention manifest: for every document of
+    :func:`fim_transform`'s output, WHERE in the emitted token sequence
+    the three sentinels sit and where the prefix / suffix / middle
+    spans run — all in OUTPUT coordinates, the frame a trainer's loss
+    mask and position-id logic actually consume (sentinels excluded
+    from the loss; PSM layout ``<PRE> P <SUF> S <MID> M`` means the
+    middle span is the continuation target). Closed-form from
+    (is_fim, fim_start=a, fim_end=b, n_out): the spans tile [0, n_out)
+    exactly (pytest-pinned against the realized token positions).
+
+    Scale: a pure projection stacked on fim_transform's projection —
+    zero shuffle, one codegen span, checkpoint-safe for the same
+    reason (every value is an md5 function of the id)."""
+    t = fim_transform(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        rate_pct=rate_pct,
+        min_words=min_words,
+    )
+    a = F.col("fim_start")
+    b = F.col("fim_end")
+    n = F.col("n_out") - 3  # original word count for FIM rows
+    fim = F.col("is_fim")
+    i = lambda c: c.cast("long")  # noqa: E731
+    return t.select(
+        id_col,
+        "is_fim",
+        "n_out",
+        F.when(fim, F.lit(0).cast("long")).alias("pre_pos"),
+        F.when(fim, i(a + 1)).alias("suf_pos"),
+        F.when(fim, i(a + 2 + (n - b))).alias("mid_pos"),
+        F.when(fim, F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("prefix_start"),
+        F.when(fim, i(a)).otherwise(i(F.col("n_out"))).alias("prefix_len"),
+        F.when(fim, i(a + 2)).alias("suffix_start"),
+        F.when(fim, i(n - b)).alias("suffix_len"),
+        F.when(fim, i(a + 3 + (n - b))).alias("middle_start"),
+        F.when(fim, i(b - a)).alias("middle_len"),
+        F.when(fim, i(F.col("n_out") - 3))
+        .otherwise(i(F.col("n_out")))
+        .alias("n_supervised"),
+    )
+
+
+def fim_spans_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_pct: int = 50,
+    min_words: int = 4,
+) -> str:
+    """DuckDB twin of :func:`fim_spans` (same closed forms over the
+    fim_transform twin)."""
+    inner = fim_transform_sql(
+        table,
+        id_col=id_col,
+        text_col=text_col,
+        rate_pct=rate_pct,
+        min_words=min_words,
+    )
+    return f"""
+      SELECT {id_col}, is_fim, n_out,
+             CASE WHEN is_fim THEN CAST(0 AS BIGINT) END AS pre_pos,
+             CASE WHEN is_fim THEN CAST(fim_start + 1 AS BIGINT)
+               END AS suf_pos,
+             CASE WHEN is_fim THEN CAST(fim_start + 2
+                  + (n_out - 3 - fim_end) AS BIGINT) END AS mid_pos,
+             CAST(CASE WHEN is_fim THEN 1 ELSE 0 END AS BIGINT)
+               AS prefix_start,
+             CAST(CASE WHEN is_fim THEN fim_start ELSE n_out END
+                  AS BIGINT) AS prefix_len,
+             CASE WHEN is_fim THEN CAST(fim_start + 2 AS BIGINT)
+               END AS suffix_start,
+             CASE WHEN is_fim THEN CAST(n_out - 3 - fim_end AS BIGINT)
+               END AS suffix_len,
+             CASE WHEN is_fim THEN CAST(fim_start + 3
+                  + (n_out - 3 - fim_end) AS BIGINT) END AS middle_start,
+             CASE WHEN is_fim THEN CAST(fim_end - fim_start AS BIGINT)
+               END AS middle_len,
+             CAST(CASE WHEN is_fim THEN n_out - 3 ELSE n_out END
+                  AS BIGINT) AS n_supervised
+      FROM ({inner})
+    """

@@ -410,3 +410,64 @@ def test_chunk_read_plan_sql_twin(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------- fim spans --
+
+
+def test_fim_spans_tile_output_and_match_realized_tokens(spark):
+    """The manifest's spans tile [0, n_out) exactly, sentinels sit at
+    the claimed positions IN THE REALIZED out_text, the middle span's
+    tokens are exactly the words fim_transform cut out, and non-FIM
+    rows are one full prefix span with everything supervised."""
+    from bistro_spark.operators.trainprep import fim_spans, fim_transform
+
+    docs = spark.read.parquet(DOCS)
+    spans = {r["doc_id"]: r for r in fim_spans(docs).collect()}
+    real = {r["doc_id"]: r for r in fim_transform(docs).collect()}
+    assert set(spans) == set(real)
+    n_fim = 0
+    for did, s in spans.items():
+        toks = real[did]["out_text"].split(" ") if real[did]["n_out"] else []
+        assert s["n_out"] == real[did]["n_out"]
+        if not s["is_fim"]:
+            assert s["prefix_start"] == 0
+            assert s["prefix_len"] == s["n_out"] == s["n_supervised"]
+            assert s["pre_pos"] is None and s["mid_pos"] is None
+            continue
+        n_fim += 1
+        cover = (
+            [s["pre_pos"], s["suf_pos"], s["mid_pos"]]
+            + list(range(s["prefix_start"], s["prefix_start"] + s["prefix_len"]))
+            + list(range(s["suffix_start"], s["suffix_start"] + s["suffix_len"]))
+            + list(range(s["middle_start"], s["middle_start"] + s["middle_len"]))
+        )
+        assert sorted(cover) == list(range(s["n_out"]))
+        assert toks[s["pre_pos"]] == "<PRE>"
+        assert toks[s["suf_pos"]] == "<SUF>"
+        assert toks[s["mid_pos"]] == "<MID>"
+        assert s["n_supervised"] == s["n_out"] - 3
+        # the middle span holds the words the transform cut out
+        a, b = real[did]["fim_start"], real[did]["fim_end"]
+        words = [w for w in toks if w not in ("<PRE>", "<SUF>", "<MID>")]
+        orig = (
+            toks[s["prefix_start"] : s["prefix_start"] + s["prefix_len"]]
+            + toks[s["middle_start"] : s["middle_start"] + s["middle_len"]]
+            + toks[s["suffix_start"] : s["suffix_start"] + s["suffix_len"]]
+        )
+        assert len(orig) == len(words)
+        assert s["middle_len"] == b - a
+    assert n_fim > 0
+
+
+def test_fim_spans_sql_twin(spark):
+    from bistro_spark.operators.trainprep import fim_spans, fim_spans_sql
+
+    docs = spark.read.parquet(DOCS)
+    got = sorted(str(tuple(r)) for r in fim_spans(docs).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{DOCS}'")
+    want = sorted(
+        str(tuple(r)) for r in con.execute(fim_spans_sql()).fetchall()
+    )
+    assert got == want
