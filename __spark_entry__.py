@@ -1700,6 +1700,23 @@ def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     return pq_topk(emb, _ann_queries_df(emb), k=5, m=8, n_codes=16)
 
 
+def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive pair mining: per anchor, the 5 nearest different-
+    label rows (hard negatives) and 5 nearest same-label rows excluding
+    self (hard positives), exact integer squared-L2 — the training-pair
+    generator for embedding-model fine-tuning. One corpus pass, no
+    corpus shuffle, audit-sized final rank."""
+    from bistro_spark.operators.similarity import contrastive_topk
+
+    emb = load_table(spark, "embeddings", sf)
+    anchors = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    return contrastive_topk(emb, anchors, k=5)
+
+
 def q_pq_recall(spark: SparkSession, sf: str) -> DataFrame:
     """Recall@5 of the PQ/ADC path against the exact integer-L2 top-k —
     the self-audit a 100 TB operator watches before trusting the 32×-
@@ -2476,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_l2_topk": q_ann_l2_topk,
         "ann_pq_topk": q_ann_pq_topk,
         "pq_recall": q_pq_recall,
+        "hard_negatives": q_hard_negatives,
         "fim_transform": q_fim_transform,
         "chunk_manifest": q_chunk_manifest,
         "concat_chunks": q_concat_chunks,
@@ -2774,6 +2792,7 @@ def oracle_sql() -> dict[str, str]:
         "fim_spans": _trainprep.fim_spans_sql("documents"),
         "ann_l2_topk": _similarity.l2_topk_sql("embeddings"),
         "ann_pq_topk": _similarity.pq_topk_sql("embeddings"),
+        "hard_negatives": _similarity.contrastive_topk_sql("embeddings"),
         "pq_recall": (
             "WITH ex AS (SELECT * FROM ("
             + _similarity.l2_topk_sql("embeddings")

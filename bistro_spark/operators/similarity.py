@@ -1079,3 +1079,141 @@ def pq_topk_sql(
              {id_col}, adist
       FROM ad QUALIFY rank <= {k}
     """
+
+
+def contrastive_topk(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Contrastive pair mining for embedding-model training: per anchor,
+    the k nearest corpus rows with a DIFFERENT label (hard negatives —
+    the pairs that move a contrastive loss) and the k nearest with the
+    SAME label excluding the anchor itself (hard positives), ranked by
+    exact integer squared L2 (the repo's tie-proof discipline).
+
+    One corpus pass: anchors collect once (they're batch-sized), every
+    partition computes ALL anchor distances for its local rows and emits
+    only per-(anchor, kind) local top-k — the corpus never shuffles, the
+    final rank sorts ≤ anchors·2k·partitions survivors. Non-null labels
+    are asserted (a NULL label row would silently vanish from both kinds
+    under != / == semantics — fail loudly instead)."""
+    import numpy as np
+
+    qrows = anchors.select(
+        query_id_col,
+        query_label_col,
+        _int_quantize_expr(query_vec_col, scale).alias("_qi"),
+    ).collect()
+    if any(r[query_label_col] is None for r in qrows):
+        raise ValueError("contrastive_topk: NULL anchor label")
+    qids = [r[query_id_col] for r in qrows]
+    qlabels = [r[query_label_col] for r in qrows]
+    Q = np.stack([np.asarray(r["_qi"], dtype=np.int64) for r in qrows])
+    n_q = len(qids)
+
+    iq = corpus.select(
+        id_col, label_col, _int_quantize_expr(vec_col, scale).alias("_iq")
+    )
+
+    def score(batches):
+        import pandas as pd
+
+        for b in batches:
+            if not len(b):
+                continue
+            if b[label_col].isna().any():
+                raise ValueError("contrastive_topk: NULL corpus label")
+            ids = b[id_col].to_numpy()
+            labels = b[label_col].to_numpy()
+            X = np.stack([np.asarray(v, dtype=np.int64) for v in b["_iq"]])
+            for qi in range(n_q):
+                d = ((X - Q[qi][None, :]) ** 2).sum(1)
+                for kind, mask in (
+                    ("neg", labels != qlabels[qi]),
+                    ("pos", (labels == qlabels[qi]) & (ids != qids[qi])),
+                ):
+                    if not mask.any():
+                        continue
+                    di, ii, li = d[mask], ids[mask], labels[mask]
+                    idx = np.lexsort((ii, di))[: min(k, len(ii))]
+                    yield pd.DataFrame(
+                        {
+                            query_id_col: [qids[qi]] * len(idx),
+                            "kind": [kind] * len(idx),
+                            id_col: ii[idx],
+                            label_col: li[idx],
+                            "l2_sq": di[idx],
+                        }
+                    )
+
+    q_t = dict(anchors.dtypes)[query_id_col]
+    id_t = dict(corpus.dtypes)[id_col]
+    lb_t = dict(corpus.dtypes)[label_col]
+    local = iq.mapInPandas(
+        score,
+        f"{query_id_col} {q_t}, kind string, {id_col} {id_t}, "
+        f"{label_col} {lb_t}, l2_sq long",
+    )
+    w = Window.partitionBy(query_id_col, "kind").orderBy(
+        F.col("l2_sq").asc(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "kind", "rank", id_col, label_col, "l2_sq")
+    )
+
+
+def contrastive_topk_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_pred: str = "vec_id < 3",
+    k: int = 5,
+    dim: int = 64,
+    scale: int = 10**6,
+) -> str:
+    """DuckDB twin of :func:`contrastive_topk` (exact BIGINT)."""
+    return f"""
+      WITH iq AS (
+        SELECT {id_col}, {label_col},
+               list_transform({vec_col},
+                 x -> CAST(round(CAST(x AS DOUBLE) * {scale}, 0) AS BIGINT)
+               ) AS v
+        FROM {table}),
+      q AS (SELECT {id_col} AS query_id, {label_col} AS qlabel, v AS qv
+            FROM iq WHERE {anchor_pred}),
+      d AS (
+        SELECT q.query_id, q.qlabel, iq.{id_col}, iq.{label_col},
+               CAST(list_sum(list_transform(range(1, {dim} + 1),
+                    i -> (iq.v[i] - q.qv[i]) * (iq.v[i] - q.qv[i])))
+                    AS BIGINT) AS l2_sq
+        FROM iq CROSS JOIN q),
+      neg AS (
+        SELECT query_id, 'neg' AS kind,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY l2_sq, {id_col})
+                 AS INTEGER) AS rank,
+               {id_col}, {label_col}, l2_sq
+        FROM d WHERE {label_col} != qlabel QUALIFY rank <= {k}),
+      pos AS (
+        SELECT query_id, 'pos' AS kind,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY l2_sq, {id_col})
+                 AS INTEGER) AS rank,
+               {id_col}, {label_col}, l2_sq
+        FROM d WHERE {label_col} = qlabel AND {id_col} != query_id
+        QUALIFY rank <= {k})
+      SELECT query_id, kind, rank, {id_col}, {label_col}, l2_sq FROM neg
+      UNION ALL
+      SELECT query_id, kind, rank, {id_col}, {label_col}, l2_sq FROM pos
+    """

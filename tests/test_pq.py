@@ -194,3 +194,76 @@ def test_pq_recall_bounds(spark):
         assert r["n_exact"] == 5
         assert 0 <= r["n_hit"] <= 5
         assert abs(r["recall"] - r["n_hit"] / r["n_exact"]) < 1e-9
+
+
+def test_contrastive_topk_brute_parity_and_kinds(spark):
+    from bistro_spark.operators.similarity import contrastive_topk
+
+    rows = [(i, [((i * 31 + d * 7) % 13 - 6) / 8.0 for d in range(8)], i % 3)
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    anchors = df.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    got = sorted(
+        tuple(r) for r in contrastive_topk(df, anchors, k=3).collect()
+    )
+    want = []
+    for qid in (0, 1):
+        Q = _iq(rows[qid][1])
+        ql = rows[qid][2]
+        d = [(int(((_iq(v) - Q) ** 2).sum()), i, lb) for i, v, lb in rows]
+        neg = sorted((dd, i, lb) for dd, i, lb in d if lb != ql)[:3]
+        pos = sorted(
+            (dd, i, lb) for dd, i, lb in d if lb == ql and i != qid
+        )[:3]
+        want += [(qid, "neg", r + 1, i, lb, dd)
+                 for r, (dd, i, lb) in enumerate(neg)]
+        want += [(qid, "pos", r + 1, i, lb, dd)
+                 for r, (dd, i, lb) in enumerate(pos)]
+    assert got == sorted(want)
+    # the anchor itself never appears as its own positive
+    assert all(not (q == v and k == "pos") for q, k, _, v, _, _ in got)
+
+
+def test_contrastive_topk_sql_twin_and_null_guard(spark):
+    import pytest
+
+    from bistro_spark.operators.similarity import (
+        contrastive_topk,
+        contrastive_topk_sql,
+    )
+
+    rows = [(i, [((i * 31 + d * 7) % 13 - 6) / 8.0 for d in range(8)], i % 3)
+            for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    anchors = df.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    got = sorted(
+        tuple(r) for r in contrastive_topk(df, anchors, k=4).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(vec_id BIGINT, embedding FLOAT[], label INTEGER)")
+    con.executemany("INSERT INTO e VALUES (?,?,?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            contrastive_topk_sql("e", anchor_pred="vec_id < 2", k=4, dim=8)
+        ).fetchall()
+    )
+    assert got == want
+    # NULL labels fail loudly instead of silently vanishing
+    bad = spark.createDataFrame(
+        [(0, rows[0][1], None)], "vec_id long, embedding array<float>, label int"
+    ).union(df)
+    with pytest.raises(Exception):
+        contrastive_topk(bad, anchors, k=2).collect()
