@@ -432,3 +432,156 @@ class StreamingConcatChunker:
             self._state[s] = self._state.get(s, 0) + int(r["mass"])
         self._trigger_ids = out_ids
         return out
+
+
+class StreamingChunkReadPlanner:
+    """Streaming twin of ``trainprep.chunk_read_plan``: the loader's
+    per-chunk I/O entries emitted LIVE as documents arrive — the read
+    side of the live tokenize→pack→export chain
+    (``StreamingConcatChunker`` lays out chunks,
+    ``StreamingBinidxWriter`` lays out bytes; this planner composes
+    BOTH layouts in one pass over each delta, so the two cursors can
+    never disagree about a doc).
+
+    State is TWO BIGINTs per shard — the next token offset of the
+    shard's concatenated chunk stream (incl. EOD spans) and the next
+    byte offset of the shard's ``.bin`` file (real tokens only) —
+    ``n_shards``-bounded, additive in the delta's masses. Per trigger
+    the delta gets in-delta token and byte prefix sums via per-shard
+    windows over the DELTA ONLY, carried cursors return via a
+    shard-grid broadcast join, the chunk explode reuses the batch
+    expressions, every read is clamped to the doc's real byte span
+    (EOD-only segments emit nothing), and read entries
+    (shard, chunk_id, doc_id, off, nb) leave append-only — a doc's
+    reads are emitted exactly once, at arrival.
+
+    **Parity contract (pytest-pinned):** under id-monotone arrival per
+    shard, the union of per-trigger entries, grouped to offset-ordered
+    arrays, EQUALS batch ``chunk_read_plan`` over everything seen.
+    Out-of-order arrival diverges by construction (bytes and tokens
+    already laid out cannot move) — pinned by counter-example.
+    Kill/resume via the JSON-safe two-cursor snapshot."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        capacity: int = 256,
+        n_shards: int = 4,
+        sep_tokens: int = 1,
+        bytes_per_token: int = 2,
+        id_col: str = "doc_id",
+        len_col: str = "n_tok",
+    ):
+        self.spark = spark
+        self.capacity = int(capacity)
+        self.n_shards = int(n_shards)
+        self.sep = int(sep_tokens)
+        self.bpt = int(bytes_per_token)
+        self.id_col = id_col
+        self.len_col = len_col
+        # shard -> [next token offset (incl. EOD), next byte offset]
+        self._state: dict[int, list[int]] = {}
+        self._trigger_ids: set[int] = set()
+        self.batches_seen = 0
+
+    # ------------------------------------------------------- recovery --
+    def state_snapshot(self) -> dict:
+        """JSON-safe: one (token, byte) cursor pair per touched shard."""
+        return {str(s): list(v) for s, v in self._state.items()}
+
+    def restore_state(self, snapshot: dict) -> None:
+        self._state = {
+            int(k): [int(v[0]), int(v[1])] for k, v in snapshot.items()
+        }
+
+    # ---------------------------------------------------------- fold --
+    def process_batch(self, batch_df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        self.batches_seen += 1
+        release(self.spark, self._trigger_ids)
+        cap, bpt = self.capacity, self.bpt
+        base = batch_df.select(
+            self.id_col,
+            (F.col(self.id_col) % self.n_shards).cast("int").alias("shard"),
+            F.col(self.len_col).cast("long").alias("_n"),
+            (F.col(self.len_col).cast("long") + self.sep).alias("_span"),
+        )
+        w = (
+            Window.partitionBy("shard")
+            .orderBy(self.id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        delta = base.withColumn(
+            "_dstart",
+            F.coalesce(F.sum("_span").over(w), F.lit(0)).cast("long"),
+        ).withColumn(
+            "_dbytes",
+            F.coalesce(F.sum(F.col("_n") * bpt).over(w), F.lit(0)).cast(
+                "long"
+            ),
+        )
+        cur_rows = [
+            (s, v[0], v[1]) for s, v in self._state.items()
+        ] or [(-1, 0, 0)]
+        cursors = self.spark.createDataFrame(
+            cur_rows, "shard int, _coff long, _cboff long"
+        )
+        laid = (
+            delta.join(F.broadcast(cursors), "shard", "left")
+            .withColumn(
+                "_start", F.col("_dstart") + F.coalesce("_coff", F.lit(0))
+            )
+            .withColumn(
+                "_boff", F.col("_dbytes") + F.coalesce("_cboff", F.lit(0))
+            )
+        )
+        ex = laid.select(
+            self.id_col,
+            "shard",
+            "_n",
+            "_span",
+            "_start",
+            "_boff",
+            F.explode(
+                F.sequence(
+                    F.expr(f"_start DIV {cap}"),
+                    F.expr(f"(_start + _span - 1) DIV {cap}"),
+                )
+            ).alias("chunk_id"),
+        )
+        c0 = F.col("chunk_id") * cap
+        sid = F.greatest(F.col("_start"), c0) - F.col("_start")
+        send = F.least(F.col("_start") + F.col("_span"), c0 + cap) - F.col(
+            "_start"
+        )
+        nb = (F.least(send, F.col("_n")) - sid) * bpt
+        out, out_ids = pin(
+            ex.select(
+                "shard",
+                F.col("chunk_id").cast("long").alias("chunk_id"),
+                self.id_col,
+                (F.col("_boff") + sid * bpt).cast("long").alias("off"),
+                nb.cast("long").alias("nb"),
+            ).filter(F.col("nb") > 0)
+        )
+        # cursor update: delta-bounded shard aggregate over the cheap
+        # base projection (the emitted reads exclude EOD spans, so the
+        # token mass cannot be recovered from them)
+        upd = (
+            base.groupBy("shard")
+            .agg(
+                F.sum("_span").cast("long").alias("tmass"),
+                (F.sum("_n") * bpt).cast("long").alias("bmass"),
+            )
+            .collect()
+        )
+        for r in upd:
+            s = int(r["shard"])
+            cur = self._state.get(s, [0, 0])
+            self._state[s] = [
+                cur[0] + int(r["tmass"]),
+                cur[1] + int(r["bmass"]),
+            ]
+        self._trigger_ids = out_ids
+        return out

@@ -146,3 +146,100 @@ def test_streaming_chunker_state_and_pin_bounds(spark):
 
     release(spark, ch._trigger_ids)
     assert pinned_ids(spark) - before == set()
+
+
+# -------------------------------------------------- chunk read planner --
+
+
+def _group_reads(entries):
+    plans = {}
+    for shard, chunk_id, _doc, off, nb in entries:
+        plans.setdefault((shard, chunk_id), []).append((off, nb))
+    return {
+        key: tuple(sorted(reads)) for key, reads in plans.items()
+    }
+
+
+def test_streaming_read_planner_id_monotone_parity(spark):
+    """Union of per-trigger read entries, grouped to offset-ordered
+    arrays, equals batch chunk_read_plan over everything seen — both
+    layouts (chunk + byte) composed in one pass."""
+    from bistro_spark.operators.trainprep import chunk_read_plan
+    from bistro_spark.streaming.pack import StreamingChunkReadPlanner
+
+    docs = _with_len(spark.read.parquet(DOCS))
+    cuts = [0, 120, 260, 400, 10**9]
+    pl = StreamingChunkReadPlanner(spark, capacity=256, n_shards=4)
+    got = []
+    for lo, hi in zip(cuts, cuts[1:]):
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        got.extend(tuple(r) for r in pl.process_batch(batch).collect())
+    want = {
+        (r["shard"], r["chunk_id"]): tuple(
+            zip(r["offsets"], r["sizes"])
+        )
+        for r in chunk_read_plan(
+            docs, len_col="n_tok", capacity=256, n_shards=4
+        ).collect()
+    }
+    assert _group_reads(got) == want
+    assert pl.batches_seen == 4
+    # n_shards-bounded state, pins released each trigger
+    assert len(pl._state) <= 4
+
+
+def test_streaming_read_planner_kill_resume(spark):
+    from bistro_spark.operators.trainprep import chunk_read_plan
+    from bistro_spark.streaming.pack import StreamingChunkReadPlanner
+
+    docs = _with_len(spark.read.parquet(DOCS))
+    a = StreamingChunkReadPlanner(spark, capacity=128, n_shards=4)
+    got = []
+    for lo, hi in [(0, 150), (150, 320)]:
+        batch = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        got.extend(tuple(r) for r in a.process_batch(batch).collect())
+    import json
+
+    snap = json.loads(json.dumps(a.state_snapshot()))  # JSON round trip
+    b = StreamingChunkReadPlanner(spark, capacity=128, n_shards=4)
+    b.restore_state(snap)
+    got.extend(
+        tuple(r)
+        for r in b.process_batch(
+            docs.filter(F.col("doc_id") >= 320)
+        ).collect()
+    )
+    want = {
+        (r["shard"], r["chunk_id"]): tuple(zip(r["offsets"], r["sizes"]))
+        for r in chunk_read_plan(
+            docs, len_col="n_tok", capacity=128, n_shards=4
+        ).collect()
+    }
+    assert _group_reads(got) == want
+
+
+def test_streaming_read_planner_out_of_order_divergence(spark):
+    """Tokens and bytes already laid out cannot move: a smaller id
+    arriving later lands at a later offset than the batch layout gives
+    it — divergence pinned by counter-example."""
+    from bistro_spark.operators.trainprep import chunk_read_plan
+    from bistro_spark.streaming.pack import StreamingChunkReadPlanner
+
+    rows = [(0, 100), (4, 60), (8, 130)]  # all shard 0, distinct lens
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    pl = StreamingChunkReadPlanner(spark, capacity=64, n_shards=4)
+    got = []
+    for did in (4, 8, 0):  # id 0 arrives LAST
+        got.extend(
+            tuple(r)
+            for r in pl.process_batch(
+                df.filter(F.col("doc_id") == did)
+            ).collect()
+        )
+    want = {
+        (r["shard"], r["chunk_id"]): tuple(zip(r["offsets"], r["sizes"]))
+        for r in chunk_read_plan(
+            df, len_col="n_tok", capacity=64, n_shards=4
+        ).collect()
+    }
+    assert _group_reads(got) != want
