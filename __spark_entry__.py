@@ -1700,6 +1700,19 @@ def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     return pq_topk(emb, _ann_queries_df(emb), k=5, m=8, n_codes=16)
 
 
+def q_pq_distortion_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ sizing artifact: reconstruction distortion per candidate
+    subspace count m in ONE corpus pass (grid multiplies kernel output
+    rows per vector, never corpus passes) — the m/n_codes decision
+    before a 100 TB re-encode. Exact int64 distortions; the mean is one
+    exact-int division rounded to 6."""
+    from bistro_spark.operators.similarity import pq_distortion_sweep
+
+    return pq_distortion_sweep(
+        load_table(spark, "embeddings", sf), m_list=(4, 8, 16), n_codes=16
+    )
+
+
 def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     """Contrastive pair mining: per anchor, the 5 nearest different-
     label rows (hard negatives) and 5 nearest same-label rows excluding
@@ -2494,6 +2507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "pq_recall": q_pq_recall,
         "hard_negatives": q_hard_negatives,
+        "pq_distortion_sweep": q_pq_distortion_sweep,
         "fim_transform": q_fim_transform,
         "chunk_manifest": q_chunk_manifest,
         "concat_chunks": q_concat_chunks,
@@ -2793,6 +2807,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_l2_topk": _similarity.l2_topk_sql("embeddings"),
         "ann_pq_topk": _similarity.pq_topk_sql("embeddings"),
         "hard_negatives": _similarity.contrastive_topk_sql("embeddings"),
+        "pq_distortion_sweep": _similarity.pq_distortion_sweep_sql(
+            "embeddings"
+        ),
         "pq_recall": (
             "WITH ex AS (SELECT * FROM ("
             + _similarity.l2_topk_sql("embeddings")

@@ -1217,3 +1217,126 @@ def contrastive_topk_sql(
       UNION ALL
       SELECT query_id, kind, rank, {id_col}, {label_col}, l2_sq FROM pos
     """
+
+
+def pq_distortion_sweep(
+    corpus: DataFrame,
+    m_list: tuple = (4, 8, 16),
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """The PQ sizing artifact: total / max / mean reconstruction error
+    (quantization distortion) for each candidate subspace count m, in
+    ONE corpus pass — the number that decides the m / n_codes trade
+    before committing a 100 TB re-encode (pack_capacity_sweep's role,
+    for the PQ index). Distortion of a vector needs no codes:
+    d(x, q(x)) = Σ_s min_j ‖x_s − c_{s,j}‖² — exact int64 per (vec, m),
+    so the sweep is a map-only Arrow pass emitting |m_list| rows per
+    vector and one grid-sized partial-agg shuffle. The mean is the only
+    float: one exact-int division rounded to 6, identical cross-engine."""
+    import numpy as np
+
+    codebook = pq_sample_codebook(
+        corpus, id_col=id_col, vec_col=vec_col, n_codes=n_codes, scale=scale
+    )
+    C = np.asarray(codebook, dtype=np.int64)
+    dim = C.shape[1]
+    ms = [int(m) for m in m_list]
+    for m in ms:
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+
+    iq = corpus.select(id_col, _int_quantize_expr(vec_col, scale).alias("_iq"))
+
+    def dist(batches):
+        import pandas as pd
+
+        for b in batches:
+            if not len(b):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.int64) for v in b["_iq"]])
+            out_m, out_d = [], []
+            for m in ms:
+                sub = dim // m
+                d = np.zeros(len(X), dtype=np.int64)
+                for s in range(m):
+                    Xs = X[:, s * sub : (s + 1) * sub]
+                    Cs = C[:, s * sub : (s + 1) * sub]
+                    d += (
+                        ((Xs[:, None, :] - Cs[None, :, :]) ** 2)
+                        .sum(-1)
+                        .min(1)
+                    )
+                out_m.append(np.full(len(X), m, dtype=np.int32))
+                out_d.append(d)
+            yield pd.DataFrame(
+                {
+                    "m": np.concatenate(out_m),
+                    "distortion": np.concatenate(out_d),
+                }
+            )
+
+    per_vec = iq.mapInPandas(dist, "m int, distortion long")
+    return (
+        per_vec.groupBy("m")
+        .agg(
+            F.count("*").cast("long").alias("n_vec"),
+            F.sum("distortion").cast("long").alias("total_distortion"),
+            F.max("distortion").cast("long").alias("max_distortion"),
+            F.round(
+                F.sum("distortion").cast("double") / F.count("*"), 6
+            ).alias("mean_distortion"),
+        )
+    )
+
+
+def pq_distortion_sweep_sql(
+    table: str = "embeddings",
+    m_list: tuple = (4, 8, 16),
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 10**6,
+) -> str:
+    """DuckDB twin of :func:`pq_distortion_sweep` (the corpus × m ×
+    subspace × code unnest is definitional oracle cost)."""
+    ms = ", ".join(str(int(m)) for m in m_list)
+    return f"""
+      WITH iq AS (
+        SELECT {id_col},
+               list_transform({vec_col},
+                 x -> CAST(round(CAST(x AS DOUBLE) * {scale}, 0) AS BIGINT)
+               ) AS v
+        FROM {table}),
+      cb AS (
+        SELECT CAST(row_number() OVER (ORDER BY h, {id_col})
+                    AS INTEGER) - 1 AS j, v
+        FROM (SELECT {id_col}, v, md5(CAST({id_col} AS VARCHAR)) AS h
+              FROM iq ORDER BY h, {id_col} LIMIT {n_codes})),
+      grid AS (SELECT unnest([{ms}]) AS m),
+      subs AS (SELECT grid.m, unnest(range(0, grid.m)) AS s FROM grid),
+      sd AS (
+        SELECT iq.{id_col}, subs.m, subs.s,
+               min(CAST(list_sum(list_transform(
+                    range(1, {dim} // subs.m + 1),
+                    t -> (iq.v[subs.s * ({dim} // subs.m) + t]
+                          - cb.v[subs.s * ({dim} // subs.m) + t])
+                       * (iq.v[subs.s * ({dim} // subs.m) + t]
+                          - cb.v[subs.s * ({dim} // subs.m) + t])
+                    )) AS BIGINT)) AS mind
+        FROM iq CROSS JOIN subs CROSS JOIN cb
+        GROUP BY iq.{id_col}, subs.m, subs.s),
+      pv AS (
+        SELECT {id_col}, m, CAST(sum(mind) AS BIGINT) AS distortion
+        FROM sd GROUP BY {id_col}, m)
+      SELECT m,
+             CAST(count(*) AS BIGINT) AS n_vec,
+             CAST(sum(distortion) AS BIGINT) AS total_distortion,
+             CAST(max(distortion) AS BIGINT) AS max_distortion,
+             round(CAST(sum(distortion) AS DOUBLE) / count(*), 6)
+               AS mean_distortion
+      FROM pv GROUP BY m
+    """

@@ -267,3 +267,76 @@ def test_contrastive_topk_sql_twin_and_null_guard(spark):
     ).union(df)
     with pytest.raises(Exception):
         contrastive_topk(bad, anchors, k=2).collect()
+
+
+def test_pq_distortion_sweep_brute_and_monotone(spark):
+    """Per-m distortion equals the brute per-vector sum of subspace
+    minima, and distortion is monotone non-increasing in m (finer
+    subspaces can only fit better: the m-way min sum refines the
+    m/2-way one)."""
+    from bistro_spark.operators.similarity import (
+        pq_distortion_sweep,
+        pq_sample_codebook,
+    )
+
+    rows = _synth(n=40, dim=8)
+    df = _spark_df(spark, rows)
+    cb = pq_sample_codebook(df, n_codes=4, scale=SCALE)
+    C = np.asarray(cb, dtype=np.int64)
+    got = {
+        r["m"]: r
+        for r in pq_distortion_sweep(
+            df, m_list=(2, 4), n_codes=4, scale=SCALE
+        ).collect()
+    }
+    for m in (2, 4):
+        sub = 8 // m
+        per_vec = []
+        for _i, vec in rows:
+            X = _iq(vec)
+            per_vec.append(
+                sum(
+                    int(
+                        (
+                            (
+                                X[s * sub : (s + 1) * sub]
+                                - C[:, s * sub : (s + 1) * sub]
+                            )
+                            ** 2
+                        )
+                        .sum(1)
+                        .min()
+                    )
+                    for s in range(m)
+                )
+            )
+        r = got[m]
+        assert r["n_vec"] == len(rows)
+        assert r["total_distortion"] == sum(per_vec)
+        assert r["max_distortion"] == max(per_vec)
+        assert abs(r["mean_distortion"] - round(sum(per_vec) / len(rows), 6)) < 1e-9
+    assert got[4]["total_distortion"] <= got[2]["total_distortion"]
+
+
+def test_pq_distortion_sweep_sql_twin(spark):
+    from bistro_spark.operators.similarity import (
+        pq_distortion_sweep,
+        pq_distortion_sweep_sql,
+    )
+
+    rows = _synth(n=50, dim=8)
+    df = _spark_df(spark, rows)
+    got = sorted(
+        tuple(r)
+        for r in pq_distortion_sweep(df, m_list=(2, 4), n_codes=4).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(vec_id BIGINT, embedding FLOAT[])")
+    con.executemany("INSERT INTO e VALUES (?,?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            pq_distortion_sweep_sql("e", m_list=(2, 4), n_codes=4, dim=8)
+        ).fetchall()
+    )
+    assert got == want
