@@ -2499,8 +2499,95 @@ def q_chunk_read_plan(spark: SparkSession, sf: str) -> DataFrame:
     return _trainprep.chunk_read_plan(docs, capacity=256, n_shards=4)
 
 
+def q_sft_turn_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """SFT dialog loss-mask manifest (fim_spans' multi-turn sibling):
+    each document rendered as a k-turn user/assistant dialog
+    (k = 2 + md5(id)%3) with per-turn sentinel position, content span,
+    and supervised flag in OUTPUT coordinates — spans + sentinels tile
+    [0, n_out) exactly. Pure projection × bounded k≤4 explode — zero
+    shuffle, cluster-shape-invariant, applies to a stream unchanged."""
+    return _trainprep.sft_turn_spans(load_table(spark, "documents", sf))
+
+
+def _pref_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """The deterministic best-of-n stand-in over documents: docs
+    sharing doc_id % 100 are one prompt's candidate set, reward is the
+    exact-integer n_chars (the repo's tie-proof discipline — ties are
+    broken by candidate id, never by float luck)."""
+    return load_table(spark, "documents", sf).select(
+        (F.col("doc_id") % 100).alias("prompt_id"),
+        F.col("doc_id").alias("cand_id"),
+        F.col("n_chars").alias("reward"),
+    )
+
+
+_PREF_CANDIDATES_SQL = (
+    "SELECT doc_id % 100 AS prompt_id, doc_id AS cand_id, "
+    "n_chars AS reward FROM documents"
+)
+
+
+def q_preference_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """DPO/RM preference-pair mining (best_vs_rest): per prompt, the
+    reward argmax (deterministic tiebreak) paired against every other
+    candidate clearing the margin — one prompt-key exchange, unordered
+    window MAX of a (reward, -cand) struct, no sort, no self-join."""
+    from bistro_spark.operators.preference import preference_pairs
+
+    return preference_pairs(_pref_candidates(spark, sf))
+
+
+def q_preference_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-prompt preference-signal audit: candidate count, best and
+    runner-up rewards under the chosen total order, gap (0 ⇒ the prompt
+    carries no DPO signal), reward range — grid-sized report, one
+    prompt-key exchange shared by both windows and the final agg."""
+    from bistro_spark.operators.preference import preference_stats
+
+    return preference_stats(_pref_candidates(spark, sf))
+
+
+def q_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the md5 split key is the
+    near-dup CLUSTER representative (the cached SimHash→Hamming≤2→
+    connected-components assignment dedup_clusters already maintains),
+    not the document id — so near-duplicates can never straddle a split
+    boundary and leak eval text into train. Composes the cluster
+    assignment with split_corpus's CASE projection; costs one
+    assignment-table join beyond the cached clustering."""
+    from bistro_spark.operators.curation import split_corpus
+
+    return split_corpus(
+        _dedup_assignments(spark, sf), key_col="component"
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        "split",
+    )
+
+
+def q_bucketed_batches(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-grouped (dynamic) batch formation: pow2 length buckets,
+    md5-deterministic within-bucket order via the two-phase global_rank
+    (a per-bucket window would funnel whole buckets through single
+    tasks), batch cuts of 8, and the pad-to-longest-in-batch bill per
+    (bucket, batch) — the loader report between length_buckets'
+    pad-to-bucket bill and pack_sequences' no-pad packing."""
+    from bistro_spark.operators.curation import bucketed_batches
+
+    docs = load_table(spark, "documents", sf).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return bucketed_batches(docs, batch_size=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "sft_turn_spans": q_sft_turn_spans,
+        "preference_pairs": q_preference_pairs,
+        "preference_stats": q_preference_stats,
+        "leakage_safe_split": q_leakage_safe_split,
+        "bucketed_batches": q_bucketed_batches,
         "chunk_read_plan": q_chunk_read_plan,
         "fim_spans": q_fim_spans,
         "ann_l2_topk": q_ann_l2_topk,
@@ -2798,7 +2885,40 @@ def oracle_sql() -> dict[str, str]:
         winnow_fingerprint_sql,
     )
 
+    from bistro_spark.operators.preference import (
+        preference_pairs_sql,
+        preference_stats_sql,
+    )
+
     return {
+        "sft_turn_spans": _trainprep.sft_turn_spans_sql("documents"),
+        "bucketed_batches": _curation.bucketed_batches_sql(
+            "SELECT doc_id, len(string_split(text, ' ')) AS n_tok "
+            "FROM documents",
+            batch_size=8,
+        ),
+        "preference_pairs": preference_pairs_sql(_PREF_CANDIDATES_SQL),
+        "preference_stats": preference_stats_sql(_PREF_CANDIDATES_SQL),
+        "leakage_safe_split": f"""
+            WITH RECURSIVE
+            s AS (
+              SELECT doc_id, {simhash_sql('text', 16)} AS sh FROM documents),
+            e AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM s a JOIN s b
+                ON a.doc_id <> b.doc_id
+               AND bit_count(xor(a.sh, b.sh)) <= 2),
+            cc(id, lbl) AS (
+              SELECT doc_id, doc_id FROM s
+              UNION
+              SELECT e.dst, cc.lbl FROM cc JOIN e ON e.src = cc.id
+            ),
+            comp AS (SELECT id, CAST(min(lbl) AS BIGINT) AS component
+                     FROM cc GROUP BY id)
+            SELECT id AS doc_id, component,
+                   {_curation.split_corpus_sql('component')} AS split
+            FROM comp
+        """,
         "fim_transform": _trainprep.fim_transform_sql("documents"),
         "chunk_read_plan": _trainprep.chunk_read_plan_sql(
             "documents", capacity=256, n_shards=4

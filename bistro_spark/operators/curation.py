@@ -3890,3 +3890,122 @@ def step_read_plan_sql(
       JOIN ({layout}) l ON m.{id_col} = l.{id_col}
       GROUP BY m.step, l.shard
     """
+
+
+# ----------------------------------------------- length-grouped batching ----
+
+
+def bucketed_batches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+    batch_size: int = 8,
+) -> DataFrame:
+    """Length-grouped (dynamic) batch formation — the loader artifact
+    between :func:`length_buckets` (pad-to-bucket bill) and
+    :func:`pack_sequences` (no-pad packing): group sequences into their
+    pow2 length bucket, shuffle each bucket deterministically by
+    md5(id), cut the bucket into batches of ``batch_size``, and report
+    the PAD-TO-LONGEST-IN-BATCH bill a dynamic-batching trainer
+    actually pays: per (bucket_max, batch_no) — n_seqs, max_len,
+    payload_tokens, pad_tokens = n_seqs·max_len − payload, and the
+    rounded fill fraction. Within a pow2 bucket, pad-to-longest is
+    bounded below 2× by construction; this report shows how much below.
+
+    Scale: the per-bucket order is NOT a per-bucket window (64 buckets
+    over 10^12 rows would funnel whole buckets through single tasks) —
+    it reuses the two-phase ``ranking.global_rank`` on the composite
+    key (bucket, md5, id): range-repartition spreads every bucket
+    across many range partitions, ranks are exact global positions, and
+    the per-bucket rank is recovered by subtracting the bucket's min
+    rank (a ≤64-row grid agg broadcast back). Batch cuts and the final
+    (bucket, batch_no) partial agg are then pure integer math. The
+    md5 ordering makes batch membership a function of corpus CONTENT
+    only — stable across cluster shapes, snapshots, and resumes, the
+    same argument as bottomk_sample.
+    """
+    from bistro_spark.operators.ranking import global_rank
+
+    n = F.col(len_col).cast("long")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        n.alias("_n"),
+        F.md5(F.col(id_col).cast("string")).alias("_m"),
+    ).withColumn(
+        "bucket_max",
+        F.expr(
+            "CASE WHEN _n <= 1 THEN _n "
+            "ELSE shiftleft(CAST(1 AS BIGINT), length(bin(_n - 1))) END"
+        ),
+    )
+    ranked = global_rank(base, ["bucket_max", "_m", "_id"])
+    offs = ranked.groupBy("bucket_max").agg(
+        F.min("rank").alias("_off")
+    )
+    return (
+        ranked.join(F.broadcast(offs), "bucket_max")
+        .withColumn(
+            "batch_no",
+            ((F.col("rank") - F.col("_off")) / batch_size)
+            .cast("long"),
+        )
+        .groupBy("bucket_max", "batch_no")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seqs"),
+            F.max("_n").cast("long").alias("max_len"),
+            F.sum("_n").cast("long").alias("payload_tokens"),
+        )
+        .withColumn(
+            "pad_tokens",
+            (F.col("n_seqs") * F.col("max_len") - F.col("payload_tokens"))
+            .cast("long"),
+        )
+        .withColumn(
+            "fill_frac",
+            F.round(
+                F.when(
+                    F.col("max_len") > 0,
+                    F.col("payload_tokens")
+                    / (F.col("n_seqs") * F.col("max_len")),
+                ).otherwise(F.lit(1.0)),
+                6,
+            ),
+        )
+    )
+
+
+def bucketed_batches_sql(
+    seq_table: str,
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+    batch_size: int = 8,
+) -> str:
+    """DuckDB twin (the definitional per-bucket window form — fine at
+    oracle scale). ``seq_table`` is a full SELECT producing (id, len)."""
+    return f"""
+      WITH s AS (
+        SELECT {id_col} AS id, CAST({len_col} AS BIGINT) AS n,
+               md5(CAST({id_col} AS VARCHAR)) AS m
+        FROM ({seq_table})),
+      b AS (
+        SELECT id, n, m,
+               CASE WHEN n <= 1 THEN n
+                    ELSE CAST(1 AS BIGINT) << length(bin(n - 1))
+                    END AS bucket_max
+        FROM s),
+      r AS (
+        SELECT bucket_max, n,
+               (row_number() OVER (
+                  PARTITION BY bucket_max ORDER BY m, id) - 1)
+                 // {int(batch_size)} AS batch_no
+        FROM b)
+      SELECT bucket_max, CAST(batch_no AS BIGINT) AS batch_no,
+             CAST(count(*) AS BIGINT) AS n_seqs,
+             CAST(max(n) AS BIGINT) AS max_len,
+             CAST(sum(n) AS BIGINT) AS payload_tokens,
+             CAST(count(*) * max(n) - sum(n) AS BIGINT) AS pad_tokens,
+             round(CASE WHEN max(n) > 0
+                        THEN sum(n) / CAST(count(*) * max(n) AS DOUBLE)
+                        ELSE 1.0 END, 6) AS fill_frac
+      FROM r GROUP BY bucket_max, batch_no
+    """

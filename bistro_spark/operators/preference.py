@@ -1,0 +1,257 @@
+"""Preference-data construction for reward-model / DPO training: turn a
+table of (prompt, candidate, reward) rows into the pairwise artifacts a
+preference-tuning run consumes.
+
+Two operators:
+
+- :func:`preference_pairs` — chosen/rejected pair mining. Policy
+  ``best_vs_rest`` (the standard DPO construction from best-of-n
+  sampling): the chosen response is the per-prompt reward argmax
+  (deterministic tiebreak: smallest candidate id), paired against every
+  other candidate whose margin clears ``min_margin``. Policy
+  ``all_pairs`` (RM training à la InstructGPT): every ordered pair with
+  a positive margin ≥ ``min_margin`` — O(g²) per prompt group, so it is
+  cap-guarded.
+
+- :func:`preference_stats` — the per-prompt signal audit: candidate
+  count, best and runner-up rewards, and the best-vs-runner-up gap.
+  Prompts whose gap is 0 carry no preference signal (the pairs a DPO
+  loss learns nothing from); this is the report that decides which
+  prompts to drop or re-sample before pair construction.
+
+Scale design: both operators are one hash-partition exchange on the
+prompt key. Group size is the candidate count per prompt (best-of-n
+sampling produces 4–64 candidates in practice), so per-group work is
+bounded by construction and prompt-key skew cannot exceed that bound.
+``best_vs_rest`` finds the chosen row with an unordered window MAX of a
+(reward, -cand) struct over the prompt partition — no sort, no
+self-join, output ≤ input rows. ``all_pairs`` is a per-prompt self-join
+whose blowup is the one real hazard, so it raises if any group exceeds
+``max_group`` (one extra grid-sized agg, same exchange key) instead of
+silently materializing a quadratic pair set. Rewards must be exact
+integers (the repo's tie-proof discipline): float rewards should be
+quantized by the caller first, as the ANN family does with vectors.
+The NULL-reward guard is one column-pruned limit-1 probe (parquet
+null-count page stats answer it near-free at scale); NULLs cannot be
+tolerated silently because a window max or a ``>`` join drops them
+from one side without a trace.
+
+Reference anchor: the bistro reference (asavinov/bistro) has no
+preference layer; this extends its calc/link calculus with the
+RLHF-era data-prep step, keeping the link-style contract (pairs are
+links between candidate rows resolved by a key + criterion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def preference_pairs(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    cand_col: str = "cand_id",
+    reward_col: str = "reward",
+    policy: str = "best_vs_rest",
+    min_margin: int = 1,
+    max_group: int = 1024,
+) -> DataFrame:
+    """Mine (chosen, rejected) preference pairs per prompt. Returns
+    (prompt, chosen, rejected, chosen_reward, rejected_reward, margin)
+    with margin = chosen_reward - rejected_reward ≥ ``min_margin``.
+
+    ``best_vs_rest``: chosen is the per-prompt (reward DESC, cand ASC)
+    argmax; one row per losing candidate that clears the margin.
+    ``all_pairs``: every ordered pair with margin ≥ ``min_margin``;
+    equal-reward candidates never pair (no preference either way), so
+    the pair set is a strict half-matrix and chosen/rejected labels are
+    unambiguous. NULL rewards raise loudly — under a numeric window max
+    or a `>` join they would silently vanish from one side.
+    """
+    if df.filter(F.col(reward_col).isNull()).limit(1).count():
+        raise ValueError("preference_pairs: NULL reward")
+    base = df.select(
+        F.col(prompt_col).alias("prompt"),
+        F.col(cand_col).alias("cand"),
+        F.col(reward_col).cast("long").alias("r"),
+    )
+    out_cols = [
+        F.col("prompt").alias(prompt_col),
+        F.col("c_id").alias("chosen"),
+        F.col("cand").alias("rejected"),
+        F.col("c_r").cast("long").alias("chosen_reward"),
+        F.col("r").cast("long").alias("rejected_reward"),
+        (F.col("c_r") - F.col("r")).cast("long").alias("margin"),
+    ]
+    if policy == "best_vs_rest":
+        w = Window.partitionBy("prompt")
+        best = F.max(
+            F.struct(F.col("r").alias("r"), (-F.col("cand")).alias("nc"))
+        ).over(w)
+        return (
+            base.withColumn("c_r", best["r"])
+            .withColumn("c_id", -best["nc"])
+            .filter(
+                (F.col("cand") != F.col("c_id"))
+                & (F.col("c_r") - F.col("r") >= min_margin)
+            )
+            .select(*out_cols)
+        )
+    if policy == "all_pairs":
+        biggest = base.groupBy("prompt").count().agg(
+            F.max("count")
+        ).first()[0]
+        if biggest is not None and biggest > max_group:
+            raise ValueError(
+                f"preference_pairs: a prompt group has {biggest} "
+                f"candidates > max_group={max_group}; all_pairs would "
+                "materialize a quadratic pair set"
+            )
+        chosen = base.select(
+            "prompt",
+            F.col("cand").alias("c_id"),
+            F.col("r").alias("c_r"),
+        )
+        return (
+            chosen.join(base, on="prompt")
+            .filter(F.col("c_r") - F.col("r") >= min_margin)
+            .select(*out_cols)
+        )
+    raise ValueError(f"preference_pairs: unknown policy {policy!r}")
+
+
+def preference_pairs_sql(
+    cand_table: str,
+    prompt_col: str = "prompt_id",
+    cand_col: str = "cand_id",
+    reward_col: str = "reward",
+    policy: str = "best_vs_rest",
+    min_margin: int = 1,
+) -> str:
+    """DuckDB twin. ``cand_table`` is a full SELECT producing the
+    candidate rows (prompt, cand, reward); the twin re-derives the
+    chosen row definitionally with a rank window."""
+    if policy == "best_vs_rest":
+        return f"""
+          WITH c AS ({cand_table}),
+          ranked AS (
+            SELECT {prompt_col} AS prompt, {cand_col} AS cand,
+                   CAST({reward_col} AS BIGINT) AS r,
+                   row_number() OVER (
+                     PARTITION BY {prompt_col}
+                     ORDER BY {reward_col} DESC, {cand_col} ASC
+                   ) AS rk
+            FROM c)
+          SELECT b.prompt AS {prompt_col},
+                 b.cand AS chosen,
+                 o.cand AS rejected,
+                 b.r AS chosen_reward,
+                 o.r AS rejected_reward,
+                 b.r - o.r AS margin
+          FROM ranked b JOIN ranked o
+            ON b.prompt = o.prompt AND b.rk = 1 AND o.cand <> b.cand
+          WHERE b.r - o.r >= {min_margin}
+        """
+    if policy == "all_pairs":
+        return f"""
+          WITH c AS (
+            SELECT {prompt_col} AS prompt, {cand_col} AS cand,
+                   CAST({reward_col} AS BIGINT) AS r
+            FROM ({cand_table}))
+          SELECT a.prompt AS {prompt_col},
+                 a.cand AS chosen,
+                 b.cand AS rejected,
+                 a.r AS chosen_reward,
+                 b.r AS rejected_reward,
+                 a.r - b.r AS margin
+          FROM c a JOIN c b
+            ON a.prompt = b.prompt AND a.r - b.r >= {min_margin}
+        """
+    raise ValueError(f"unknown policy {policy!r}")
+
+
+def preference_stats(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    cand_col: str = "cand_id",
+    reward_col: str = "reward",
+) -> DataFrame:
+    """Per-prompt preference-signal audit: (prompt, n_cands,
+    best_reward, second_reward, gap, reward_range). ``second_reward``
+    is the runner-up under the SAME total order as the chosen rule
+    (reward DESC, cand ASC) — so ``gap = best - second`` is 0 exactly
+    when the top two rewards tie and a best_vs_rest pair construction
+    would rest on an arbitrary margin-0 comparison; single-candidate
+    prompts get NULL second/gap (no pair possible at all).
+
+    One exchange on the prompt key: the two leaders come from an
+    unordered window MAX of (reward, -cand) structs — max of a
+    2-element sorted struct-pair merge is associative, but Spark lacks
+    that agg natively, so the runner-up is the max over rows excluding
+    the argmax row, a second window on the SAME partition (no extra
+    exchange, no sort). reward_range = best - min.
+    """
+    if df.filter(F.col(reward_col).isNull()).limit(1).count():
+        raise ValueError("preference_stats: NULL reward")
+    base = df.select(
+        F.col(prompt_col).alias("prompt"),
+        F.col(cand_col).alias("cand"),
+        F.col(reward_col).cast("long").alias("r"),
+    )
+    w = Window.partitionBy("prompt")
+    best = F.max(
+        F.struct(F.col("r").alias("r"), (-F.col("cand")).alias("nc"))
+    ).over(w)
+    second = F.max(
+        F.when(
+            F.col("cand") != F.col("c_id"),
+            F.struct(F.col("r").alias("r"), (-F.col("cand")).alias("nc")),
+        )
+    ).over(w)
+    return (
+        base.withColumn("c_r", best["r"])
+        .withColumn("c_id", -best["nc"])
+        .withColumn("s_r", second["r"])
+        .groupBy(F.col("prompt").alias(prompt_col))
+        .agg(
+            F.count("*").cast("long").alias("n_cands"),
+            F.max("c_r").cast("long").alias("best_reward"),
+            F.max("s_r").cast("long").alias("second_reward"),
+            (F.max("c_r") - F.max("s_r")).cast("long").alias("gap"),
+            (F.max("c_r") - F.min("r")).cast("long").alias(
+                "reward_range"
+            ),
+        )
+    )
+
+
+def preference_stats_sql(
+    cand_table: str,
+    prompt_col: str = "prompt_id",
+    cand_col: str = "cand_id",
+    reward_col: str = "reward",
+) -> str:
+    """DuckDB twin: rank window under the chosen total order, then a
+    conditional-agg grid."""
+    return f"""
+      WITH c AS ({cand_table}),
+      ranked AS (
+        SELECT {prompt_col} AS prompt,
+               CAST({reward_col} AS BIGINT) AS r,
+               row_number() OVER (
+                 PARTITION BY {prompt_col}
+                 ORDER BY {reward_col} DESC, {cand_col} ASC
+               ) AS rk
+        FROM c)
+      SELECT prompt AS {prompt_col},
+             CAST(count(*) AS BIGINT) AS n_cands,
+             CAST(max(CASE WHEN rk = 1 THEN r END) AS BIGINT)
+               AS best_reward,
+             CAST(max(CASE WHEN rk = 2 THEN r END) AS BIGINT)
+               AS second_reward,
+             CAST(max(CASE WHEN rk = 1 THEN r END)
+                  - max(CASE WHEN rk = 2 THEN r END) AS BIGINT) AS gap,
+             CAST(max(r) - min(r) AS BIGINT) AS reward_range
+      FROM ranked GROUP BY prompt
+    """

@@ -704,3 +704,109 @@ def fim_spans_sql(
                   AS BIGINT) AS n_supervised
       FROM ({inner})
     """
+
+
+# ------------------------------------------------- SFT dialog loss mask ----
+
+
+def sft_turn_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    user_tok: str = "<U>",
+    asst_tok: str = "<A>",
+) -> DataFrame:
+    """The SFT (instruction-tuning) loss-mask manifest — ``fim_spans``'s
+    multi-turn sibling: each document becomes a k-turn dialog
+    (k = 2 + md5(id)%3, alternating user/assistant starting with user)
+    by cutting its words at the equal-apportionment points
+    cut_i = floor(i·n/k), each turn rendered behind one role sentinel:
+
+        <U> seg_0 <A> seg_1 <U> seg_2 ...
+
+    Emits ONE ROW PER TURN with everything a trainer's loss mask and
+    packing step need, in OUTPUT coordinates (0-based, sentinels
+    counted): (id, n_turns, turn_idx, role, sent_pos, span_start,
+    span_len, supervised, n_out). ``supervised`` marks assistant turns
+    — the spans whose tokens carry loss; sentinels and user turns are
+    masked out. Spans plus sentinels tile [0, n_out) exactly
+    (pytest-pinned against the realized rendering). Short documents
+    yield zero-length turns (a legal empty span — the sentinel still
+    occupies its slot), so every document produces exactly k rows.
+
+    Scale: a pure per-row projection times a bounded explode (k ≤ 4
+    rows per document, the chunk-explode contract of concat_chunks) —
+    no shuffle, no UDF, closed-form integer math only; md5-determined
+    turn count makes it checkpoint-safe and cluster-shape-invariant,
+    and the same expressions serve a streaming DataFrame verbatim
+    (``streaming/pack.streaming_sft_gate``).
+    """
+    wrd = F.filter(
+        F.split(F.col(text_col), " "), lambda x: x != F.lit("")
+    )
+    d = df.select(
+        F.col(id_col),
+        F.size(wrd).cast("long").alias("_n"),
+        (F.lit(2) + _h(id_col, ":turns") % 3).cast("long").alias("_k"),
+    )
+    d = d.select(
+        id_col,
+        "_n",
+        "_k",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("_k") - 1)
+        ).alias("_ti"),
+    )
+    cut = lambda i: F.expr(f"(({i}) * _n) DIV _k")  # noqa: E731
+    lo = cut("_ti")
+    hi = cut("_ti + 1")
+    return d.select(
+        id_col,
+        F.col("_k").alias("n_turns"),
+        F.col("_ti").alias("turn_idx"),
+        F.when(F.col("_ti") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        (F.col("_ti") + lo).cast("long").alias("sent_pos"),
+        (F.col("_ti") + 1 + lo).cast("long").alias("span_start"),
+        (hi - lo).cast("long").alias("span_len"),
+        (F.col("_ti") % 2 == 1).alias("supervised"),
+        (F.col("_n") + F.col("_k")).cast("long").alias("n_out"),
+    )
+
+
+def sft_turn_spans_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`sft_turn_spans` (LATERAL generate_series
+    for the bounded turn explode; `//` == Spark `DIV` on the nonneg
+    operands here)."""
+    h = (
+        f"CAST(concat('0x', substr(md5({id_col} || ':turns'), 1, 8)) "
+        "AS BIGINT)"
+    )
+    return f"""
+      WITH w AS (
+        SELECT {id_col},
+               len(list_filter(string_split({text_col}, ' '),
+                               x -> x <> '')) AS n,
+               2 + {h} % 3 AS k
+        FROM {table}
+      )
+      SELECT {id_col},
+             CAST(k AS BIGINT) AS n_turns,
+             CAST(t.ti AS BIGINT) AS turn_idx,
+             CASE WHEN t.ti % 2 = 0 THEN 'user'
+                  ELSE 'assistant' END AS role,
+             CAST(t.ti + (t.ti * n) // k AS BIGINT) AS sent_pos,
+             CAST(t.ti + 1 + (t.ti * n) // k AS BIGINT) AS span_start,
+             CAST(((t.ti + 1) * n) // k - (t.ti * n) // k AS BIGINT)
+               AS span_len,
+             t.ti % 2 = 1 AS supervised,
+             CAST(n + k AS BIGINT) AS n_out
+      FROM w, LATERAL (
+        SELECT unnest(generate_series(0, CAST(k - 1 AS BIGINT))) AS ti
+      ) t
+    """

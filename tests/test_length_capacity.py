@@ -8,6 +8,8 @@ import duckdb
 from pyspark.sql import functions as F
 
 from bistro_spark.operators.curation import (
+    bucketed_batches,
+    bucketed_batches_sql,
     length_buckets,
     length_buckets_sql,
     pack_capacity_sweep,
@@ -127,3 +129,93 @@ def test_capacity_sweep_empty(spark):
         "n_overflow",
         "fill_ratio",
     ]
+
+
+# ------------------------------------------------------ bucketed_batches --
+
+
+def _brute_batches(rows, batch_size):
+    """Pure-Python reimplementation: pow2 bucket, md5 order, batch
+    cuts, pad-to-longest-in-batch."""
+    import hashlib
+
+    def bucket(n):
+        if n <= 1:
+            return n
+        return 1 << (n - 1).bit_length()
+
+    by_bucket: dict = {}
+    for i, n in rows:
+        by_bucket.setdefault(bucket(n), []).append(
+            (hashlib.md5(str(i).encode()).hexdigest(), i, n)
+        )
+    want = {}
+    for b, members in by_bucket.items():
+        members.sort()
+        for bi in range(0, len(members), batch_size):
+            chunk = [n for _m, _i, n in members[bi: bi + batch_size]]
+            mx, s = max(chunk), sum(chunk)
+            want[(b, bi // batch_size)] = (
+                len(chunk),
+                mx,
+                s,
+                len(chunk) * mx - s,
+                round(s / (len(chunk) * mx), 6) if mx > 0 else 1.0,
+            )
+    return want
+
+
+def test_bucketed_batches_brute_parity(spark):
+    rows = [(i, (i * 37) % 40) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = {
+        (r["bucket_max"], r["batch_no"]): (
+            r["n_seqs"],
+            r["max_len"],
+            r["payload_tokens"],
+            r["pad_tokens"],
+            r["fill_frac"],
+        )
+        for r in bucketed_batches(df, batch_size=8).collect()
+    }
+    assert got == _brute_batches(rows, 8)
+    # every batch except possibly the last per bucket is full
+    for (b, bn), (n_seqs, *_rest) in got.items():
+        last = max(bn2 for b2, bn2 in got if b2 == b)
+        if bn < last:
+            assert n_seqs == 8
+
+
+def test_bucketed_batches_cluster_shape_invariance(spark):
+    """Batch membership is a function of content only: a different
+    input partitioning yields the identical report."""
+    rows = [(i, (i * 13) % 30) for i in range(150)]
+    df1 = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    df3 = df1.repartition(7)
+    a = sorted(tuple(r) for r in bucketed_batches(df1, batch_size=4).collect())
+    b = sorted(tuple(r) for r in bucketed_batches(df3, batch_size=4).collect())
+    assert a == b
+
+
+def test_bucketed_batches_sql_twin(spark):
+    rows = [(i, (i * 7) % 25) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    got = sorted(
+        tuple(r) for r in bucketed_batches(df, batch_size=3).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE seqs (doc_id BIGINT, n_tok BIGINT)")
+    con.executemany("INSERT INTO seqs VALUES (?, ?)", rows)
+    duck = sorted(
+        con.execute(
+            bucketed_batches_sql(
+                "SELECT doc_id, n_tok FROM seqs", batch_size=3
+            )
+        ).fetchall()
+    )
+    assert got == duck
+
+
+def test_bucketed_batches_empty(spark):
+    df = spark.createDataFrame([], "doc_id long, n_tok long")
+    assert bucketed_batches(df).count() == 0

@@ -1,0 +1,318 @@
+"""Preference-data construction (operators/preference.py) and the SFT
+dialog loss-mask manifest (trainprep.sft_turn_spans): brute-force
+parity against pure-Python folds (ties, single-candidate prompts,
+margin gates), the all_pairs cap guard, NULL-reward guards, SQL twins
+on non-default geometry, and the SFT tile property (spans + sentinels
+cover [0, n_out) exactly in the realized rendering)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from bistro_spark.operators.preference import (
+    preference_pairs,
+    preference_pairs_sql,
+    preference_stats,
+    preference_stats_sql,
+)
+from bistro_spark.operators.trainprep import (
+    sft_turn_spans,
+    sft_turn_spans_sql,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+# (prompt, cand, reward) — prompt 1: clean order; prompt 2: a tie at the
+# top (chosen = smaller cand id); prompt 3: single candidate; prompt 4:
+# all rewards equal (no pairs at min_margin=1).
+CANDS = [
+    (1, 10, 7),
+    (1, 11, 3),
+    (1, 12, 5),
+    (2, 20, 9),
+    (2, 21, 9),
+    (2, 22, 1),
+    (3, 30, 4),
+    (4, 40, 2),
+    (4, 41, 2),
+]
+
+
+def _cands_df(spark):
+    return spark.createDataFrame(
+        CANDS, "prompt_id long, cand_id long, reward long"
+    )
+
+
+def _brute_best(rows):
+    """chosen per prompt under (reward DESC, cand ASC)."""
+    best = {}
+    for p, c, r in rows:
+        if p not in best or (-r, c) < (-best[p][1], best[p][0]):
+            best[p] = (c, r)
+    return best
+
+
+# ------------------------------------------------------ preference_pairs --
+
+
+def test_best_vs_rest_brute_parity(spark):
+    got = {
+        (r["prompt_id"], r["rejected"]): r
+        for r in preference_pairs(_cands_df(spark)).collect()
+    }
+    best = _brute_best(CANDS)
+    want = {}
+    for p, c, r in CANDS:
+        bc, br = best[p]
+        if c != bc and br - r >= 1:
+            want[(p, c)] = (bc, br, r, br - r)
+    assert set(got) == set(want)
+    for key, (bc, br, r, m) in want.items():
+        row = got[key]
+        assert (
+            row["chosen"],
+            row["chosen_reward"],
+            row["rejected_reward"],
+            row["margin"],
+        ) == (bc, br, r, m)
+    # the tie prompt: chosen is the SMALLER cand id, its equal-reward
+    # twin is excluded by the margin (margin 0 < 1), cand 22 pairs
+    assert (2, 22) in got and got[(2, 22)]["chosen"] == 20
+    assert (2, 21) not in got
+    # single-candidate and all-tied prompts emit nothing
+    assert not any(k[0] in (3, 4) for k in got)
+
+
+def test_all_pairs_policy_and_guard(spark):
+    df = _cands_df(spark)
+    got = {
+        (r["chosen"], r["rejected"])
+        for r in preference_pairs(df, policy="all_pairs").collect()
+    }
+    want = {
+        (c1, c2)
+        for p1, c1, r1 in CANDS
+        for p2, c2, r2 in CANDS
+        if p1 == p2 and r1 - r2 >= 1
+    }
+    assert got == want
+    assert (20, 21) not in got  # margin 0: ties never pair either way
+    with pytest.raises(ValueError, match="max_group"):
+        preference_pairs(df, policy="all_pairs", max_group=2)
+    with pytest.raises(ValueError, match="policy"):
+        preference_pairs(df, policy="nope")
+
+
+def test_null_reward_raises(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 5), (1, 11, None)],
+        "prompt_id long, cand_id long, reward long",
+    )
+    with pytest.raises(ValueError, match="NULL reward"):
+        preference_pairs(df)
+    with pytest.raises(ValueError, match="NULL reward"):
+        preference_stats(df)
+
+
+def test_min_margin_gate(spark):
+    got = preference_pairs(_cands_df(spark), min_margin=4).collect()
+    # only prompt-1 margins 7-3=4 survive; 7-5=2 is gated
+    assert {(r["prompt_id"], r["rejected"], r["margin"]) for r in got} == {
+        (1, 11, 4),
+        (2, 22, 8),
+    }
+
+
+# ------------------------------------------------------ preference_stats --
+
+
+def test_stats_brute_parity(spark):
+    got = {
+        r["prompt_id"]: r for r in preference_stats(_cands_df(spark)).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    r1 = got[1]
+    assert (
+        r1["n_cands"],
+        r1["best_reward"],
+        r1["second_reward"],
+        r1["gap"],
+        r1["reward_range"],
+    ) == (3, 7, 5, 2, 4)
+    # tie at the top: gap is 0 — the no-signal marker
+    r2 = got[2]
+    assert (r2["best_reward"], r2["second_reward"], r2["gap"]) == (9, 9, 0)
+    assert r2["reward_range"] == 8
+    # single candidate: NULL second/gap, range 0
+    r3 = got[3]
+    assert r3["n_cands"] == 1 and r3["best_reward"] == 4
+    assert r3["second_reward"] is None and r3["gap"] is None
+    assert r3["reward_range"] == 0
+
+
+def _duck_rows(sql):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE cands (prompt_id BIGINT, cand_id BIGINT, "
+        "reward BIGINT)"
+    )
+    con.executemany("INSERT INTO cands VALUES (?, ?, ?)", CANDS)
+    return con.execute(sql).fetchall()
+
+
+def test_sql_twins_on_synthetic(spark):
+    base = "SELECT prompt_id, cand_id, reward FROM cands"
+    for policy in ("best_vs_rest", "all_pairs"):
+        spark_rows = sorted(
+            tuple(r)
+            for r in preference_pairs(
+                _cands_df(spark), policy=policy
+            ).collect()
+        )
+        duck = sorted(
+            _duck_rows(preference_pairs_sql(base, policy=policy))
+        )
+        assert spark_rows == duck, policy
+    spark_stats = sorted(
+        tuple(r) for r in preference_stats(_cands_df(spark)).collect()
+    )
+    duck_stats = sorted(_duck_rows(preference_stats_sql(base)))
+    assert spark_stats == duck_stats
+
+
+# -------------------------------------------------------- sft_turn_spans --
+
+
+def test_sft_tile_property(spark):
+    """Per document: k = 2 + md5%3 (hashlib-recomputed), roles
+    alternate from user, sentinel+span rows tile [0, n_out) exactly,
+    and the realized rendering puts each sentinel and word where the
+    manifest claims."""
+    docs = spark.read.parquet(DOCS)
+    rows = sft_turn_spans(docs).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    assert set(by_doc) == set(texts)
+    for doc_id, turns in by_doc.items():
+        words = [w for w in texts[doc_id].split(" ") if w != ""]
+        n = len(words)
+        k = 2 + (
+            int(
+                hashlib.md5(f"{doc_id}:turns".encode()).hexdigest()[:8],
+                16,
+            )
+            % 3
+        )
+        turns.sort(key=lambda r: r["turn_idx"])
+        assert [r["turn_idx"] for r in turns] == list(range(k))
+        assert all(r["n_turns"] == k and r["n_out"] == n + k for r in turns)
+        # realized rendering: sentinel + segment per turn
+        out, claimed = [], []
+        for r in turns:
+            role_tok = "<U>" if r["role"] == "user" else "<A>"
+            claimed.append((r["sent_pos"], role_tok))
+            assert r["role"] == ("user" if r["turn_idx"] % 2 == 0 else
+                                 "assistant")
+            assert r["supervised"] == (r["turn_idx"] % 2 == 1)
+            lo = (r["turn_idx"] * n) // k
+            out.append(role_tok)
+            out.extend(words[lo: lo + r["span_len"]])
+        assert len(out) == n + k
+        # every manifest coordinate matches the realized sequence
+        pos = 0
+        for r in turns:
+            assert out[r["sent_pos"]] in ("<U>", "<A>")
+            assert r["sent_pos"] == pos
+            pos += 1
+            lo = (r["turn_idx"] * n) // k
+            assert r["span_start"] == pos
+            assert (
+                out[r["span_start"]: r["span_start"] + r["span_len"]]
+                == words[lo: lo + r["span_len"]]
+            )
+            pos += r["span_len"]
+        assert pos == n + k  # spans + sentinels tile [0, n_out)
+        # supervised word total = assistant segment lengths
+        sup = sum(r["span_len"] for r in turns if r["supervised"])
+        assert sup == sum(
+            ((i + 1) * n) // k - (i * n) // k
+            for i in range(k)
+            if i % 2 == 1
+        )
+
+
+def test_sft_sql_twin_and_short_docs(spark):
+    """SQL twin on synthetic docs including empty and 1-word texts
+    (zero-length turns must appear on both engines)."""
+    data = [
+        (100, "alpha beta gamma delta epsilon zeta"),
+        (101, "one"),
+        (102, ""),
+        (103, "  spaced   words  here "),
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    spark_rows = sorted(tuple(r) for r in sft_turn_spans(df).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", data)
+    duck = sorted(
+        con.execute(sft_turn_spans_sql("d")).fetchall()
+    )
+    assert spark_rows == duck
+    # empty doc still emits its k sentinel-only turns
+    k102 = [r for r in spark_rows if r[0] == 102]
+    assert len(k102) >= 2 and all(r[6] == 0 for r in k102)
+
+
+# --------------------------------------------------- leakage-safe split --
+
+
+def test_leakage_safe_split_property(spark):
+    """The property the operator exists for: no near-dup edge straddles
+    a split boundary (split is a function of the cluster label), and
+    the label is itself split_corpus's md5 rule on the component
+    (hashlib-recomputed)."""
+    from bistro_spark.operators.curation import split_corpus
+    from bistro_spark.operators.dedup import (
+        connected_components,
+        simhash_hamming_pairs,
+    )
+
+    docs = spark.read.parquet(DOCS)
+    edges = simhash_hamming_pairs(docs, bits=16, max_hamming=2)
+    comp = connected_components(
+        edges, docs.select(F.col("doc_id").alias("id")), max_iter=30
+    )
+    out = {
+        r["id"]: (r["component"], r["split"])
+        for r in split_corpus(comp, key_col="component").collect()
+    }
+    assert set(out) == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
+    n_cross_component = 0
+    for e in edges.collect():
+        a, b = out[e["id_a"]], out[e["id_b"]]
+        assert a[1] == b[1], "near-dup pair straddles a split"
+        assert a[0] == b[0]
+        n_cross_component += 1
+    assert n_cross_component > 0, "premise: the corpus has near-dup edges"
+    # the split rule is md5(component) against the cumulative 4-hex cuts
+    for _id, (component, split) in out.items():
+        bucket = hashlib.md5(str(component).encode()).hexdigest()[:4]
+        want = (
+            "test" if bucket < format(int(round(0.05 * 65536)), "04x")
+            else "train" if bucket < format(int(round(0.95 * 65536)), "04x")
+            else "val"
+        )
+        assert split == want
