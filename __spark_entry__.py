@@ -2581,6 +2581,17 @@ def q_bucketed_batches(spark: SparkSession, sf: str) -> DataFrame:
     return bucketed_batches(docs, batch_size=8)
 
 
+def q_sft_pack_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """SFT packing report: dialogs rendered via the zero-shuffle
+    closed-form sft_doc_stats, greedy-packed whole (a split dialog's
+    loss mask would straddle buffers), then per (shard, pack) the
+    loss-bearing token accounting — supervised_frac catches packs whose
+    forward pass is mostly masked-out user text."""
+    return _trainprep.sft_pack_manifest(
+        load_table(spark, "documents", sf), capacity=256, n_shards=4
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sft_turn_spans": q_sft_turn_spans,
@@ -2588,6 +2599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_stats": q_preference_stats,
         "leakage_safe_split": q_leakage_safe_split,
         "bucketed_batches": q_bucketed_batches,
+        "sft_pack_manifest": q_sft_pack_manifest,
         "chunk_read_plan": q_chunk_read_plan,
         "fim_spans": q_fim_spans,
         "ann_l2_topk": q_ann_l2_topk,
@@ -2892,6 +2904,9 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "sft_turn_spans": _trainprep.sft_turn_spans_sql("documents"),
+        "sft_pack_manifest": _trainprep.sft_pack_manifest_sql(
+            "documents", capacity=256, n_shards=4
+        ),
         "bucketed_batches": _curation.bucketed_batches_sql(
             "SELECT doc_id, len(string_split(text, ' ')) AS n_tok "
             "FROM documents",

@@ -810,3 +810,157 @@ def sft_turn_spans_sql(
         SELECT unnest(generate_series(0, CAST(k - 1 AS BIGINT))) AS ti
       ) t
     """
+
+
+def sft_doc_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document totals of the :func:`sft_turn_spans` rendering —
+    (id, n_out, n_supervised) — in CLOSED FORM, without materializing
+    the per-turn explode or paying a doc-key re-aggregation shuffle:
+    k ≤ 4 turn counts mean the supervised (assistant) word total
+    Σ_{i odd} (⌊(i+1)n/k⌋ − ⌊in/k⌋) has one integer-division expression
+    per k case. Zero shuffle, one codegen span; pytest pins equality
+    with aggregating the span manifest itself. Sentinels carry no loss,
+    so n_supervised counts words only; n_out = n + k counts them."""
+    wrd = F.filter(
+        F.split(F.col(text_col), " "), lambda x: x != F.lit("")
+    )
+    d = df.select(
+        F.col(id_col),
+        F.size(wrd).cast("long").alias("_n"),
+        (F.lit(2) + _h(id_col, ":turns") % 3).cast("long").alias("_k"),
+    )
+    n_sup = F.expr(
+        "CASE _k WHEN 2 THEN _n - (_n DIV 2) "
+        "WHEN 3 THEN ((2 * _n) DIV 3) - (_n DIV 3) "
+        "ELSE ((_n DIV 2) - (_n DIV 4)) + (_n - ((3 * _n) DIV 4)) END"
+    )
+    return d.select(
+        id_col,
+        (F.col("_n") + F.col("_k")).cast("long").alias("n_out"),
+        n_sup.cast("long").alias("n_supervised"),
+    )
+
+
+def sft_pack_manifest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 256,
+    n_shards: int = 4,
+) -> DataFrame:
+    """The SFT packing report: render every document as its dialog
+    (:func:`sft_doc_stats`), greedy-pack the rendered lengths with
+    ``curation.pack_sequences`` (whole dialogs never split — a loss
+    mask that straddled buffers would need cross-buffer attention), and
+    report per (shard, pack_id) how much LOSS-BEARING signal each
+    training buffer actually carries: n_seqs, payload_tokens,
+    supervised_tokens, fill_frac (payload/capacity), supervised_frac
+    (supervised/payload). A pack full of user-turn text wastes its
+    forward pass — this is the artifact that catches that before the
+    trainer does.
+
+    Scale: the stats side is a zero-shuffle projection; packing is the
+    per-shard sequential kernel (its own documented contract); the
+    stats→assignment equi join is doc-keyed, then one grid partial-agg
+    on (shard, pack_id). supervised_frac is the only float, rounded 6.
+    """
+    from bistro_spark.operators.curation import pack_sequences
+
+    stats = sft_doc_stats(df, id_col=id_col, text_col=text_col)
+    packed = pack_sequences(
+        stats,
+        id_col=id_col,
+        len_col="n_out",
+        capacity=capacity,
+        n_shards=n_shards,
+    )
+    return (
+        packed.join(stats.select(id_col, "n_supervised"), id_col)
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seqs"),
+            F.sum("len").cast("long").alias("payload_tokens"),
+            F.sum("n_supervised").cast("long").alias("supervised_tokens"),
+        )
+        .withColumn(
+            "fill_frac",
+            F.round(F.col("payload_tokens") / F.lit(int(capacity)), 6),
+        )
+        .withColumn(
+            "supervised_frac",
+            F.round(
+                F.when(
+                    F.col("payload_tokens") > 0,
+                    F.col("supervised_tokens") / F.col("payload_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+
+
+def _sft_stats_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    h = (
+        f"CAST(concat('0x', substr(md5({id_col} || ':turns'), 1, 8)) "
+        "AS BIGINT)"
+    )
+    return f"""
+        SELECT {id_col}, n + k AS n_out,
+               CASE k WHEN 2 THEN n - n // 2
+                      WHEN 3 THEN (2 * n) // 3 - n // 3
+                      ELSE (n // 2 - n // 4) + (n - (3 * n) // 4)
+               END AS n_supervised
+        FROM (
+          SELECT {id_col},
+                 len(list_filter(string_split({text_col}, ' '),
+                                 x -> x <> '')) AS n,
+                 2 + {h} % 3 AS k
+          FROM {table})
+    """
+
+
+def sft_pack_manifest_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 256,
+    n_shards: int = 4,
+) -> str:
+    """DuckDB twin of :func:`sft_pack_manifest`: the stats CTE spliced
+    into pack_sequences' recursive fold, re-joined and aggregated (the
+    stats definition appears twice — once inside the recursive scope,
+    once outside — because a CTE defined under WITH RECURSIVE is not
+    visible to an enclosing query)."""
+    from bistro_spark.operators.curation import pack_sequences_sql
+
+    stats = _sft_stats_sql(table, id_col, text_col)
+    pack = pack_sequences_sql(
+        table="sftstats",
+        id_col=id_col,
+        len_expr="n_out",
+        capacity=capacity,
+        n_shards=n_shards,
+        extra_ctes=f"sftstats AS ({stats}),",
+    )
+    return f"""
+      WITH pk AS ({pack}),
+      st AS ({stats})
+      SELECT pk.shard, pk.pack_id,
+             CAST(count(*) AS BIGINT) AS n_seqs,
+             CAST(sum(pk.len) AS BIGINT) AS payload_tokens,
+             CAST(sum(st.n_supervised) AS BIGINT) AS supervised_tokens,
+             round(sum(pk.len) / CAST({int(capacity)} AS DOUBLE), 6)
+               AS fill_frac,
+             round(CASE WHEN sum(pk.len) > 0
+                        THEN sum(st.n_supervised)
+                             / CAST(sum(pk.len) AS DOUBLE)
+                        ELSE 0.0 END, 6) AS supervised_frac
+      FROM pk JOIN st ON pk.{id_col} = st.{id_col}
+      GROUP BY pk.shard, pk.pack_id
+    """

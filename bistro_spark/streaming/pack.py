@@ -585,3 +585,26 @@ class StreamingChunkReadPlanner:
             ]
         self._trigger_ids = out_ids
         return out
+
+
+def streaming_sft_gate(
+    stream_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    user_tok: str = "<U>",
+    asst_tok: str = "<A>",
+) -> DataFrame:
+    """The SFT dialog loss-mask manifest on a live stream:
+    ``trainprep.sft_turn_spans`` is a pure projection times a bounded
+    k≤4 explode whose turn count and cut points are md5/closed-form
+    functions of the row itself, so the batch operator applies to a
+    streaming DataFrame UNCHANGED — no state store, no watermark,
+    per-document rows identical to the (oracle-hash-checked) batch
+    manifest no matter how the stream is micro-batched (the
+    ``streaming_fim_gate`` contract, extended to a row-multiplying but
+    row-local transform)."""
+    from bistro_spark.operators.trainprep import sft_turn_spans
+
+    return sft_turn_spans(
+        stream_df, id_col, text_col, user_tok=user_tok, asst_tok=asst_tok
+    )

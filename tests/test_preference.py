@@ -316,3 +316,74 @@ def test_leakage_safe_split_property(spark):
             else "val"
         )
         assert split == want
+
+
+# ------------------------------------------------------ sft_pack_manifest --
+
+
+def test_sft_doc_stats_closed_form_matches_spans(spark):
+    """The zero-shuffle closed form equals aggregating the span
+    manifest itself, for every document."""
+    from bistro_spark.operators.trainprep import (
+        sft_doc_stats,
+        sft_turn_spans,
+    )
+
+    docs = spark.read.parquet(DOCS)
+    got = {
+        r["doc_id"]: (r["n_out"], r["n_supervised"])
+        for r in sft_doc_stats(docs).collect()
+    }
+    agg = {}
+    for r in sft_turn_spans(docs).collect():
+        n_out, sup = agg.get(r["doc_id"], (r["n_out"], 0))
+        agg[r["doc_id"]] = (
+            r["n_out"],
+            sup + (r["span_len"] if r["supervised"] else 0),
+        )
+    assert got == agg
+
+
+def test_sft_pack_manifest_consistency(spark):
+    """Per-pack totals equal a Python recomputation from the pack
+    assignment joined to the doc stats; payload never exceeds capacity
+    except for single-dialog oversize packs."""
+    from bistro_spark.operators.curation import pack_sequences
+    from bistro_spark.operators.trainprep import (
+        sft_doc_stats,
+        sft_pack_manifest,
+    )
+
+    docs = spark.read.parquet(DOCS)
+    cap = 64
+    got = {
+        (r["shard"], r["pack_id"]): r
+        for r in sft_pack_manifest(docs, capacity=cap).collect()
+    }
+    stats = {
+        r["doc_id"]: (r["n_out"], r["n_supervised"])
+        for r in sft_doc_stats(docs).collect()
+    }
+    packs: dict = {}
+    for r in pack_sequences(
+        sft_doc_stats(docs), len_col="n_out", capacity=cap
+    ).collect():
+        key = (r["shard"], r["pack_id"])
+        n_out, sup = stats[r["doc_id"]]
+        assert n_out == r["len"]
+        c = packs.setdefault(key, [0, 0, 0])
+        c[0] += 1
+        c[1] += n_out
+        c[2] += sup
+    assert set(got) == set(packs)
+    for key, (n_seqs, payload, sup) in packs.items():
+        r = got[key]
+        assert (
+            r["n_seqs"],
+            r["payload_tokens"],
+            r["supervised_tokens"],
+        ) == (n_seqs, payload, sup)
+        assert r["fill_frac"] == round(payload / cap, 6)
+        assert r["supervised_frac"] == round(sup / payload, 6)
+        assert payload <= cap or n_seqs == 1  # oversize dialog alone
+        assert 0 < sup <= payload

@@ -243,3 +243,39 @@ def test_streaming_read_planner_out_of_order_divergence(spark):
         ).collect()
     }
     assert _group_reads(got) != want
+
+
+def test_streaming_sft_gate_on_real_stream(spark, tmp_path):
+    """sft_turn_spans is a row-local projection+bounded-explode: the
+    batch operator applies to a streaming DataFrame unchanged and
+    committed rows equal the batch manifest regardless of
+    micro-batching."""
+    from bistro_spark.operators.trainprep import sft_turn_spans
+    from bistro_spark.streaming.pack import streaming_sft_gate
+
+    docs = spark.read.parquet(DOCS).select("doc_id", "text")
+    src_dir = str(tmp_path / "sft_src")
+    for k in range(3):
+        docs.filter(f"doc_id % 3 = {k}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src_dir, f"b{k}"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    gated = streaming_sft_gate(stream)
+    assert gated.isStreaming
+    out_dir, ckpt = str(tmp_path / "sft_out"), str(tmp_path / "sft_ckpt")
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    want = sorted(tuple(r) for r in sft_turn_spans(docs).collect())
+    assert got == want
