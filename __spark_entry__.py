@@ -2592,6 +2592,47 @@ def q_sft_pack_manifest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_reward_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-prompt rank normalization of rewards (RM whitening): rank
+    under (reward DESC, cand ASC) and exact-integer parts-per-million
+    position — 0 best, 1e6 worst, NULL for single-candidate prompts.
+    One prompt-key exchange shared by both windows."""
+    from bistro_spark.operators.preference import reward_normalize
+
+    return reward_normalize(_pref_candidates(spark, sf))
+
+
+def q_context_truncation_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window sizing artifact: per candidate length L, docs
+    truncated + tokens lost + lost fraction — the length grid
+    multiplies agg COLUMNS in one corpus pass (the truncation-sweep
+    discipline), stacked to grid rows afterwards."""
+    from bistro_spark.operators.curation import context_truncation_sweep
+
+    docs = load_table(spark, "documents", sf).select(
+        F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return context_truncation_sweep(docs, lengths=(32, 64, 128, 256))
+
+
+def q_split_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """The release-gate audit companion to leakage_safe_split: SimHash
+    near-dup edges joined to a NAIVE doc-id split on both endpoints —
+    per unordered split pair the edge count, is_leak flagging
+    cross-split pairs (eval text whose near-duplicate trains). Two
+    edge-keyed equi joins + one grid agg."""
+    from bistro_spark.operators.curation import (
+        split_corpus,
+        split_leakage_audit,
+    )
+    from bistro_spark.operators.dedup import simhash_hamming_pairs
+
+    docs = load_table(spark, "documents", sf)
+    edges = simhash_hamming_pairs(docs, bits=16, max_hamming=2)
+    assign = split_corpus(docs.select("doc_id"), key_col="doc_id")
+    return split_leakage_audit(edges, assign)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sft_turn_spans": q_sft_turn_spans,
@@ -2600,6 +2641,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "bucketed_batches": q_bucketed_batches,
         "sft_pack_manifest": q_sft_pack_manifest,
+        "reward_normalize": q_reward_normalize,
+        "context_truncation_sweep": q_context_truncation_sweep,
+        "split_leakage_audit": q_split_leakage_audit,
         "chunk_read_plan": q_chunk_read_plan,
         "fim_spans": q_fim_spans,
         "ann_l2_topk": q_ann_l2_topk,
@@ -2900,6 +2944,7 @@ def oracle_sql() -> dict[str, str]:
     from bistro_spark.operators.preference import (
         preference_pairs_sql,
         preference_stats_sql,
+        reward_normalize_sql,
     )
 
     return {
@@ -2914,6 +2959,32 @@ def oracle_sql() -> dict[str, str]:
         ),
         "preference_pairs": preference_pairs_sql(_PREF_CANDIDATES_SQL),
         "preference_stats": preference_stats_sql(_PREF_CANDIDATES_SQL),
+        "reward_normalize": reward_normalize_sql(_PREF_CANDIDATES_SQL),
+        "context_truncation_sweep": _curation.context_truncation_sweep_sql(
+            "SELECT len(string_split(text, ' ')) AS n_tok FROM documents",
+            lengths=(32, 64, 128, 256),
+        ),
+        "split_leakage_audit": f"""
+            WITH s AS (
+              SELECT doc_id, {simhash_sql('text', 16)} AS sh
+              FROM documents),
+            e AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM s a JOIN s b ON b.doc_id > a.doc_id
+              WHERE bit_count(xor(a.sh, b.sh)) <= 2),
+            asg AS (
+              SELECT doc_id,
+                     {_curation.split_corpus_sql('doc_id')} AS split
+              FROM documents)
+            SELECT least(x.split, y.split) AS split_lo,
+                   greatest(x.split, y.split) AS split_hi,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   least(x.split, y.split) <> greatest(x.split, y.split)
+                     AS is_leak
+            FROM e JOIN asg x ON e.id_a = x.doc_id
+                   JOIN asg y ON e.id_b = y.doc_id
+            GROUP BY 1, 2
+        """,
         "leakage_safe_split": f"""
             WITH RECURSIVE
             s AS (

@@ -4009,3 +4009,135 @@ def bucketed_batches_sql(
                         ELSE 1.0 END, 6) AS fill_frac
       FROM r GROUP BY bucket_max, batch_no
     """
+
+
+# ------------------------------------------- context-length truncation ----
+
+
+def context_truncation_sweep(
+    df: DataFrame,
+    len_col: str = "n_tok",
+    lengths: tuple[int, ...] = (128, 256, 512, 1024),
+) -> DataFrame:
+    """What does each candidate context length L throw away? Per L:
+    documents truncated (n > L), tokens lost (Σ max(n−L, 0)), and the
+    lost fraction of the corpus — the context-window sizing decision
+    artifact, pairing with :func:`length_buckets` (padding bill) and
+    ``ranking.vocab_truncation_sweep`` (the vocabulary analog, whose
+    grid discipline this reuses: the length grid multiplies AGG COLUMNS
+    in one corpus pass — parallel conditional sums stacked to rows
+    afterwards — never corpus rows or passes).
+
+    Exact integers throughout; frac_lost is the one float, rounded 9.
+    """
+    n = F.col(len_col).cast("long")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("total_docs"),
+        F.sum(n).cast("long").alias("total_tokens"),
+    ]
+    for L in lengths:
+        aggs.append(
+            F.sum(F.when(n > int(L), F.lit(1)).otherwise(0))
+            .cast("long")
+            .alias(f"tr_{int(L)}")
+        )
+        aggs.append(
+            F.sum(F.greatest(n - int(L), F.lit(0)))
+            .cast("long")
+            .alias(f"lost_{int(L)}")
+        )
+    row = df.agg(*aggs)
+    stack = ", ".join(
+        f"{int(L)}L, tr_{int(L)}, lost_{int(L)}" for L in lengths
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(lengths)}, {stack}) "
+            "AS (context_len, n_truncated, tokens_lost)"
+        ),
+        "total_docs",
+        "total_tokens",
+    ).select(
+        "context_len",
+        "n_truncated",
+        "tokens_lost",
+        "total_docs",
+        "total_tokens",
+        F.round(
+            F.when(
+                F.col("total_tokens") > 0,
+                F.col("tokens_lost") / F.col("total_tokens"),
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("frac_lost"),
+    )
+
+
+def context_truncation_sweep_sql(
+    seq_table: str,
+    len_col: str = "n_tok",
+    lengths: tuple[int, ...] = (128, 256, 512, 1024),
+) -> str:
+    """DuckDB twin (definitional grid cross join — oracle scale only)."""
+    grid = ", ".join(f"({int(L)})" for L in lengths)
+    return f"""
+      WITH s AS (
+        SELECT CAST({len_col} AS BIGINT) AS n FROM ({seq_table})),
+      g(context_len) AS (VALUES {grid})
+      SELECT CAST(g.context_len AS BIGINT) AS context_len,
+             CAST(sum(CASE WHEN s.n > g.context_len THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_truncated,
+             CAST(sum(greatest(s.n - g.context_len, 0)) AS BIGINT)
+               AS tokens_lost,
+             CAST(count(*) AS BIGINT) AS total_docs,
+             CAST(sum(s.n) AS BIGINT) AS total_tokens,
+             round(CASE WHEN sum(s.n) > 0
+                        THEN sum(greatest(s.n - g.context_len, 0))
+                             / CAST(sum(s.n) AS DOUBLE)
+                        ELSE 0.0 END, 9) AS frac_lost
+      FROM g CROSS JOIN s
+      GROUP BY g.context_len
+    """
+
+
+# ------------------------------------------------ split leakage audit ----
+
+
+def split_leakage_audit(
+    edges: DataFrame,
+    assign: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Audit an EXISTING split assignment against a near-dup edge set —
+    the measurement companion to the leakage-safe constructor: per
+    unordered split pair (split_lo ≤ split_hi), how many near-dup edges
+    land there, flagged ``is_leak`` when the two endpoints disagree
+    (eval text whose near-duplicate sits in train). A split built on
+    doc ids will show non-zero leak rows; one built on cluster
+    representatives shows none — that is the check a release gate runs.
+
+    Scale: two id-keyed equi joins (edges are the candidate-bounded
+    near-dup output, far smaller than the corpus) + one grid partial
+    agg; output ≤ |splits|² rows.
+    """
+    a = assign.select(
+        F.col(id_col).alias("_ia"), F.col(split_col).alias("_sa")
+    )
+    b = assign.select(
+        F.col(id_col).alias("_ib"), F.col(split_col).alias("_sb")
+    )
+    return (
+        edges.select(F.col(id_a).alias("_ia"), F.col(id_b).alias("_ib"))
+        .join(a, "_ia")
+        .join(b, "_ib")
+        .select(
+            F.least("_sa", "_sb").alias("split_lo"),
+            F.greatest("_sa", "_sb").alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn("is_leak", F.col("split_lo") != F.col("split_hi"))
+    )

@@ -255,3 +255,72 @@ def preference_stats_sql(
              CAST(max(r) - min(r) AS BIGINT) AS reward_range
       FROM ranked GROUP BY prompt
     """
+
+
+def reward_normalize(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    cand_col: str = "cand_id",
+    reward_col: str = "reward",
+) -> DataFrame:
+    """Per-prompt rank normalization of rewards — the whitening step
+    before training a reward model across prompts whose raw reward
+    scales differ (a 7-vs-3 gap on an easy prompt must not outweigh a
+    9-vs-8 gap on a hard one). Emits (prompt, cand, reward, rank,
+    n_cands, norm_ppm): rank under the family's total order
+    (reward DESC, cand ASC), and norm_ppm = ((rank−1)·10⁶) DIV
+    (n_cands−1) — 0 for the best candidate, 1e6 for the worst, exact
+    integer parts-per-million so cross-engine float ties are
+    impossible; single-candidate prompts get NULL (no order to
+    normalize). One prompt-key exchange shared by the rank window and
+    the count; group-bounded per-prompt sort. NULL rewards raise, as
+    everywhere in this family."""
+    if df.filter(F.col(reward_col).isNull()).limit(1).count():
+        raise ValueError("reward_normalize: NULL reward")
+    w = Window.partitionBy(prompt_col)
+    wo = w.orderBy(F.col(reward_col).desc(), F.col(cand_col).asc())
+    return (
+        df.select(
+            prompt_col,
+            cand_col,
+            F.col(reward_col).cast("long").alias("reward"),
+        )
+        .withColumn("rank", F.row_number().over(wo).cast("long"))
+        .withColumn("n_cands", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn(
+            "norm_ppm",
+            F.when(
+                F.col("n_cands") > 1,
+                F.expr("((rank - 1) * 1000000) DIV (n_cands - 1)"),
+            ).cast("long"),
+        )
+    )
+
+
+def reward_normalize_sql(
+    cand_table: str,
+    prompt_col: str = "prompt_id",
+    cand_col: str = "cand_id",
+    reward_col: str = "reward",
+) -> str:
+    """DuckDB twin (same windows; `//` == Spark `DIV` on the nonneg
+    operands here)."""
+    return f"""
+      WITH c AS ({cand_table})
+      SELECT {prompt_col}, {cand_col},
+             CAST({reward_col} AS BIGINT) AS reward,
+             CAST(row_number() OVER (
+               PARTITION BY {prompt_col}
+               ORDER BY {reward_col} DESC, {cand_col} ASC) AS BIGINT)
+               AS rank,
+             CAST(count(*) OVER (PARTITION BY {prompt_col}) AS BIGINT)
+               AS n_cands,
+             CAST(CASE WHEN count(*) OVER (PARTITION BY {prompt_col}) > 1
+                  THEN ((row_number() OVER (
+                          PARTITION BY {prompt_col}
+                          ORDER BY {reward_col} DESC, {cand_col} ASC)
+                        - 1) * 1000000)
+                       // (count(*) OVER (PARTITION BY {prompt_col}) - 1)
+                  END AS BIGINT) AS norm_ppm
+      FROM c
+    """

@@ -387,3 +387,131 @@ def test_sft_pack_manifest_consistency(spark):
         assert r["supervised_frac"] == round(sup / payload, 6)
         assert payload <= cap or n_seqs == 1  # oversize dialog alone
         assert 0 < sup <= payload
+
+
+# ------------------------------------------------------ reward_normalize --
+
+
+def test_reward_normalize_brute_parity(spark):
+    from bistro_spark.operators.preference import (
+        reward_normalize,
+        reward_normalize_sql,
+    )
+
+    got = {
+        (r["prompt_id"], r["cand_id"]): (
+            r["rank"],
+            r["n_cands"],
+            r["norm_ppm"],
+        )
+        for r in reward_normalize(_cands_df(spark)).collect()
+    }
+    by_prompt: dict = {}
+    for p, c, r in CANDS:
+        by_prompt.setdefault(p, []).append((-r, c))
+    want = {}
+    for p, members in by_prompt.items():
+        members.sort()
+        n = len(members)
+        for rk, (_negr, c) in enumerate(members, 1):
+            want[(p, c)] = (
+                rk,
+                n,
+                ((rk - 1) * 1_000_000) // (n - 1) if n > 1 else None,
+            )
+    assert got == want
+    # tie at the top of prompt 2: smaller cand id gets rank 1 / ppm 0
+    assert got[(2, 20)][0] == 1 and got[(2, 21)][0] == 2
+    # single-candidate prompt: NULL ppm
+    assert got[(3, 30)] == (1, 1, None)
+    # SQL twin
+    duck = sorted(
+        _duck_rows(
+            reward_normalize_sql("SELECT * FROM cands")
+        )
+    )
+    spark_rows = sorted(
+        tuple(r) for r in reward_normalize(_cands_df(spark)).collect()
+    )
+    assert spark_rows == duck
+
+
+# --------------------------------------------- context_truncation_sweep --
+
+
+def test_context_truncation_sweep_brute(spark):
+    from bistro_spark.operators.curation import context_truncation_sweep
+
+    lens = [0, 5, 10, 17, 32, 33, 100]
+    df = spark.createDataFrame([(v,) for v in lens], "n_tok long")
+    got = {
+        r["context_len"]: r
+        for r in context_truncation_sweep(
+            df, lengths=(8, 32, 1000)
+        ).collect()
+    }
+    total = sum(lens)
+    for L in (8, 32, 1000):
+        r = got[L]
+        assert r["n_truncated"] == sum(1 for v in lens if v > L)
+        lost = sum(max(v - L, 0) for v in lens)
+        assert r["tokens_lost"] == lost
+        assert r["total_docs"] == len(lens)
+        assert r["total_tokens"] == total
+        assert r["frac_lost"] == round(lost / total, 9)
+    assert got[1000]["tokens_lost"] == 0  # grid point beyond max length
+
+
+# ------------------------------------------------- split_leakage_audit --
+
+
+def test_split_leakage_audit_known_values(spark):
+    from bistro_spark.operators.curation import split_leakage_audit
+
+    assign = spark.createDataFrame(
+        [(1, "train"), (2, "train"), (3, "val"), (4, "test")],
+        "doc_id long, split string",
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    got = {
+        (r["split_lo"], r["split_hi"]): (r["n_pairs"], r["is_leak"])
+        for r in split_leakage_audit(edges, assign).collect()
+    }
+    assert got == {
+        ("train", "train"): (1, False),
+        ("train", "val"): (2, True),
+        ("test", "val"): (1, True),
+    }
+
+
+def test_cluster_split_audits_clean_vs_naive(spark):
+    """THE property pair: auditing the cluster-keyed split finds zero
+    leak rows; auditing the naive doc-id split on the same edge set
+    finds some (the premise that motivates leakage_safe_split)."""
+    from bistro_spark.operators.curation import (
+        split_corpus,
+        split_leakage_audit,
+    )
+    from bistro_spark.operators.dedup import (
+        connected_components,
+        simhash_hamming_pairs,
+    )
+
+    docs = spark.read.parquet(DOCS)
+    edges = simhash_hamming_pairs(docs, bits=16, max_hamming=2)
+    naive = split_corpus(docs.select("doc_id"), key_col="doc_id")
+    leaks_naive = (
+        split_leakage_audit(edges, naive).filter("is_leak").collect()
+    )
+    assert leaks_naive, "premise: naive split leaks on this corpus"
+    comp = connected_components(
+        edges, docs.select(F.col("doc_id").alias("id")), max_iter=30
+    )
+    safe = split_corpus(comp, key_col="component").select(
+        F.col("id").alias("doc_id"), "split"
+    )
+    assert (
+        split_leakage_audit(edges, safe).filter("is_leak").count() == 0
+    )
