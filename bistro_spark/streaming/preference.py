@@ -134,6 +134,33 @@ class StreamingPreferenceMiner:
             "chosen_reward long, rejected_reward long, margin long",
         )
 
+    def normalized(self) -> DataFrame:
+        """Live per-prompt rank normalization — columns and rows
+        exactly as batch ``preference.reward_normalize`` emits them
+        (rank under (reward DESC, cand ASC), exact-integer ppm)."""
+        rows = []
+        for p, m in self._cands.items():
+            order = sorted(m.items(), key=lambda cr: (-cr[1], cr[0]))
+            n = len(order)
+            for rk, (c, r) in enumerate(order, 1):
+                rows.append(
+                    (
+                        p,
+                        c,
+                        r,
+                        rk,
+                        n,
+                        ((rk - 1) * 1_000_000) // (n - 1)
+                        if n > 1
+                        else None,
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows,
+            f"{self.prompt_col} long, {self.cand_col} long, reward long, "
+            "rank long, n_cands long, norm_ppm long",
+        )
+
     def stats(self) -> DataFrame:
         """Live per-prompt signal audit — columns and rows exactly as
         batch ``preference_stats`` emits them."""

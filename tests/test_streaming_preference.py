@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from bistro_spark.operators.preference import (
     preference_pairs,
     preference_stats,
+    reward_normalize,
 )
 from bistro_spark.streaming.preference import StreamingPreferenceMiner
 
@@ -45,6 +46,9 @@ def test_any_order_parity_at_every_trigger(spark):
             )
             assert _sorted(miner.stats()) == _sorted(
                 preference_stats(seen)
+            )
+            assert _sorted(miner.normalized()) == _sorted(
+                reward_normalize(seen)
             )
 
 
