@@ -2633,6 +2633,20 @@ def q_split_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
     return split_leakage_audit(edges, assign)
 
 
+def q_batching_strategy_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The loader-strategy decision table: greedy packing vs
+    pad-to-pow2-bucket vs dynamic pad-to-longest-in-batch on the same
+    corpus — units, payload, waste, and the fraction of forward-pass
+    compute each strategy spends on padding. Three grid-sized
+    aggregates unioned; corpus read once per strategy, never joined."""
+    from bistro_spark.operators.curation import batching_strategy_report
+
+    docs = load_table(spark, "documents", sf).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return batching_strategy_report(docs, capacity=256, batch_size=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sft_turn_spans": q_sft_turn_spans,
@@ -2644,6 +2658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reward_normalize": q_reward_normalize,
         "context_truncation_sweep": q_context_truncation_sweep,
         "split_leakage_audit": q_split_leakage_audit,
+        "batching_strategy_report": q_batching_strategy_report,
         "chunk_read_plan": q_chunk_read_plan,
         "fim_spans": q_fim_spans,
         "ann_l2_topk": q_ann_l2_topk,
@@ -2960,6 +2975,12 @@ def oracle_sql() -> dict[str, str]:
         "preference_pairs": preference_pairs_sql(_PREF_CANDIDATES_SQL),
         "preference_stats": preference_stats_sql(_PREF_CANDIDATES_SQL),
         "reward_normalize": reward_normalize_sql(_PREF_CANDIDATES_SQL),
+        "batching_strategy_report": _curation.batching_strategy_report_sql(
+            "SELECT doc_id, len(string_split(text, ' ')) AS n_tok "
+            "FROM documents",
+            capacity=256,
+            batch_size=8,
+        ),
         "context_truncation_sweep": _curation.context_truncation_sweep_sql(
             "SELECT len(string_split(text, ' ')) AS n_tok FROM documents",
             lengths=(32, 64, 128, 256),

@@ -4141,3 +4141,161 @@ def split_leakage_audit(
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .withColumn("is_leak", F.col("split_lo") != F.col("split_hi"))
     )
+
+
+# -------------------------------------------- batching strategy report ----
+
+
+def batching_strategy_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+    capacity: int = 256,
+    batch_size: int = 8,
+    n_shards: int = 4,
+) -> DataFrame:
+    """THE loader-strategy decision table: the three ways to feed fixed
+    compute — greedy no-split packing at ``capacity``, pad-to-pow2-
+    bucket, and dynamic pad-to-longest-in-batch at ``batch_size`` —
+    compared on one corpus in one report: (strategy, config, n_units,
+    payload_tokens, waste_tokens, waste_frac). ``n_units`` is what the
+    trainer iterates (packs / padded sequences / batches);
+    ``waste_frac`` = waste ÷ (payload + waste), the fraction of forward-
+    pass compute spent on padding. Pack waste counts per-pack slack
+    ``max(0, capacity − fill)`` so oversize single-doc packs never net
+    negative (the pack_capacity_sweep rule).
+
+    Scale: three grid-sized aggregates of operators whose own scale
+    stories are already documented (:func:`pack_sequences`'s sharded
+    kernel, :func:`length_buckets`'s partial agg,
+    :func:`bucketed_batches`'s two-phase rank) unioned into a 3-row
+    artifact — the corpus is read once per strategy, never joined.
+    """
+    strat = []
+    # 1. greedy no-split packing
+    per_pack = (
+        pack_sequences(
+            df,
+            id_col=id_col,
+            len_col=len_col,
+            capacity=capacity,
+            n_shards=n_shards,
+        )
+        .groupBy("shard", "pack_id")
+        .agg(F.sum("len").cast("long").alias("fill"))
+    )
+    strat.append(
+        per_pack.agg(
+            F.lit("pack").alias("strategy"),
+            F.lit(f"capacity={int(capacity)}").alias("config"),
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.sum("fill").cast("long").alias("payload_tokens"),
+            F.sum(F.greatest(F.lit(int(capacity)) - F.col("fill"), F.lit(0)))
+            .cast("long")
+            .alias("waste_tokens"),
+        )
+    )
+    # 2. pad to pow2 bucket
+    lb = length_buckets(
+        df.withColumn("_g", F.lit("all")), group_col="_g", len_col=len_col
+    )
+    strat.append(
+        lb.agg(
+            F.lit("pad_to_bucket").alias("strategy"),
+            F.lit("pow2").alias("config"),
+            F.sum("n_seqs").cast("long").alias("n_units"),
+            F.sum("payload_tokens").cast("long").alias("payload_tokens"),
+            F.sum("pad_waste_tokens").cast("long").alias("waste_tokens"),
+        )
+    )
+    # 3. dynamic pad-to-longest-in-batch
+    bb = bucketed_batches(
+        df, id_col=id_col, len_col=len_col, batch_size=batch_size
+    )
+    strat.append(
+        bb.agg(
+            F.lit("pad_to_batch_max").alias("strategy"),
+            F.lit(f"batch={int(batch_size)}").alias("config"),
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.sum("payload_tokens").cast("long").alias("payload_tokens"),
+            F.sum("pad_tokens").cast("long").alias("waste_tokens"),
+        )
+    )
+    out = strat[0]
+    for s in strat[1:]:
+        out = out.unionByName(s)
+    return out.withColumn(
+        "waste_frac",
+        F.round(
+            F.when(
+                F.col("payload_tokens") + F.col("waste_tokens") > 0,
+                F.col("waste_tokens")
+                / (F.col("payload_tokens") + F.col("waste_tokens")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ),
+    )
+
+
+def batching_strategy_report_sql(
+    seq_table: str,
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+    capacity: int = 256,
+    batch_size: int = 8,
+    n_shards: int = 4,
+) -> str:
+    """DuckDB twin: the three strategies' twins aggregated and
+    UNION ALL'd (the recursive pack fold nests inside its CTE)."""
+    pack = pack_sequences_sql(
+        table="seqsrc",
+        id_col=id_col,
+        len_expr=len_col,
+        capacity=capacity,
+        n_shards=n_shards,
+        extra_ctes=f"seqsrc AS (SELECT * FROM ({seq_table})),",
+    )
+    n = f"CAST({len_col} AS BIGINT)"
+    bucket = (
+        f"CASE WHEN {n} <= 1 THEN {n} "
+        f"ELSE CAST(1 AS BIGINT) << length(bin({n} - 1)) END"
+    )
+    bb = bucketed_batches_sql(
+        seq_table, id_col=id_col, len_col=len_col, batch_size=batch_size
+    )
+    return f"""
+      WITH pk AS ({pack}),
+      per_pack AS (
+        SELECT shard, pack_id, sum(len) AS fill
+        FROM pk GROUP BY shard, pack_id),
+      s1 AS (
+        SELECT 'pack' AS strategy,
+               'capacity={int(capacity)}' AS config,
+               CAST(count(*) AS BIGINT) AS n_units,
+               CAST(sum(fill) AS BIGINT) AS payload_tokens,
+               CAST(sum(greatest({int(capacity)} - fill, 0)) AS BIGINT)
+                 AS waste_tokens
+        FROM per_pack),
+      s2 AS (
+        SELECT 'pad_to_bucket' AS strategy, 'pow2' AS config,
+               CAST(count(*) AS BIGINT) AS n_units,
+               CAST(sum(_n) AS BIGINT) AS payload_tokens,
+               CAST(sum(bucket_max - _n) AS BIGINT) AS waste_tokens
+        FROM (SELECT {n} AS _n, {bucket} AS bucket_max
+              FROM ({seq_table}))),
+      s3 AS (
+        SELECT 'pad_to_batch_max' AS strategy,
+               'batch={int(batch_size)}' AS config,
+               CAST(count(*) AS BIGINT) AS n_units,
+               CAST(sum(payload_tokens) AS BIGINT) AS payload_tokens,
+               CAST(sum(pad_tokens) AS BIGINT) AS waste_tokens
+        FROM ({bb})),
+      u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+            UNION ALL SELECT * FROM s3)
+      SELECT *,
+             round(CASE WHEN payload_tokens + waste_tokens > 0
+                        THEN waste_tokens /
+                             CAST(payload_tokens + waste_tokens AS DOUBLE)
+                        ELSE 0.0 END, 6) AS waste_frac
+      FROM u
+    """

@@ -219,3 +219,57 @@ def test_bucketed_batches_sql_twin(spark):
 def test_bucketed_batches_empty(spark):
     df = spark.createDataFrame([], "doc_id long, n_tok long")
     assert bucketed_batches(df).count() == 0
+
+
+# ----------------------------------------- batching_strategy_report --
+
+
+def test_batching_strategy_report_consistency(spark):
+    """Each strategy row equals recomputing it from its constituent
+    operator; pack waste never nets negative on oversize docs."""
+    from bistro_spark.operators.curation import (
+        batching_strategy_report,
+        pack_sequences,
+    )
+
+    rows = [(i, (i * 37) % 90 + 1) for i in range(120)]
+    rows.append((999, 500))  # oversize doc: its own pack, waste 0
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    cap, bsz = 128, 4
+    got = {
+        r["strategy"]: r
+        for r in batching_strategy_report(
+            df, capacity=cap, batch_size=bsz
+        ).collect()
+    }
+    assert set(got) == {"pack", "pad_to_bucket", "pad_to_batch_max"}
+    total = sum(n for _i, n in rows)
+    # every strategy conserves payload
+    assert all(r["payload_tokens"] == total for r in got.values())
+    # pack: per-pack slack from the real assignment
+    packs: dict = {}
+    for r in pack_sequences(
+        df, len_col="n_tok", capacity=cap
+    ).collect():
+        packs[(r["shard"], r["pack_id"])] = (
+            packs.get((r["shard"], r["pack_id"]), 0) + r["len"]
+        )
+    want_waste = sum(max(cap - fill, 0) for fill in packs.values())
+    assert got["pack"]["n_units"] == len(packs)
+    assert got["pack"]["waste_tokens"] == want_waste
+    # pad_to_bucket: pow2 ceiling per doc
+    def bucket(v):
+        return v if v <= 1 else 1 << (v - 1).bit_length()
+
+    assert got["pad_to_bucket"]["waste_tokens"] == sum(
+        bucket(n) - n for _i, n in rows
+    )
+    assert got["pad_to_bucket"]["n_units"] == len(rows)
+    # batching dominates bucket padding in waste on this corpus
+    assert (
+        got["pad_to_batch_max"]["waste_tokens"]
+        <= got["pad_to_bucket"]["waste_tokens"]
+    )
+    for r in got.values():
+        p, w = r["payload_tokens"], r["waste_tokens"]
+        assert r["waste_frac"] == round(w / (p + w), 6)

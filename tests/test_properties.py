@@ -365,3 +365,86 @@ def test_anneal_schedule_exact_apportionment(spark, masses, n_steps, batch):
         r["source"]: r["weight_ppm"] for r in out if r["step"] == n_steps
     }
     assert got_last == w1
+
+
+# -------------------------------------------------- preference_pairs ----
+
+
+@SPARK_SETTINGS
+@given(
+    cands=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # prompt
+            st.integers(min_value=0, max_value=500), # reward
+        ),
+        max_size=20,
+    ),
+    min_margin=st.integers(min_value=1, max_value=5),
+)
+def test_preference_pairs_matches_brute(spark, cands, min_margin):
+    """best_vs_rest equals the pure-Python fold for ANY candidate set:
+    chosen = (reward DESC, cand ASC) argmax per prompt; one pair per
+    other candidate clearing the margin."""
+    from bistro_spark.operators.preference import preference_pairs
+
+    rows = [(p, i, r) for i, (p, r) in enumerate(cands)]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "prompt_id long, cand_id long, reward long"
+    )
+    got = sorted(
+        tuple(r)
+        for r in preference_pairs(df, min_margin=min_margin).collect()
+    )
+    best = {}
+    for p, c, r in rows:
+        if p not in best or (-r, c) < (-best[p][1], best[p][0]):
+            best[p] = (c, r)
+    want = sorted(
+        (p, best[p][0], c, best[p][1], r, best[p][1] - r)
+        for p, c, r in rows
+        if c != best[p][0] and best[p][1] - r >= min_margin
+    )
+    assert got == want
+
+
+# ---------------------------------------------------- sft_turn_spans ----
+
+
+@SPARK_SETTINGS
+@given(
+    n_words=st.integers(min_value=0, max_value=60),
+    doc_id=st.integers(min_value=0, max_value=10**9),
+)
+def test_sft_spans_tile_for_any_length(spark, n_words, doc_id):
+    """For ANY document length (including 0 and lengths below the turn
+    count): exactly k rows, spans + sentinels tile [0, n+k), supervised
+    lengths sum to the assistant word total."""
+    import hashlib
+
+    from bistro_spark.operators.trainprep import sft_turn_spans
+
+    text = " ".join(f"w{j}" for j in range(n_words))
+    df = spark.createDataFrame([(doc_id, text)], "doc_id long, text string")
+    turns = sorted(
+        sft_turn_spans(df).collect(), key=lambda r: r["turn_idx"]
+    )
+    k = 2 + (
+        int(hashlib.md5(f"{doc_id}:turns".encode()).hexdigest()[:8], 16)
+        % 3
+    )
+    assert len(turns) == k
+    pos = 0
+    for r in turns:
+        assert r["sent_pos"] == pos
+        assert r["span_start"] == pos + 1
+        assert r["span_len"] >= 0
+        pos = r["span_start"] + r["span_len"]
+    assert pos == n_words + k
+    sup = sum(r["span_len"] for r in turns if r["supervised"])
+    assert sup == sum(
+        ((i + 1) * n_words) // k - (i * n_words) // k
+        for i in range(k)
+        if i % 2 == 1
+    )
