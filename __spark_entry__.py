@@ -2647,6 +2647,16 @@ def q_batching_strategy_report(spark: SparkSession, sf: str) -> DataFrame:
     return batching_strategy_report(docs, capacity=256, batch_size=8)
 
 
+def q_preference_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end preference construction: gap gate (prompts whose
+    top-2 tie carry no learnable signal are dropped) → best_vs_rest
+    pairs → rejected candidate's exact-ppm rank position, all stages
+    keyed on the prompt so the executed plan carries ONE shuffle."""
+    from bistro_spark.operators.preference import preference_pipeline
+
+    return preference_pipeline(_pref_candidates(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sft_turn_spans": q_sft_turn_spans,
@@ -2659,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_truncation_sweep": q_context_truncation_sweep,
         "split_leakage_audit": q_split_leakage_audit,
         "batching_strategy_report": q_batching_strategy_report,
+        "preference_pipeline": q_preference_pipeline,
         "chunk_read_plan": q_chunk_read_plan,
         "fim_spans": q_fim_spans,
         "ann_l2_topk": q_ann_l2_topk,
@@ -2961,6 +2972,7 @@ def oracle_sql() -> dict[str, str]:
         preference_stats_sql,
         reward_normalize_sql,
     )
+    from bistro_spark.operators.preference import preference_pipeline_sql
 
     return {
         "sft_turn_spans": _trainprep.sft_turn_spans_sql("documents"),
@@ -2975,6 +2987,9 @@ def oracle_sql() -> dict[str, str]:
         "preference_pairs": preference_pairs_sql(_PREF_CANDIDATES_SQL),
         "preference_stats": preference_stats_sql(_PREF_CANDIDATES_SQL),
         "reward_normalize": reward_normalize_sql(_PREF_CANDIDATES_SQL),
+        "preference_pipeline": preference_pipeline_sql(
+            _PREF_CANDIDATES_SQL
+        ),
         "batching_strategy_report": _curation.batching_strategy_report_sql(
             "SELECT doc_id, len(string_split(text, ' ')) AS n_tok "
             "FROM documents",

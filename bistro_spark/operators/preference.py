@@ -324,3 +324,116 @@ def reward_normalize_sql(
                   END AS BIGINT) AS norm_ppm
       FROM c
     """
+
+
+def preference_pipeline(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    cand_col: str = "cand_id",
+    reward_col: str = "reward",
+    min_margin: int = 1,
+    min_gap: int = 1,
+) -> DataFrame:
+    """The end-to-end preference construction a DPO run actually ships:
+    drop prompts whose preference signal is too weak (best-vs-runner-up
+    gap < ``min_gap`` — ties at the top make the chosen label
+    arbitrary; single-candidate prompts have no pair at all), mine
+    best_vs_rest pairs from the survivors, and attach the REJECTED
+    candidate's normalized rank position (``reward_normalize``'s exact
+    integer ppm) so downstream weighting can tell a near-miss rejection
+    from a bottom-of-pool one. Returns the pair columns plus
+    rejected_ppm.
+
+    Scale: every stage keys on the prompt — the stats windows, the pair
+    windows, and the rank window all share ONE hash-partition exchange
+    (Catalyst reuses the partitioning; the executed plan carries a
+    single shuffle), and the gate is a filter between window stages,
+    not a join. Composition of three hash-checked operators; the
+    pipeline itself is hash-checked against the composed DuckDB twin.
+    """
+    if df.filter(F.col(reward_col).isNull()).limit(1).count():
+        raise ValueError("preference_pipeline: NULL reward")
+    base = df.select(
+        F.col(prompt_col).alias("prompt"),
+        F.col(cand_col).alias("cand"),
+        F.col(reward_col).cast("long").alias("r"),
+    )
+    w = Window.partitionBy("prompt")
+    wo = w.orderBy(F.col("r").desc(), F.col("cand").asc())
+    best = F.max(
+        F.struct(F.col("r").alias("r"), (-F.col("cand")).alias("nc"))
+    ).over(w)
+    second = F.max(
+        F.when(
+            F.col("cand") != F.col("c_id"),
+            F.struct(F.col("r").alias("r"), (-F.col("cand")).alias("nc")),
+        )
+    ).over(w)
+    ranked = (
+        base.withColumn("c_r", best["r"])
+        .withColumn("c_id", -best["nc"])
+        .withColumn("s_r", second["r"])
+        .withColumn("rank", F.row_number().over(wo).cast("long"))
+        .withColumn("n_cands", F.count(F.lit(1)).over(w).cast("long"))
+    )
+    gated = ranked.filter(
+        F.col("s_r").isNotNull()
+        & (F.col("c_r") - F.col("s_r") >= int(min_gap))
+    )
+    return gated.filter(
+        (F.col("cand") != F.col("c_id"))
+        & (F.col("c_r") - F.col("r") >= int(min_margin))
+    ).select(
+        F.col("prompt").alias(prompt_col),
+        F.col("c_id").alias("chosen"),
+        F.col("cand").alias("rejected"),
+        F.col("c_r").alias("chosen_reward"),
+        F.col("r").alias("rejected_reward"),
+        (F.col("c_r") - F.col("r")).alias("margin"),
+        F.expr("((rank - 1) * 1000000) DIV (n_cands - 1)")
+        .cast("long")
+        .alias("rejected_ppm"),
+    )
+
+
+def preference_pipeline_sql(
+    cand_table: str,
+    prompt_col: str = "prompt_id",
+    cand_col: str = "cand_id",
+    reward_col: str = "reward",
+    min_margin: int = 1,
+    min_gap: int = 1,
+) -> str:
+    """DuckDB twin: the composed definitional form (rank windows, gap
+    gate as a HAVING-style filter, ppm of the rejected row)."""
+    return f"""
+      WITH c AS ({cand_table}),
+      ranked AS (
+        SELECT {prompt_col} AS prompt, {cand_col} AS cand,
+               CAST({reward_col} AS BIGINT) AS r,
+               row_number() OVER (
+                 PARTITION BY {prompt_col}
+                 ORDER BY {reward_col} DESC, {cand_col} ASC) AS rk,
+               count(*) OVER (PARTITION BY {prompt_col}) AS n
+        FROM c),
+      gated AS (
+        SELECT * FROM ranked
+        WHERE prompt IN (
+          SELECT prompt FROM ranked
+          WHERE rk <= 2
+          GROUP BY prompt
+          HAVING count(*) = 2
+             AND max(CASE WHEN rk = 1 THEN r END)
+                 - max(CASE WHEN rk = 2 THEN r END) >= {int(min_gap)}))
+      SELECT b.prompt AS {prompt_col},
+             b.cand AS chosen,
+             o.cand AS rejected,
+             b.r AS chosen_reward,
+             o.r AS rejected_reward,
+             b.r - o.r AS margin,
+             CAST(((o.rk - 1) * 1000000) // (o.n - 1) AS BIGINT)
+               AS rejected_ppm
+      FROM gated b JOIN gated o
+        ON b.prompt = o.prompt AND b.rk = 1 AND o.cand <> b.cand
+      WHERE b.r - o.r >= {int(min_margin)}
+    """

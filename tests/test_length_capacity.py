@@ -273,3 +273,43 @@ def test_batching_strategy_report_consistency(spark):
     for r in got.values():
         p, w = r["payload_tokens"], r["waste_tokens"]
         assert r["waste_frac"] == round(w / (p + w), 6)
+
+
+def test_bucketed_batches_no_streaming_twin_counterexample(spark):
+    """The documented reason bucketed_batches has NO streaming twin:
+    batch membership follows the md5 order, so a later-arriving
+    candidate can insert BEFORE already-batched members and reshuffle
+    existing batches — an append-only emission cannot be correct, and
+    (unlike the packer's id-monotone cursor) no arrival order fixes it
+    because md5 order is uncorrelated with any arrival key. Pinned:
+    adding one row changes an existing batch's membership."""
+    # DISTINCT lengths in one pow2 bucket (9..16), so membership shows
+    # in the payload column instead of aliasing (the chunk-test trap)
+    rows = [(i, 9 + i) for i in range(8)]
+    df1 = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    before = {
+        (r["bucket_max"], r["batch_no"]): (r["n_seqs"], r["payload_tokens"])
+        for r in bucketed_batches(df1, batch_size=4).collect()
+    }
+    # find an id whose md5 sorts before some already-batched member
+    import hashlib
+
+    existing = sorted(
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(8)
+    )
+    new_id = next(
+        j
+        for j in range(100, 1000)
+        if hashlib.md5(str(j).encode()).hexdigest() < existing[2]
+    )
+    df2 = spark.createDataFrame(
+        rows + [(new_id, 11)], "doc_id long, n_tok long"
+    )
+    after = {
+        (r["bucket_max"], r["batch_no"]): (r["n_seqs"], r["payload_tokens"])
+        for r in bucketed_batches(df2, batch_size=4).collect()
+    }
+    assert before[(16, 0)][0] == 4 and len(before) == 2
+    # the append reshuffled an EXISTING batch, not just added a new one
+    assert after[(16, 0)] != before[(16, 0)] or after[(16, 1)] != before[(16, 1)]
+    assert (16, 2) in after  # and the overflow batch appeared

@@ -515,3 +515,42 @@ def test_cluster_split_audits_clean_vs_naive(spark):
     assert (
         split_leakage_audit(edges, safe).filter("is_leak").count() == 0
     )
+
+
+# ---------------------------------------------------- preference_pipeline --
+
+
+def test_preference_pipeline_composes(spark):
+    """Pipeline == gap-gate ∘ pairs ∘ normalize composed by hand, and
+    the executed plan carries exactly ONE shuffle (every stage keys on
+    the prompt)."""
+    from bistro_spark.operators.preference import (
+        preference_pairs,
+        preference_pipeline,
+        preference_stats,
+        reward_normalize,
+    )
+
+    df = _cands_df(spark)
+    out = preference_pipeline(df, min_gap=1)
+    got = sorted(tuple(r) for r in out.collect())
+    keep = {
+        r["prompt_id"]
+        for r in preference_stats(df).collect()
+        if r["gap"] is not None and r["gap"] >= 1
+    }
+    ppm = {
+        (r["prompt_id"], r["cand_id"]): r["norm_ppm"]
+        for r in reward_normalize(df).collect()
+    }
+    want = sorted(
+        tuple(r) + (ppm[(r["prompt_id"], r["rejected"])],)
+        for r in preference_pairs(df).collect()
+        if r["prompt_id"] in keep
+    )
+    assert got == want
+    # prompt 2 (top-2 tie, gap 0) and prompts 3/4 are gated out
+    assert {t[0] for t in got} == {1}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    assert final.count("Exchange hashpartitioning") == 1
