@@ -2657,6 +2657,48 @@ def q_preference_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     return preference_pipeline(_pref_candidates(spark, sf))
 
 
+def q_bt_ratings(spark: SparkSession, sf: str) -> DataFrame:
+    """Bradley-Terry strength ratings over sources from the preference
+    pairs' head-to-head outcomes (which SOURCE wins comparisons?) —
+    Hunter's MM fixpoint in exact scaled-integer arithmetic, so the
+    20-round result is bit-identical on any engine or cluster shape.
+    Distributed items² win grid in one shuffle; driver fixpoint on the
+    tiny matrix (the PQ-codebook pattern)."""
+    from bistro_spark.operators.preference import (
+        bt_ratings,
+        preference_pairs,
+    )
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "source")
+    # prompt groups of 5 CONSECUTIVE docs: source is doc_id%20-periodic
+    # in the testdata, so the %100 grouping would make every game a
+    # self-game — DIV 5 groups mix sources by construction
+    cands = load_table(spark, "documents", sf).select(
+        (F.col("doc_id") / 5).cast("long").alias("prompt_id"),
+        F.col("doc_id").alias("cand_id"),
+        F.col("n_chars").alias("reward"),
+    )
+    pp = preference_pairs(cands)
+    games = (
+        pp.join(
+            docs.select(
+                F.col("doc_id").alias("chosen"),
+                F.col("source").alias("winner"),
+            ),
+            "chosen",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("rejected"),
+                F.col("source").alias("loser"),
+            ),
+            "rejected",
+        )
+        .filter(F.col("winner") != F.col("loser"))
+    )
+    return bt_ratings(games)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sft_turn_spans": q_sft_turn_spans,
@@ -2670,6 +2712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_audit": q_split_leakage_audit,
         "batching_strategy_report": q_batching_strategy_report,
         "preference_pipeline": q_preference_pipeline,
+        "bt_ratings": q_bt_ratings,
         "chunk_read_plan": q_chunk_read_plan,
         "fim_spans": q_fim_spans,
         "ann_l2_topk": q_ann_l2_topk,
@@ -2972,7 +3015,10 @@ def oracle_sql() -> dict[str, str]:
         preference_stats_sql,
         reward_normalize_sql,
     )
-    from bistro_spark.operators.preference import preference_pipeline_sql
+    from bistro_spark.operators.preference import (
+        bt_ratings_sql,
+        preference_pipeline_sql,
+    )
 
     return {
         "sft_turn_spans": _trainprep.sft_turn_spans_sql("documents"),
@@ -2989,6 +3035,18 @@ def oracle_sql() -> dict[str, str]:
         "reward_normalize": reward_normalize_sql(_PREF_CANDIDATES_SQL),
         "preference_pipeline": preference_pipeline_sql(
             _PREF_CANDIDATES_SQL
+        ),
+        "bt_ratings": bt_ratings_sql(
+            f"""
+            SELECT dw.source AS winner, dl.source AS loser
+            FROM ({preference_pairs_sql(
+                "SELECT doc_id // 5 AS prompt_id, doc_id AS cand_id, "
+                "n_chars AS reward FROM documents"
+            )}) pp
+            JOIN documents dw ON dw.doc_id = pp.chosen
+            JOIN documents dl ON dl.doc_id = pp.rejected
+            WHERE dw.source <> dl.source
+            """
         ),
         "batching_strategy_report": _curation.batching_strategy_report_sql(
             "SELECT doc_id, len(string_split(text, ' ')) AS n_tok "

@@ -437,3 +437,154 @@ def preference_pipeline_sql(
         ON b.prompt = o.prompt AND b.rk = 1 AND o.cand <> b.cand
       WHERE b.r - o.r >= {int(min_margin)}
     """
+
+
+def bt_ratings(
+    pairs: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    iters: int = 20,
+    max_items: int = 256,
+) -> DataFrame:
+    """Bradley-Terry strength ratings from pairwise outcomes — the
+    model-ranking artifact an RLHF eval loop ends with (which policy /
+    checkpoint / source wins head-to-heads?). Implements the classical
+    MM update (Hunter 2004, "MM algorithms for generalized
+    Bradley-Terry models"): p_i ← W_i / Σ_j g_ij/(p_i+p_j), normalized
+    each round — in EXACT SCALED-INTEGER arithmetic (the repo's
+    tie-proof discipline): p starts at 10⁶ per item, every division is
+    integer `DIV` with a 10¹² precision factor, every sum is a BIGINT
+    sum, so the T-round fixpoint is bit-identical on any engine, any
+    cluster shape, any summation order. Returns (item, n_wins,
+    n_losses, rating, rank): rating is the 10⁶-scaled strength (summing
+    ≈ n_items·10⁶), rank by (rating DESC, item ASC).
+
+    Scale: outcomes aggregate to the items² win grid in ONE partial-agg
+    shuffle (items are models/policies/sources — dozens, not
+    documents); the grid collects under a ``max_items`` guard and the
+    MM rounds run driver-side on the tiny matrix (the k-means /
+    PQ-codebook pattern: distributed statistics, driver fixpoint).
+    Self-games raise (i vs i carries no information and would corrupt
+    g_ij); items never beaten keep rating 0 — a documented fixpoint of
+    the truncated update, not an error.
+    """
+    S, K = 10**6, 10**12
+    w = pairs.select(
+        F.col(winner_col).alias("a"), F.col(loser_col).alias("b")
+    )
+    if w.filter(F.col("a") == F.col("b")).limit(1).count():
+        raise ValueError("bt_ratings: self-game (winner == loser)")
+    grid = w.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rows = grid.collect()
+    items = sorted({r["a"] for r in rows} | {r["b"] for r in rows})
+    if len(items) > max_items:
+        raise ValueError(
+            f"bt_ratings: {len(items)} items > max_items={max_items}"
+        )
+    n_items = len(items)
+    spark = pairs.sparkSession
+    if not items:
+        return spark.createDataFrame(
+            [],
+            "item string, n_wins long, n_losses long, rating long, "
+            "rank long",
+        )
+    wins = {i: 0 for i in items}
+    losses = {i: 0 for i in items}
+    games: dict = {}
+    for r in rows:
+        wins[r["a"]] += r["n"]
+        losses[r["b"]] += r["n"]
+        key = (r["a"], r["b"])
+        games[key] = games.get(key, 0) + r["n"]
+    # symmetric game counts
+    g: dict = {}
+    for (a, b), n in games.items():
+        g[(a, b)] = g.get((a, b), 0) + n
+        g[(b, a)] = g.get((b, a), 0) + n
+    p = {i: S for i in items}
+    for _t in range(int(iters)):
+        q = {}
+        for i in items:
+            denom = sum(
+                (g[(i, j)] * K) // max(p[i] + p[j], 1)
+                for j in items
+                if (i, j) in g
+            )
+            q[i] = (wins[i] * K) // denom if denom > 0 else p[i]
+        tot = sum(q.values())
+        p = {i: (q[i] * n_items * S) // tot for i in items}
+    item_type = dict(pairs.dtypes)[winner_col]
+    ranked = sorted(items, key=lambda i: (-p[i], i))
+    out = [
+        (i, wins[i], losses[i], p[i], rk)
+        for rk, i in enumerate(ranked, 1)
+    ]
+    return spark.createDataFrame(
+        out,
+        f"item {item_type}, n_wins long, n_losses long, rating long, "
+        "rank long",
+    )
+
+
+def bt_ratings_sql(
+    pairs_table: str,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    iters: int = 20,
+) -> str:
+    """DuckDB twin of :func:`bt_ratings`: the MM rounds UNROLLED as
+    chained CTEs (standard SQL forbids aggregation in a recursive term;
+    the generator is code, so it unrolls) — identical scaled-integer
+    ops, `//` == the Python `//` on these nonneg operands."""
+    S, K = 10**6, 10**12
+    ctes = [
+        f"base AS MATERIALIZED (SELECT {winner_col} AS a, {loser_col} AS b "
+        f"FROM ({pairs_table}))",
+        "items AS MATERIALIZED (SELECT DISTINCT i FROM "
+        "(SELECT a AS i FROM base UNION SELECT b FROM base))",
+        "nit AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM items)",
+        "w AS MATERIALIZED (SELECT a AS i, CAST(count(*) AS BIGINT) AS w "
+        "FROM base GROUP BY a)",
+        "l AS MATERIALIZED (SELECT b AS i, CAST(count(*) AS BIGINT) AS l "
+        "FROM base GROUP BY b)",
+        "sym AS MATERIALIZED (SELECT a, b FROM base UNION ALL SELECT b, a FROM base)",
+        "g AS MATERIALIZED (SELECT a, b, CAST(count(*) AS BIGINT) AS g "
+        "FROM sym GROUP BY a, b)",
+        f"p0 AS MATERIALIZED (SELECT i, CAST({S} AS BIGINT) AS p FROM items)",
+    ]
+    for t in range(int(iters)):
+        ctes.append(
+            f"d{t} AS MATERIALIZED (SELECT g.a AS i, "
+            f"sum((g.g * CAST({K} AS HUGEINT)) // "
+            f"greatest(pa.p + pb.p, 1)) AS denom "
+            f"FROM g JOIN p{t} pa ON pa.i = g.a "
+            f"JOIN p{t} pb ON pb.i = g.b GROUP BY g.a)"
+        )
+        ctes.append(
+            f"q{t} AS MATERIALIZED (SELECT p.i, CASE WHEN d.denom > 0 "
+            f"THEN (coalesce(w.w, 0) * CAST({K} AS HUGEINT)) // d.denom "
+            f"ELSE CAST(p.p AS HUGEINT) END AS pr "
+            f"FROM p{t} p LEFT JOIN d{t} d ON d.i = p.i "
+            f"LEFT JOIN w ON w.i = p.i)"
+        )
+        ctes.append(
+            f"p{t + 1} AS MATERIALIZED (SELECT i, (pr * (SELECT n FROM nit) * "
+            f"CAST({S} AS HUGEINT)) // (SELECT sum(pr) FROM q{t}) AS p "
+            f"FROM q{t})"
+        )
+    return (
+        "WITH "
+        + ",\n      ".join(ctes)
+        + f"""
+      SELECT p.i AS item,
+             coalesce(w.w, 0) AS n_wins,
+             coalesce(l.l, 0) AS n_losses,
+             CAST(p.p AS BIGINT) AS rating,
+             CAST(row_number() OVER (ORDER BY p.p DESC, p.i ASC)
+                  AS BIGINT) AS rank
+      FROM p{int(iters)} p
+      LEFT JOIN w ON w.i = p.i
+      LEFT JOIN l ON l.i = p.i
+    """
+    )

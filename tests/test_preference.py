@@ -554,3 +554,103 @@ def test_preference_pipeline_composes(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]  # AQE prints both
     assert final.count("Exchange hashpartitioning") == 1
+
+
+# ------------------------------------------------------------ bt_ratings --
+
+
+def test_bt_ratings_known_values_and_order(spark):
+    """A dominates B dominates C: ratings order matches, wins/losses
+    exact, ratings are the 20-round integer MM fixpoint (recomputed in
+    pure Python), rank tiebreak deterministic."""
+    from bistro_spark.operators.preference import bt_ratings
+
+    games = [("A", "B")] * 4 + [("B", "A")] + [("B", "C")] * 3 + [
+        ("A", "C")
+    ] * 2 + [("C", "B")]
+    df = spark.createDataFrame(games, "winner string, loser string")
+    got = {r["item"]: r for r in bt_ratings(df).collect()}
+    assert got["A"]["n_wins"] == 6 and got["A"]["n_losses"] == 1
+    assert got["B"]["n_wins"] == 4 and got["B"]["n_losses"] == 5
+    assert got["C"]["n_wins"] == 1 and got["C"]["n_losses"] == 5
+    assert (
+        got["A"]["rating"] > got["B"]["rating"] > got["C"]["rating"]
+    )
+    assert [got[i]["rank"] for i in "ABC"] == [1, 2, 3]
+    # pure-Python recomputation of the exact integer fixpoint
+    S, K = 10**6, 10**12
+    items = ["A", "B", "C"]
+    wins = {i: sum(1 for w, _l in games if w == i) for i in items}
+    g: dict = {}
+    for w, l in games:
+        g[(w, l)] = g.get((w, l), 0) + 1
+        g[(l, w)] = g.get((l, w), 0) + 1
+    p = {i: S for i in items}
+    for _t in range(20):
+        q = {}
+        for i in items:
+            denom = sum(
+                (g[(i, j)] * K) // max(p[i] + p[j], 1)
+                for j in items
+                if (i, j) in g
+            )
+            q[i] = (wins[i] * K) // denom if denom > 0 else p[i]
+        tot = sum(q.values())
+        p = {i: (q[i] * len(items) * S) // tot for i in items}
+    assert {i: got[i]["rating"] for i in items} == p
+
+
+def test_bt_ratings_guards_and_empty(spark):
+    from bistro_spark.operators.preference import bt_ratings
+
+    with pytest.raises(ValueError, match="self-game"):
+        bt_ratings(
+            spark.createDataFrame(
+                [("A", "A")], "winner string, loser string"
+            )
+        )
+    with pytest.raises(ValueError, match="max_items"):
+        bt_ratings(
+            spark.createDataFrame(
+                [(str(i), str(i + 1)) for i in range(5)],
+                "winner string, loser string",
+            ),
+            max_items=3,
+        )
+    assert (
+        bt_ratings(
+            spark.createDataFrame([], "winner string, loser string")
+        ).count()
+        == 0
+    )
+
+
+def test_bt_ratings_sql_twin_synthetic(spark):
+    """SQL twin on non-default geometry (5 iterations, 4 items with an
+    undefeated item and a winless item)."""
+    from bistro_spark.operators.preference import (
+        bt_ratings,
+        bt_ratings_sql,
+    )
+
+    games = (
+        [("A", "B")] * 2
+        + [("A", "C")]
+        + [("B", "C")] * 3
+        + [("C", "D")]
+        + [("B", "D")] * 2
+    )
+    df = spark.createDataFrame(games, "winner string, loser string")
+    got = sorted(tuple(r) for r in bt_ratings(df, iters=5).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE games (winner VARCHAR, loser VARCHAR)")
+    con.executemany("INSERT INTO games VALUES (?, ?)", games)
+    duck = sorted(
+        con.execute(
+            bt_ratings_sql("SELECT winner, loser FROM games", iters=5)
+        ).fetchall()
+    )
+    assert got == duck
+    ratings = {t[0]: t[3] for t in got}
+    assert ratings["D"] == 0  # winless item: the documented 0 fixpoint
+    assert max(ratings, key=lambda i: ratings[i]) == "A"
