@@ -439,65 +439,33 @@ def preference_pipeline_sql(
     """
 
 
-def bt_ratings(
-    pairs: DataFrame,
-    winner_col: str = "winner",
-    loser_col: str = "loser",
-    iters: int = 20,
-    max_items: int = 256,
-) -> DataFrame:
-    """Bradley-Terry strength ratings from pairwise outcomes — the
-    model-ranking artifact an RLHF eval loop ends with (which policy /
-    checkpoint / source wins head-to-heads?). Implements the classical
-    MM update (Hunter 2004, "MM algorithms for generalized
-    Bradley-Terry models"): p_i ← W_i / Σ_j g_ij/(p_i+p_j), normalized
-    each round — in EXACT SCALED-INTEGER arithmetic (the repo's
-    tie-proof discipline): p starts at 10⁶ per item, every division is
-    integer `DIV` with a 10¹² precision factor, every sum is a BIGINT
-    sum, so the T-round fixpoint is bit-identical on any engine, any
-    cluster shape, any summation order. Returns (item, n_wins,
-    n_losses, rating, rank): rating is the 10⁶-scaled strength (summing
-    ≈ n_items·10⁶), rank by (rating DESC, item ASC).
-
-    Scale: outcomes aggregate to the items² win grid in ONE partial-agg
-    shuffle (items are models/policies/sources — dozens, not
-    documents); the grid collects under a ``max_items`` guard and the
-    MM rounds run driver-side on the tiny matrix (the k-means /
-    PQ-codebook pattern: distributed statistics, driver fixpoint).
-    Self-games raise (i vs i carries no information and would corrupt
-    g_ij); items never beaten keep rating 0 — a documented fixpoint of
-    the truncated update, not an error.
-    """
+def bt_fixpoint(
+    grid: list, iters: int = 20, max_items: int = 256
+) -> list:
+    """The exact scaled-integer MM fixpoint shared by :func:`bt_ratings`
+    and the streaming monitor (ONE code path, so their parity is
+    structural): ``grid`` is [(winner, loser, n), ...] aggregated game
+    counts; returns [(item, n_wins, n_losses, rating, rank), ...]
+    sorted by rank. Pure driver-side integer arithmetic on the
+    items²-bounded grid."""
     S, K = 10**6, 10**12
-    w = pairs.select(
-        F.col(winner_col).alias("a"), F.col(loser_col).alias("b")
-    )
-    if w.filter(F.col("a") == F.col("b")).limit(1).count():
-        raise ValueError("bt_ratings: self-game (winner == loser)")
-    grid = w.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    rows = grid.collect()
-    items = sorted({r["a"] for r in rows} | {r["b"] for r in rows})
+    items = sorted({a for a, _b, _n in grid} | {b for _a, b, _n in grid})
     if len(items) > max_items:
         raise ValueError(
             f"bt_ratings: {len(items)} items > max_items={max_items}"
         )
-    n_items = len(items)
-    spark = pairs.sparkSession
     if not items:
-        return spark.createDataFrame(
-            [],
-            "item string, n_wins long, n_losses long, rating long, "
-            "rank long",
-        )
+        return []
+    n_items = len(items)
     wins = {i: 0 for i in items}
     losses = {i: 0 for i in items}
     games: dict = {}
-    for r in rows:
-        wins[r["a"]] += r["n"]
-        losses[r["b"]] += r["n"]
-        key = (r["a"], r["b"])
-        games[key] = games.get(key, 0) + r["n"]
-    # symmetric game counts
+    for a, b, n in grid:
+        if a == b:
+            raise ValueError("bt_ratings: self-game (winner == loser)")
+        wins[a] += n
+        losses[b] += n
+        games[(a, b)] = games.get((a, b), 0) + n
     g: dict = {}
     for (a, b), n in games.items():
         g[(a, b)] = g.get((a, b), 0) + n
@@ -514,13 +482,54 @@ def bt_ratings(
             q[i] = (wins[i] * K) // denom if denom > 0 else p[i]
         tot = sum(q.values())
         p = {i: (q[i] * n_items * S) // tot for i in items}
-    item_type = dict(pairs.dtypes)[winner_col]
     ranked = sorted(items, key=lambda i: (-p[i], i))
-    out = [
+    return [
         (i, wins[i], losses[i], p[i], rk)
         for rk, i in enumerate(ranked, 1)
     ]
-    return spark.createDataFrame(
+
+
+def bt_ratings(
+    pairs: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    iters: int = 20,
+    max_items: int = 256,
+) -> DataFrame:
+    """Bradley-Terry strength ratings from pairwise outcomes — the
+    model-ranking artifact an RLHF eval loop ends with (which policy /
+    checkpoint / source wins head-to-heads?). Implements the classical
+    MM update (Hunter 2004, "MM algorithms for generalized
+    Bradley-Terry models") via :func:`bt_fixpoint` — EXACT
+    scaled-integer arithmetic, so the T-round result is bit-identical
+    on any engine, any cluster shape, any summation order. Returns
+    (item, n_wins, n_losses, rating, rank): rating is the 10⁶-scaled
+    strength (summing ≈ n_items·10⁶), rank by (rating DESC, item ASC).
+
+    Scale: outcomes aggregate to the items² win grid in ONE partial-agg
+    shuffle (items are models/policies/sources — dozens, not
+    documents); the grid collects under the ``max_items`` guard and the
+    MM rounds run driver-side on the tiny matrix (the k-means /
+    PQ-codebook pattern: distributed statistics, driver fixpoint).
+    Self-games raise (i vs i carries no information and would corrupt
+    g_ij); items never beaten keep rating 0 — a documented fixpoint of
+    the truncated update, not an error.
+    """
+    w = pairs.select(
+        F.col(winner_col).alias("a"), F.col(loser_col).alias("b")
+    )
+    grid = (
+        w.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )
+    out = bt_fixpoint(
+        [(r["a"], r["b"], r["n"]) for r in grid],
+        iters=iters,
+        max_items=max_items,
+    )
+    item_type = dict(pairs.dtypes)[winner_col]
+    return pairs.sparkSession.createDataFrame(
         out,
         f"item {item_type}, n_wins long, n_losses long, rating long, "
         "rank long",
