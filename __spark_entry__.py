@@ -2699,6 +2699,20 @@ def q_bt_ratings(spark: SparkSession, sf: str) -> DataFrame:
     return bt_ratings(games)
 
 
+def q_centroid_shift(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space drift between two deterministic snapshot halves
+    (vec_id parity): per label, the exact integer-cross-multiplied
+    squared centroid distance (DECIMAL(38,0) numerator — each term
+    passes BIGINT) plus the one rounded float. One posexplode →
+    (label, dim) partial agg; corpus never joins corpus."""
+    from bistro_spark.operators.similarity import centroid_shift
+
+    emb = load_table(spark, "embeddings", sf)
+    return centroid_shift(
+        emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sft_turn_spans": q_sft_turn_spans,
@@ -2713,6 +2727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batching_strategy_report": q_batching_strategy_report,
         "preference_pipeline": q_preference_pipeline,
         "bt_ratings": q_bt_ratings,
+        "centroid_shift": q_centroid_shift,
         "chunk_read_plan": q_chunk_read_plan,
         "fim_spans": q_fim_spans,
         "ann_l2_topk": q_ann_l2_topk,
@@ -3035,6 +3050,10 @@ def oracle_sql() -> dict[str, str]:
         "reward_normalize": reward_normalize_sql(_PREF_CANDIDATES_SQL),
         "preference_pipeline": preference_pipeline_sql(
             _PREF_CANDIDATES_SQL
+        ),
+        "centroid_shift": _similarity.centroid_shift_sql(
+            "SELECT * FROM embeddings WHERE vec_id % 2 = 0",
+            "SELECT * FROM embeddings WHERE vec_id % 2 = 1",
         ),
         "bt_ratings": bt_ratings_sql(
             f"""

@@ -1340,3 +1340,138 @@ def pq_distortion_sweep_sql(
                AS mean_distortion
       FROM pv GROUP BY m
     """
+
+
+def centroid_shift(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Embedding-space drift between two corpus snapshots: per label,
+    how far did the class centroid MOVE? The monitor an embedding
+    pipeline runs when the encoder, the corpus, or the upstream filters
+    change — length histograms (``drift.py``) see none of it.
+
+    Exactness discipline: vectors integer-quantize at ``scale`` (the
+    ANN family's rule), per-(label, dim) component sums are exact
+    BIGINTs, and the squared centroid distance is kept as the exact
+    INTEGER cross-multiplied form — ‖μ_old − μ_new‖² over dims d is
+    Σ_d (s_old·n_new − s_new·n_old)² / (n_old·n_new·scale)² — whose
+    numerator is summed in DECIMAL(38,0) (each term can reach ~10²¹,
+    past BIGINT but far under decimal-38; addition stays exact and
+    order-independent). ``shift2_num`` is that exact numerator;
+    ``shift`` is the one float — √numerator ÷ (n_old·n_new·scale),
+    rounded 9 (both engines convert the SAME integer to double, so the
+    rounding is bit-identical). Labels present in only one snapshot get
+    NULL shift (no centroid to compare).
+
+    Scale: one posexplode → (label, dim)-keyed partial agg (grid =
+    labels × dims, corpus never joins corpus), then a labels-sized
+    projection. NULL labels raise via the same contract as
+    contrastive_topk.
+    """
+    def side(df, tag):
+        if df.filter(F.col(label_col).isNull()).limit(1).count():
+            raise ValueError("centroid_shift: NULL label")
+        iq = df.select(
+            F.col(label_col).alias("lbl"),
+            F.posexplode(_int_quantize_expr(vec_col, scale)).alias(
+                "dim", "v"
+            ),
+        )
+        return iq.groupBy("lbl", "dim").agg(
+            F.sum("v").cast("long").alias(f"s_{tag}"),
+            F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
+        )
+    a = side(old, "old")
+    b = side(new, "new")
+    j = a.join(b, ["lbl", "dim"], "full_outer")
+    term = (
+        F.col("s_old").cast("decimal(38,0)") * F.col("n_new")
+        - F.col("s_new").cast("decimal(38,0)") * F.col("n_old")
+    )
+    per_label = j.groupBy("lbl").agg(
+        F.max("n_old").alias("n_old_v"),
+        F.max("n_new").alias("n_new_v"),
+        F.sum(term * term).alias("num"),
+    )
+    denom = (
+        F.col("n_old_v").cast("double")
+        * F.col("n_new_v").cast("double")
+        * F.lit(float(scale))
+    )
+    return per_label.select(
+        F.col("lbl").alias(label_col),
+        F.coalesce(F.col("n_old_v").cast("long"), F.lit(0)).alias(
+            "n_old"
+        ),
+        F.coalesce(F.col("n_new_v").cast("long"), F.lit(0)).alias("n_new"),
+        F.when(
+            F.col("n_old_v").isNotNull() & F.col("n_new_v").isNotNull(),
+            F.col("num").cast("decimal(38,0)"),
+        ).alias("shift2_num"),
+        F.when(
+            F.col("n_old_v").isNotNull() & F.col("n_new_v").isNotNull(),
+            F.round(
+                F.sqrt(F.col("num").cast("double")) / denom, 9
+            ),
+        ).alias("shift"),
+    )
+
+
+def centroid_shift_sql(
+    old_table: str,
+    new_table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 10**6,
+) -> str:
+    """DuckDB twin of :func:`centroid_shift` (unnest WITH ORDINALITY;
+    the same round-then-cast quantization; DECIMAL(38,0) numerator)."""
+    q = (
+        f"CAST(round(CAST(t.{vec_col}[g.d] AS DOUBLE) * {float(scale)}, 0) "
+        "AS BIGINT)"
+    )
+
+    def side(table, tag):
+        return f"""
+        SELECT {label_col} AS lbl, g.d - 1 AS dim,
+               CAST(sum({q}) AS BIGINT) AS s_{tag},
+               CAST(count(*) AS BIGINT) AS n_{tag}
+        FROM ({table}) t,
+             LATERAL (SELECT unnest(generate_series(
+                        1, len(t.{vec_col}))) AS d) g
+        GROUP BY 1, 2
+        """
+
+    return f"""
+      WITH a AS ({side(old_table, 'old')}),
+      b AS ({side(new_table, 'new')}),
+      j AS (
+        SELECT coalesce(a.lbl, b.lbl) AS lbl,
+               coalesce(a.dim, b.dim) AS dim,
+               a.s_old, a.n_old, b.s_new, b.n_new
+        FROM a FULL OUTER JOIN b
+          ON a.lbl = b.lbl AND a.dim = b.dim),
+      per AS (
+        SELECT lbl, max(n_old) AS n_old_v, max(n_new) AS n_new_v,
+               sum((CAST(s_old AS DECIMAL(38,0)) * n_new
+                    - CAST(s_new AS DECIMAL(38,0)) * n_old)
+                   * (CAST(s_old AS DECIMAL(38,0)) * n_new
+                      - CAST(s_new AS DECIMAL(38,0)) * n_old)) AS num
+        FROM j GROUP BY lbl)
+      SELECT lbl AS {label_col},
+             CAST(coalesce(n_old_v, 0) AS BIGINT) AS n_old,
+             CAST(coalesce(n_new_v, 0) AS BIGINT) AS n_new,
+             CASE WHEN n_old_v IS NOT NULL AND n_new_v IS NOT NULL
+                  THEN CAST(num AS DECIMAL(38,0)) END AS shift2_num,
+             CASE WHEN n_old_v IS NOT NULL AND n_new_v IS NOT NULL
+                  THEN round(sqrt(CAST(num AS DOUBLE))
+                       / (CAST(n_old_v AS DOUBLE) * n_new_v
+                          * {float(scale)}), 9) END AS shift
+      FROM per
+    """

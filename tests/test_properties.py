@@ -448,3 +448,39 @@ def test_sft_spans_tile_for_any_length(spark, n_words, doc_id):
         for i in range(k)
         if i % 2 == 1
     )
+
+
+# ------------------------------------------------------- bt_fixpoint ----
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    games=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=1, max_value=5),
+        ),
+        max_size=12,
+    ),
+    split=st.integers(min_value=1, max_value=4),
+)
+def test_bt_fixpoint_grid_aggregation_invariance(games, split):
+    """The fixpoint is a function of the AGGREGATED win grid: splitting
+    any (winner, loser) count into multiple grid entries, or permuting
+    the grid, changes nothing (the property that makes the streaming
+    monitor's additive state exact)."""
+    from bistro_spark.operators.preference import bt_fixpoint
+
+    grid = [(f"i{a}", f"i{b}", n) for a, b, n in games if a != b]
+    if not grid:
+        return
+    base = bt_fixpoint(grid, iters=7)
+    shattered = []
+    for a, b, n in grid:
+        q, r = divmod(n, split)
+        shattered.extend([(a, b, q)] * split if q else [])
+        if r:
+            shattered.append((a, b, r))
+    shattered = [(a, b, n) for a, b, n in shattered if n > 0]
+    assert bt_fixpoint(list(reversed(shattered)), iters=7) == base

@@ -525,3 +525,83 @@ def test_quantize_embeddings_hand_values_and_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+# --------------------------------------------------------- centroid_shift --
+
+
+def test_centroid_shift_brute_and_edges(spark):
+    """Exact numerator recomputed in pure Python ints; identical
+    snapshots shift 0; a label present on one side only gets NULL."""
+    from bistro_spark.operators.similarity import centroid_shift
+
+    old = [
+        (1, [0.5, 0.0], 1),
+        (2, [1.0, 1.0], 1),
+        (3, [0.25, -0.5], 2),
+        (7, [0.1, 0.2], 3),  # label 3 only in old
+    ]
+    new = [
+        (4, [0.75, 0.5], 1),
+        (5, [0.0, 0.0], 2),
+        (6, [0.5, -1.0], 2),
+    ]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r["label"]: r for r in centroid_shift(mk(old), mk(new)).collect()}
+    S = 10**6
+
+    def q(v):
+        import decimal
+
+        return int(
+            decimal.Decimal(float(v) * S).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    for lbl in (1, 2):
+        o = [v for _i, v, l in old if l == lbl]
+        n = [v for _i, v, l in new if l == lbl]
+        no, nn = len(o), len(n)
+        num = sum(
+            (
+                sum(q(v[d]) for v in o) * nn
+                - sum(q(v[d]) for v in n) * no
+            )
+            ** 2
+            for d in range(2)
+        )
+        r = got[lbl]
+        assert (r["n_old"], r["n_new"]) == (no, nn)
+        assert int(r["shift2_num"]) == num
+        assert r["shift"] == round(num**0.5 / (no * nn * S), 9)
+    r3 = got[3]
+    assert (r3["n_old"], r3["n_new"]) == (1, 0)
+    assert r3["shift2_num"] is None and r3["shift"] is None
+    # identical snapshots: zero shift everywhere
+    same = {
+        r["label"]: r
+        for r in centroid_shift(mk(old), mk(old)).collect()
+    }
+    assert all(int(r["shift2_num"]) == 0 and r["shift"] == 0.0
+               for r in same.values())
+
+
+def test_centroid_shift_null_label_raises(spark):
+    import pytest as _pytest
+
+    from bistro_spark.operators.similarity import centroid_shift
+
+    bad = spark.createDataFrame(
+        [(1, [0.1], None)], "vec_id long, embedding array<float>, label int"
+    )
+    ok = spark.createDataFrame(
+        [(2, [0.1], 1)], "vec_id long, embedding array<float>, label int"
+    )
+    with _pytest.raises(ValueError, match="NULL label"):
+        centroid_shift(bad, ok)
+    with _pytest.raises(ValueError, match="NULL label"):
+        centroid_shift(ok, bad)
