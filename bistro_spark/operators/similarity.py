@@ -1376,28 +1376,39 @@ def centroid_shift(
     def side(df, tag):
         if df.filter(F.col(label_col).isNull()).limit(1).count():
             raise ValueError("centroid_shift: NULL label")
-        iq = df.select(
+        return df.select(
             F.col(label_col).alias("lbl"),
+            F.lit(tag).alias("t"),
             F.posexplode(_int_quantize_expr(vec_col, scale)).alias(
                 "dim", "v"
             ),
         )
-        return iq.groupBy("lbl", "dim").agg(
-            F.sum("v").cast("long").alias(f"s_{tag}"),
-            F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
-        )
-    a = side(old, "old")
-    b = side(new, "new")
-    j = a.join(b, ["lbl", "dim"], "full_outer")
+
+    u = side(old, 0).unionByName(side(new, 1))
+    grid = u.groupBy("lbl", "dim").agg(
+        F.sum(F.when(F.col("t") == 0, F.col("v"))).cast("long").alias(
+            "s_old"
+        ),
+        F.sum(F.when(F.col("t") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_old"),
+        F.sum(F.when(F.col("t") == 1, F.col("v"))).cast("long").alias(
+            "s_new"
+        ),
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+    )
     term = (
         F.col("s_old").cast("decimal(38,0)") * F.col("n_new")
         - F.col("s_new").cast("decimal(38,0)") * F.col("n_old")
     )
-    per_label = j.groupBy("lbl").agg(
+    per_label = grid.groupBy("lbl").agg(
         F.max("n_old").alias("n_old_v"),
         F.max("n_new").alias("n_new_v"),
         F.sum(term * term).alias("num"),
     )
+    both = (F.col("n_old_v") > 0) & (F.col("n_new_v") > 0)
     denom = (
         F.col("n_old_v").cast("double")
         * F.col("n_new_v").cast("double")
@@ -1405,19 +1416,14 @@ def centroid_shift(
     )
     return per_label.select(
         F.col("lbl").alias(label_col),
-        F.coalesce(F.col("n_old_v").cast("long"), F.lit(0)).alias(
-            "n_old"
+        F.col("n_old_v").cast("long").alias("n_old"),
+        F.col("n_new_v").cast("long").alias("n_new"),
+        F.when(both, F.col("num").cast("decimal(38,0)")).alias(
+            "shift2_num"
         ),
-        F.coalesce(F.col("n_new_v").cast("long"), F.lit(0)).alias("n_new"),
         F.when(
-            F.col("n_old_v").isNotNull() & F.col("n_new_v").isNotNull(),
-            F.col("num").cast("decimal(38,0)"),
-        ).alias("shift2_num"),
-        F.when(
-            F.col("n_old_v").isNotNull() & F.col("n_new_v").isNotNull(),
-            F.round(
-                F.sqrt(F.col("num").cast("double")) / denom, 9
-            ),
+            both,
+            F.round(F.sqrt(F.col("num").cast("double")) / denom, 9),
         ).alias("shift"),
     )
 
