@@ -2664,39 +2664,12 @@ def q_bt_ratings(spark: SparkSession, sf: str) -> DataFrame:
     20-round result is bit-identical on any engine or cluster shape.
     Distributed items² win grid in one shuffle; driver fixpoint on the
     tiny matrix (the PQ-codebook pattern)."""
-    from bistro_spark.operators.preference import (
-        bt_ratings,
-        preference_pairs,
-    )
+    from bistro_spark.operators.preference import bt_ratings
 
-    docs = load_table(spark, "documents", sf).select("doc_id", "source")
     # prompt groups of 5 CONSECUTIVE docs: source is doc_id%20-periodic
     # in the testdata, so the %100 grouping would make every game a
     # self-game — DIV 5 groups mix sources by construction
-    cands = load_table(spark, "documents", sf).select(
-        (F.col("doc_id") / 5).cast("long").alias("prompt_id"),
-        F.col("doc_id").alias("cand_id"),
-        F.col("n_chars").alias("reward"),
-    )
-    pp = preference_pairs(cands)
-    games = (
-        pp.join(
-            docs.select(
-                F.col("doc_id").alias("chosen"),
-                F.col("source").alias("winner"),
-            ),
-            "chosen",
-        )
-        .join(
-            docs.select(
-                F.col("doc_id").alias("rejected"),
-                F.col("source").alias("loser"),
-            ),
-            "rejected",
-        )
-        .filter(F.col("winner") != F.col("loser"))
-    )
-    return bt_ratings(games)
+    return bt_ratings(_source_games(spark, sf))
 
 
 def q_centroid_shift(spark: SparkSession, sf: str) -> DataFrame:
@@ -2711,6 +2684,58 @@ def q_centroid_shift(spark: SparkSession, sf: str) -> DataFrame:
     return centroid_shift(
         emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1")
     )
+
+
+def _source_games(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-vs-source head-to-heads from the DIV-5 preference pairs
+    (shared by bt_ratings and win_rate_matrix — a real eval pipeline
+    derives both artifacts from ONE game log)."""
+    from bistro_spark.operators.preference import preference_pairs
+
+    docs = load_table(spark, "documents", sf).select("doc_id", "source")
+    cands = load_table(spark, "documents", sf).select(
+        (F.col("doc_id") / 5).cast("long").alias("prompt_id"),
+        F.col("doc_id").alias("cand_id"),
+        F.col("n_chars").alias("reward"),
+    )
+    return (
+        preference_pairs(cands)
+        .join(
+            docs.select(
+                F.col("doc_id").alias("chosen"),
+                F.col("source").alias("winner"),
+            ),
+            "chosen",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("rejected"),
+                F.col("source").alias("loser"),
+            ),
+            "rejected",
+        )
+        .filter(F.col("winner") != F.col("loser"))
+        .select("winner", "loser")
+    )
+
+
+_SOURCE_GAMES_SQL = """
+    SELECT dw.source AS winner, dl.source AS loser
+    FROM ({pairs}) pp
+    JOIN documents dw ON dw.doc_id = pp.chosen
+    JOIN documents dl ON dl.doc_id = pp.rejected
+    WHERE dw.source <> dl.source
+"""
+
+
+def q_win_rate_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """The head-to-head matrix behind bt_ratings: per unordered source
+    pair, games + per-side wins + exact-ppm win rate — the dashboard
+    artifact where non-transitivity (invisible in the 1-D leaderboard)
+    shows up. One projection + one items²-bounded partial agg."""
+    from bistro_spark.operators.preference import win_rate_matrix
+
+    return win_rate_matrix(_source_games(spark, sf))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2728,6 +2753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pipeline": q_preference_pipeline,
         "bt_ratings": q_bt_ratings,
         "centroid_shift": q_centroid_shift,
+        "win_rate_matrix": q_win_rate_matrix,
         "chunk_read_plan": q_chunk_read_plan,
         "fim_spans": q_fim_spans,
         "ann_l2_topk": q_ann_l2_topk,
@@ -3033,6 +3059,7 @@ def oracle_sql() -> dict[str, str]:
     from bistro_spark.operators.preference import (
         bt_ratings_sql,
         preference_pipeline_sql,
+        win_rate_matrix_sql,
     )
 
     return {
@@ -3056,16 +3083,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT * FROM embeddings WHERE vec_id % 2 = 1",
         ),
         "bt_ratings": bt_ratings_sql(
-            f"""
-            SELECT dw.source AS winner, dl.source AS loser
-            FROM ({preference_pairs_sql(
-                "SELECT doc_id // 5 AS prompt_id, doc_id AS cand_id, "
-                "n_chars AS reward FROM documents"
-            )}) pp
-            JOIN documents dw ON dw.doc_id = pp.chosen
-            JOIN documents dl ON dl.doc_id = pp.rejected
-            WHERE dw.source <> dl.source
-            """
+            _SOURCE_GAMES_SQL.format(
+                pairs=preference_pairs_sql(
+                    "SELECT doc_id // 5 AS prompt_id, doc_id AS cand_id,"
+                    " n_chars AS reward FROM documents"
+                )
+            )
+        ),
+        "win_rate_matrix": win_rate_matrix_sql(
+            _SOURCE_GAMES_SQL.format(
+                pairs=preference_pairs_sql(
+                    "SELECT doc_id // 5 AS prompt_id, doc_id AS cand_id,"
+                    " n_chars AS reward FROM documents"
+                )
+            )
         ),
         "batching_strategy_report": _curation.batching_strategy_report_sql(
             "SELECT doc_id, len(string_split(text, ' ')) AS n_tok "

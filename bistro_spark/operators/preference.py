@@ -597,3 +597,70 @@ def bt_ratings_sql(
       LEFT JOIN l ON l.i = p.i
     """
     )
+
+
+def win_rate_matrix(
+    pairs: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+) -> DataFrame:
+    """The head-to-head matrix behind :func:`bt_ratings` — what an eval
+    dashboard actually renders: per UNORDERED item pair (item_lo ≤
+    item_hi), total games, wins from each side, and item_lo's win rate
+    in exact integer parts-per-million (wins_lo·10⁶ DIV games — no
+    float, no cross-engine ties). A pair a rating can't explain (a low-
+    rated item dominating one specific opponent — non-transitivity) is
+    visible here and invisible in the 1-D leaderboard.
+
+    Scale: one map-side normalization (lo/hi ordering is a projection)
+    + one items²-bounded partial-agg shuffle. Self-games raise, as in
+    the ratings operator."""
+    if pairs.filter(
+        F.col(winner_col) == F.col(loser_col)
+    ).limit(1).count():
+        raise ValueError("win_rate_matrix: self-game (winner == loser)")
+    norm = pairs.select(
+        F.least(winner_col, loser_col).alias("item_lo"),
+        F.greatest(winner_col, loser_col).alias("item_hi"),
+        (F.col(winner_col) == F.least(winner_col, loser_col))
+        .cast("long")
+        .alias("_lo_won"),
+    )
+    return (
+        norm.groupBy("item_lo", "item_hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("games"),
+            F.sum("_lo_won").cast("long").alias("wins_lo"),
+        )
+        .withColumn(
+            "wins_hi", (F.col("games") - F.col("wins_lo")).cast("long")
+        )
+        .withColumn(
+            "win_rate_lo_ppm",
+            F.expr("(wins_lo * 1000000) DIV games").cast("long"),
+        )
+    )
+
+
+def win_rate_matrix_sql(
+    pairs_table: str,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+) -> str:
+    """DuckDB twin (same lo/hi normalization and integer ppm)."""
+    return f"""
+      WITH n AS (
+        SELECT least({winner_col}, {loser_col}) AS item_lo,
+               greatest({winner_col}, {loser_col}) AS item_hi,
+               CASE WHEN {winner_col} =
+                         least({winner_col}, {loser_col})
+                    THEN 1 ELSE 0 END AS lo_won
+        FROM ({pairs_table}))
+      SELECT item_lo, item_hi,
+             CAST(count(*) AS BIGINT) AS games,
+             CAST(sum(lo_won) AS BIGINT) AS wins_lo,
+             CAST(count(*) - sum(lo_won) AS BIGINT) AS wins_hi,
+             CAST((sum(lo_won) * 1000000) // count(*) AS BIGINT)
+               AS win_rate_lo_ppm
+      FROM n GROUP BY item_lo, item_hi
+    """

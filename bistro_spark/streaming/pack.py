@@ -608,3 +608,128 @@ def streaming_sft_gate(
     return sft_turn_spans(
         stream_df, id_col, text_col, user_tok=user_tok, asst_tok=asst_tok
     )
+
+
+class StreamingSftPackMonitor:
+    """The live end of the SFT chain: documents arrive → each delta is
+    rendered to its dialog stats by the zero-shuffle closed form
+    (``trainprep.sft_doc_stats`` — pure projection, stream-safe) →
+    dialogs pack WHOLE through a :class:`StreamingPacker` keyed on the
+    rendered length → per-(shard, pack) LOSS-BEARING token counters
+    update additively, and :meth:`report` rebuilds the batch
+    ``sft_pack_manifest`` rows (fracs computed by the ENGINE with the
+    batch expressions, so rows hash-match).
+
+    Parity contract (pytest-pinned): under id-monotone arrival per
+    shard, the report EQUALS batch ``sft_pack_manifest`` over
+    everything seen — inherited from the packer's cursor argument (an
+    emitted assignment never moves, so per-pack sums are append-only)
+    plus the stats projection's row-locality. Out-of-id-order arrival
+    diverges by the packer's own pinned counter-example. State is the
+    packer's n_shards cursor pairs + one integer triple per pack —
+    pack-count-bounded (= corpus tokens ÷ capacity), the same
+    cardinality the batch report itself emits.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        capacity: int = 256,
+        n_shards: int = 4,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.spark = spark
+        self.capacity = int(capacity)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.packer = StreamingPacker(
+            spark,
+            capacity=capacity,
+            n_shards=n_shards,
+            id_col=id_col,
+            len_col="n_out",
+        )
+        # (shard, pack_id) -> [n_seqs, payload, supervised]
+        self._packs: dict = {}
+        self.batches_seen = 0
+
+    # ------------------------------------------------------- recovery --
+    def state_snapshot(self) -> dict:
+        return {
+            "packer": {
+                str(k): list(v)
+                for k, v in self.packer.state_snapshot().items()
+            },
+            "packs": {
+                f"{s}|{p}": list(v) for (s, p), v in self._packs.items()
+            },
+        }
+
+    def restore_state(self, snapshot: dict) -> None:
+        self.packer.restore_state(
+            {int(k): tuple(v) for k, v in snapshot["packer"].items()}
+        )
+        self._packs = {}
+        for key, v in snapshot["packs"].items():
+            s, p = key.split("|")
+            self._packs[(int(s), int(p))] = [int(x) for x in v]
+
+    # ---------------------------------------------------------- fold --
+    def process_batch(self, batch_df: DataFrame) -> int:
+        """Render → pack → account one trigger's documents; returns the
+        number of pack cells touched."""
+        from bistro_spark.operators.trainprep import sft_doc_stats
+
+        self.batches_seen += 1
+        stats = sft_doc_stats(
+            batch_df, id_col=self.id_col, text_col=self.text_col
+        )
+        assigned = self.packer.process_batch(stats)
+        rows = (
+            assigned.join(
+                stats.select(self.id_col, "n_supervised"), self.id_col
+            )
+            .groupBy("shard", "pack_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("len").cast("long").alias("pl"),
+                F.sum("n_supervised").cast("long").alias("sup"),
+            )
+            .collect()
+        )
+        for r in rows:
+            c = self._packs.setdefault((r["shard"], r["pack_id"]), [0, 0, 0])
+            c[0] += r["n"]
+            c[1] += r["pl"]
+            c[2] += r["sup"]
+        return len(rows)
+
+    # --------------------------------------------------------- report --
+    def report(self) -> DataFrame:
+        """The live manifest — columns and rows exactly as batch
+        ``sft_pack_manifest`` emits them."""
+        rows = [
+            (s, p, n, pl, sup)
+            for (s, p), (n, pl, sup) in self._packs.items()
+        ]
+        df = self.spark.createDataFrame(
+            rows,
+            "shard int, pack_id long, n_seqs long, payload_tokens long, "
+            "supervised_tokens long",
+        )
+        return df.withColumn(
+            "fill_frac",
+            F.round(
+                F.col("payload_tokens") / F.lit(self.capacity), 6
+            ),
+        ).withColumn(
+            "supervised_frac",
+            F.round(
+                F.when(
+                    F.col("payload_tokens") > 0,
+                    F.col("supervised_tokens") / F.col("payload_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )

@@ -654,3 +654,52 @@ def test_bt_ratings_sql_twin_synthetic(spark):
     ratings = {t[0]: t[3] for t in got}
     assert ratings["D"] == 0  # winless item: the documented 0 fixpoint
     assert max(ratings, key=lambda i: ratings[i]) == "A"
+
+
+# -------------------------------------------------------- win_rate_matrix --
+
+
+def test_win_rate_matrix_known_values_and_twin(spark):
+    from bistro_spark.operators.preference import (
+        win_rate_matrix,
+        win_rate_matrix_sql,
+    )
+
+    games = [("A", "B"), ("A", "B"), ("B", "A"), ("C", "A"), ("B", "C")]
+    df = spark.createDataFrame(games, "winner string, loser string")
+    got = {
+        (r["item_lo"], r["item_hi"]): (
+            r["games"],
+            r["wins_lo"],
+            r["wins_hi"],
+            r["win_rate_lo_ppm"],
+        )
+        for r in win_rate_matrix(df).collect()
+    }
+    assert got == {
+        ("A", "B"): (3, 2, 1, 666666),
+        ("A", "C"): (1, 0, 1, 0),
+        ("B", "C"): (1, 1, 0, 1000000),
+    }
+    # consistency with bt wins: per-item wins = sum over its pairs
+    wins_a = sum(
+        v[1] if k[0] == "A" else v[2]
+        for k, v in got.items()
+        if "A" in k
+    )
+    assert wins_a == sum(1 for w, _l in games if w == "A")
+    with pytest.raises(ValueError, match="self-game"):
+        win_rate_matrix(
+            spark.createDataFrame(
+                [("A", "A")], "winner string, loser string"
+            )
+        )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE gm (winner VARCHAR, loser VARCHAR)")
+    con.executemany("INSERT INTO gm VALUES (?, ?)", games)
+    duck = sorted(
+        con.execute(
+            win_rate_matrix_sql("SELECT winner, loser FROM gm")
+        ).fetchall()
+    )
+    assert sorted(tuple(r) for r in win_rate_matrix(df).collect()) == duck

@@ -279,3 +279,42 @@ def test_streaming_sft_gate_on_real_stream(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
     want = sorted(tuple(r) for r in sft_turn_spans(docs).collect())
     assert got == want
+
+
+# ------------------------------------------------- SFT pack monitor --
+
+
+def test_sft_pack_monitor_id_monotone_parity_and_resume(spark):
+    """Id-monotone arrival: the live report equals batch
+    sft_pack_manifest over everything seen at EVERY trigger; JSON
+    kill/resume resumes both the cursor and the counters exactly."""
+    import json as _json
+
+    from bistro_spark.operators.trainprep import sft_pack_manifest
+    from bistro_spark.streaming.pack import StreamingSftPackMonitor
+
+    docs = spark.read.parquet(DOCS).select("doc_id", "text")
+    cuts = [0, 150, 320, 10**9]
+    mon = StreamingSftPackMonitor(spark, capacity=64)
+    for i, (lo, hi) in enumerate(zip(cuts, cuts[1:])):
+        delta = docs.filter(f"doc_id >= {lo} AND doc_id < {hi}")
+        mon.process_batch(delta)
+        seen = docs.filter(f"doc_id < {hi}")
+        got = sorted(tuple(r) for r in mon.report().collect())
+        want = sorted(
+            tuple(r)
+            for r in sft_pack_manifest(seen, capacity=64).collect()
+        )
+        assert got == want, f"trigger {i}"
+        if i == 0:
+            snap = _json.loads(_json.dumps(mon.state_snapshot()))
+    # resume from the first trigger's snapshot and replay the rest
+    mon2 = StreamingSftPackMonitor(spark, capacity=64)
+    mon2.restore_state(snap)
+    for lo, hi in zip(cuts[1:], cuts[2:]):
+        mon2.process_batch(
+            docs.filter(f"doc_id >= {lo} AND doc_id < {hi}")
+        )
+    assert sorted(tuple(r) for r in mon2.report().collect()) == sorted(
+        tuple(r) for r in sft_pack_manifest(docs, capacity=64).collect()
+    )
