@@ -2738,6 +2738,20 @@ def q_win_rate_matrix(spark: SparkSession, sf: str) -> DataFrame:
     return win_rate_matrix(_source_games(spark, sf))
 
 
+def q_sft_export_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """The ship-it end of the SFT chain: the Megatron .bin/.idx export
+    layout over RENDERED dialog lengths (sft_doc_stats' zero-shuffle
+    n_out, which includes the role sentinels) — byte offsets a writer
+    job streams to in parallel; one per-shard prefix-sum window on top
+    of a pure projection."""
+    from bistro_spark.operators.curation import binidx_manifest
+
+    return binidx_manifest(
+        _trainprep.sft_doc_stats(load_table(spark, "documents", sf)),
+        len_col="n_out",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sft_turn_spans": q_sft_turn_spans,
@@ -2754,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bt_ratings": q_bt_ratings,
         "centroid_shift": q_centroid_shift,
         "win_rate_matrix": q_win_rate_matrix,
+        "sft_export_manifest": q_sft_export_manifest,
         "chunk_read_plan": q_chunk_read_plan,
         "fim_spans": q_fim_spans,
         "ann_l2_topk": q_ann_l2_topk,
@@ -3089,6 +3104,10 @@ def oracle_sql() -> dict[str, str]:
                     " n_chars AS reward FROM documents"
                 )
             )
+        ),
+        "sft_export_manifest": _curation.binidx_manifest_sql(
+            "(" + _trainprep._sft_stats_sql("documents") + ")",
+            len_expr="n_out",
         ),
         "win_rate_matrix": win_rate_matrix_sql(
             _SOURCE_GAMES_SQL.format(

@@ -90,6 +90,28 @@ class StreamingBTMonitor:
         return added
 
     # --------------------------------------------------------- report --
+    def win_matrix(self) -> DataFrame:
+        """The live head-to-head matrix — columns and rows exactly as
+        batch ``preference.win_rate_matrix`` emits them. The monitor's
+        grid IS the matrix's sufficient statistic, so this is a pure
+        driver-side reshape: per unordered pair, merge both directed
+        counts and emit the exact-ppm lo-side win rate."""
+        cells: dict = {}
+        for (a, b), n in self._grid.items():
+            lo, hi = (a, b) if a <= b else (b, a)
+            g, wl = cells.get((lo, hi), (0, 0))
+            cells[(lo, hi)] = (g + n, wl + (n if a == lo else 0))
+        rows = [
+            (lo, hi, g, wl, g - wl, (wl * 1_000_000) // g)
+            for (lo, hi), (g, wl) in cells.items()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            f"item_lo {self.item_type}, item_hi {self.item_type}, "
+            "games long, wins_lo long, wins_hi long, "
+            "win_rate_lo_ppm long",
+        )
+
     def ratings(self) -> DataFrame:
         """The live leaderboard — columns and rows exactly as batch
         ``bt_ratings`` emits them (shared fixpoint code path)."""

@@ -703,3 +703,33 @@ def test_win_rate_matrix_known_values_and_twin(spark):
         ).fetchall()
     )
     assert sorted(tuple(r) for r in win_rate_matrix(df).collect()) == duck
+
+
+# ---------------------------------------------------- sft_export_manifest --
+
+
+def test_sft_export_manifest_consistency(spark):
+    """Byte offsets over RENDERED lengths: per shard, offsets are the
+    exact prefix sums of n_out*bpt in id order, and every doc's n_tokens
+    equals its dialog's n_out (sentinels included)."""
+    from bistro_spark.operators.curation import binidx_manifest
+    from bistro_spark.operators.trainprep import sft_doc_stats
+
+    docs = spark.read.parquet(DOCS)
+    stats = {
+        r["doc_id"]: r["n_out"]
+        for r in sft_doc_stats(docs).collect()
+    }
+    rows = binidx_manifest(sft_doc_stats(docs), len_col="n_out").collect()
+    by_shard: dict = {}
+    for r in rows:
+        assert r["n_tokens"] == stats[r["doc_id"]]
+        assert r["n_bytes"] == 2 * r["n_tokens"]
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for i, r in enumerate(members):
+            assert r["seq_index"] == i
+            assert r["byte_offset"] == off
+            off += r["n_bytes"]

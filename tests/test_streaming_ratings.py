@@ -9,7 +9,11 @@ import json
 import pytest
 from pyspark.sql import functions as F
 
-from bistro_spark.operators.preference import bt_ratings, preference_pairs
+from bistro_spark.operators.preference import (
+    bt_ratings,
+    preference_pairs,
+    win_rate_matrix,
+)
 from bistro_spark.streaming.ratings import StreamingBTMonitor
 
 DOCS = "/root/testdata/sf0.001/documents.parquet"
@@ -62,6 +66,9 @@ def test_any_order_parity_at_every_trigger(spark):
             mon.process_batch(delta.select("winner", "loser"))
             assert _sorted(mon.ratings()) == _sorted(
                 bt_ratings(seen.select("winner", "loser"))
+            )
+            assert _sorted(mon.win_matrix()) == _sorted(
+                win_rate_matrix(seen.select("winner", "loser"))
             )
 
 
