@@ -161,6 +161,41 @@ class StreamingPreferenceMiner:
             "rank long, n_cands long, norm_ppm long",
         )
 
+    def pipeline_pairs(self, min_gap: int = 1) -> DataFrame:
+        """The live end-to-end DPO set — columns and rows exactly as
+        batch ``preference.preference_pipeline`` emits them: prompts
+        whose best-vs-runner-up gap is below ``min_gap`` (or undefined)
+        are gated out, survivors emit best_vs_rest pairs with the
+        rejected candidate's exact-ppm rank position."""
+        rows = []
+        for p, m in self._cands.items():
+            if len(m) < 2:
+                continue
+            order = sorted(m.items(), key=lambda cr: (-cr[1], cr[0]))
+            (bc, br), (_sc, sr) = order[0], order[1]
+            if br - sr < min_gap:
+                continue
+            n = len(order)
+            for rk, (c, r) in enumerate(order, 1):
+                if c != bc and br - r >= self.min_margin:
+                    rows.append(
+                        (
+                            p,
+                            bc,
+                            c,
+                            br,
+                            r,
+                            br - r,
+                            ((rk - 1) * 1_000_000) // (n - 1),
+                        )
+                    )
+        return self.spark.createDataFrame(
+            rows,
+            f"{self.prompt_col} long, chosen long, rejected long, "
+            "chosen_reward long, rejected_reward long, margin long, "
+            "rejected_ppm long",
+        )
+
     def stats(self) -> DataFrame:
         """Live per-prompt signal audit — columns and rows exactly as
         batch ``preference_stats`` emits them."""

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from bistro_spark.operators.preference import (
     preference_pairs,
+    preference_pipeline,
     preference_stats,
     reward_normalize,
 )
@@ -49,6 +50,9 @@ def test_any_order_parity_at_every_trigger(spark):
             )
             assert _sorted(miner.normalized()) == _sorted(
                 reward_normalize(seen)
+            )
+            assert _sorted(miner.pipeline_pairs()) == _sorted(
+                preference_pipeline(seen)
             )
 
 
