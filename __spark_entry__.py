@@ -2752,6 +2752,27 @@ def q_sft_export_manifest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sft_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """The SFT dataset-card row per source: dialogs, turns, rendered /
+    supervised token totals, supervised fraction, mean turns — one
+    projection + one groups-sized partial agg off the same closed
+    forms as sft_doc_stats."""
+    return _trainprep.sft_corpus_stats(load_table(spark, "documents", sf))
+
+
+def q_pack_attention_cost(spark: SparkSession, sf: str) -> DataFrame:
+    """The quadratic bill packing changes: per pack, full-attention
+    payload² vs block-diagonal Σ len² and the exact-ppm savings — the
+    artifact that justifies shipping pack_segments masks at long
+    context. Packing kernel + ONE grid partial agg."""
+    from bistro_spark.operators.curation import pack_attention_cost
+
+    docs = load_table(spark, "documents", sf).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return pack_attention_cost(docs, len_col="n_tok", capacity=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sft_turn_spans": q_sft_turn_spans,
@@ -2769,6 +2790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_shift": q_centroid_shift,
         "win_rate_matrix": q_win_rate_matrix,
         "sft_export_manifest": q_sft_export_manifest,
+        "sft_corpus_stats": q_sft_corpus_stats,
+        "pack_attention_cost": q_pack_attention_cost,
         "chunk_read_plan": q_chunk_read_plan,
         "fim_spans": q_fim_spans,
         "ann_l2_topk": q_ann_l2_topk,
@@ -3104,6 +3127,12 @@ def oracle_sql() -> dict[str, str]:
                     " n_chars AS reward FROM documents"
                 )
             )
+        ),
+        "sft_corpus_stats": _trainprep.sft_corpus_stats_sql("documents"),
+        "pack_attention_cost": _curation.pack_attention_cost_sql(
+            "documents",
+            len_expr="len(string_split(text, ' '))",
+            capacity=256,
         ),
         "sft_export_manifest": _curation.binidx_manifest_sql(
             "(" + _trainprep._sft_stats_sql("documents") + ")",

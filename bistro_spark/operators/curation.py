@@ -4299,3 +4299,93 @@ def batching_strategy_report_sql(
                         ELSE 0.0 END, 6) AS waste_frac
       FROM u
     """
+
+
+# ----------------------------------------------- attention cost report ----
+
+
+def pack_attention_cost(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+    capacity: int = 256,
+    n_shards: int = 4,
+) -> DataFrame:
+    """The quadratic bill packing actually changes: per (shard, pack),
+    FULL attention over the concatenated buffer costs payload² token
+    pairs, while the block-diagonal mask ``pack_segments`` exists to
+    enable costs only Σ len_i² — this report puts both numbers and the
+    exact-ppm savings side by side, the sizing artifact that justifies
+    shipping segment masks at long context (savings grow with the
+    number of documents sharing a buffer). All integer: lengths are
+    capacity-bounded so payload² fits comfortably in BIGINT; the
+    savings ratio is exact integer ppm.
+
+    Scale: the packing kernel's own documented contract plus ONE grid
+    partial agg on (shard, pack_id); output is pack-count-sized.
+    """
+    packed = pack_sequences(
+        df,
+        id_col=id_col,
+        len_col=len_col,
+        capacity=capacity,
+        n_shards=n_shards,
+    )
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seqs"),
+            F.sum("len").cast("long").alias("payload_tokens"),
+            F.sum(F.col("len") * F.col("len")).cast("long").alias(
+                "block_cost"
+            ),
+        )
+        .withColumn(
+            "full_cost",
+            (F.col("payload_tokens") * F.col("payload_tokens")).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "savings_ppm",
+            F.when(
+                F.col("full_cost") > 0,
+                F.expr(
+                    "((full_cost - block_cost) * 1000000) DIV full_cost"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+
+
+def pack_attention_cost_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    len_expr: str = "len(string_split(text, ' '))",
+    capacity: int = 256,
+    n_shards: int = 4,
+) -> str:
+    """DuckDB twin: the recursive pack fold aggregated with the same
+    integer cost formulas."""
+    pack = pack_sequences_sql(
+        table=table,
+        id_col=id_col,
+        len_expr=len_expr,
+        capacity=capacity,
+        n_shards=n_shards,
+    )
+    return f"""
+      WITH pk AS ({pack})
+      SELECT shard, pack_id,
+             CAST(count(*) AS BIGINT) AS n_seqs,
+             CAST(sum(len) AS BIGINT) AS payload_tokens,
+             CAST(sum(len * len) AS BIGINT) AS block_cost,
+             CAST(sum(len) * sum(len) AS BIGINT) AS full_cost,
+             CAST(CASE WHEN sum(len) > 0
+                  THEN ((sum(len) * sum(len) - sum(len * len))
+                        * 1000000) // (sum(len) * sum(len))
+                  ELSE 0 END AS BIGINT) AS savings_ppm
+      FROM pk GROUP BY shard, pack_id
+    """

@@ -964,3 +964,98 @@ def sft_pack_manifest_sql(
       FROM pk JOIN st ON pk.{id_col} = st.{id_col}
       GROUP BY pk.shard, pk.pack_id
     """
+
+
+def sft_corpus_stats(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The SFT dataset-card row: per group, dialog count, total turns,
+    rendered/supervised token totals, the supervised fraction (how much
+    of the forward pass carries loss), and mean turns per dialog — the
+    audit a fine-tuning mix review starts from. All totals exact
+    BIGINTs off the same closed forms as :func:`sft_doc_stats`; the two
+    fractions are the only floats, rounded 6.
+
+    Scale: one projection + one partial-agg shuffle on the group key;
+    output is groups-sized."""
+    wrd = F.filter(
+        F.split(F.col(text_col), " "), lambda x: x != F.lit("")
+    )
+    d = df.select(
+        F.col(group_col).alias("_g"),
+        F.size(wrd).cast("long").alias("_n"),
+        (F.lit(2) + _h(id_col, ":turns") % 3).cast("long").alias("_k"),
+    )
+    n_sup = F.expr(
+        "CASE _k WHEN 2 THEN _n - (_n DIV 2) "
+        "WHEN 3 THEN ((2 * _n) DIV 3) - (_n DIV 3) "
+        "ELSE ((_n DIV 2) - (_n DIV 4)) + (_n - ((3 * _n) DIV 4)) END"
+    )
+    agg = d.select("_g", "_n", "_k", n_sup.alias("_s")).groupBy(
+        F.col("_g").alias(group_col)
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dialogs"),
+        F.sum("_k").cast("long").alias("n_turns"),
+        F.sum(F.col("_n") + F.col("_k")).cast("long").alias(
+            "payload_tokens"
+        ),
+        F.sum("_s").cast("long").alias("supervised_tokens"),
+    )
+    return agg.select(
+        group_col,
+        "n_dialogs",
+        "n_turns",
+        "payload_tokens",
+        "supervised_tokens",
+        F.round(
+            F.when(
+                F.col("payload_tokens") > 0,
+                F.col("supervised_tokens") / F.col("payload_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("supervised_frac"),
+        F.round(F.col("n_turns") / F.col("n_dialogs"), 6).alias(
+            "mean_turns"
+        ),
+    )
+
+
+def sft_corpus_stats_sql(
+    table: str = "documents",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`sft_corpus_stats`."""
+    h = (
+        f"CAST(concat('0x', substr(md5({id_col} || ':turns'), 1, 8)) "
+        "AS BIGINT)"
+    )
+    return f"""
+      WITH d AS (
+        SELECT {group_col} AS g,
+               len(list_filter(string_split({text_col}, ' '),
+                               x -> x <> '')) AS n,
+               2 + {h} % 3 AS k
+        FROM {table}),
+      s AS (
+        SELECT g, n, k,
+               CASE k WHEN 2 THEN n - n // 2
+                      WHEN 3 THEN (2 * n) // 3 - n // 3
+                      ELSE (n // 2 - n // 4) + (n - (3 * n) // 4)
+               END AS sup
+        FROM d)
+      SELECT g AS {group_col},
+             CAST(count(*) AS BIGINT) AS n_dialogs,
+             CAST(sum(k) AS BIGINT) AS n_turns,
+             CAST(sum(n + k) AS BIGINT) AS payload_tokens,
+             CAST(sum(sup) AS BIGINT) AS supervised_tokens,
+             round(CASE WHEN sum(n + k) > 0
+                        THEN sum(sup) / CAST(sum(n + k) AS DOUBLE)
+                        ELSE 0.0 END, 6) AS supervised_frac,
+             round(sum(k) / CAST(count(*) AS DOUBLE), 6) AS mean_turns
+      FROM s GROUP BY g
+    """

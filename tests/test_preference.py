@@ -733,3 +733,95 @@ def test_sft_export_manifest_consistency(spark):
             assert r["seq_index"] == i
             assert r["byte_offset"] == off
             off += r["n_bytes"]
+
+
+# ----------------------------------------------------- sft_corpus_stats --
+
+
+def test_sft_corpus_stats_consistency(spark):
+    """The card row equals aggregating sft_doc_stats + the per-doc turn
+    counts by hand."""
+    from bistro_spark.operators.trainprep import (
+        sft_corpus_stats,
+        sft_doc_stats,
+    )
+
+    docs = spark.read.parquet(DOCS)
+    per_doc = {
+        r["doc_id"]: (r["n_out"], r["n_supervised"])
+        for r in sft_doc_stats(docs).collect()
+    }
+    src = {
+        r["doc_id"]: r["source"]
+        for r in docs.select("doc_id", "source").collect()
+    }
+    want: dict = {}
+    for d, (n_out, sup) in per_doc.items():
+        k = 2 + (
+            int(
+                hashlib.md5(f"{d}:turns".encode()).hexdigest()[:8], 16
+            )
+            % 3
+        )
+        g = want.setdefault(src[d], [0, 0, 0, 0])
+        g[0] += 1
+        g[1] += k
+        g[2] += n_out
+        g[3] += sup
+    got = {r["source"]: r for r in sft_corpus_stats(docs).collect()}
+    assert set(got) == set(want)
+    for s_, (nd, nt, pl, sup) in want.items():
+        r = got[s_]
+        assert (
+            r["n_dialogs"],
+            r["n_turns"],
+            r["payload_tokens"],
+            r["supervised_tokens"],
+        ) == (nd, nt, pl, sup)
+        assert r["supervised_frac"] == round(sup / pl, 6)
+        assert r["mean_turns"] == round(nt / nd, 6)
+        # assistant turns carry roughly half the words: the frac sits
+        # strictly inside (0, 1) on any non-degenerate corpus
+        assert 0 < r["supervised_frac"] < 1
+
+
+# -------------------------------------------------- pack_attention_cost --
+
+
+def test_pack_attention_cost_consistency(spark):
+    """Costs recomputed from the real pack assignment; savings are 0
+    exactly for single-doc packs and positive otherwise."""
+    from bistro_spark.operators.curation import (
+        pack_attention_cost,
+        pack_sequences,
+    )
+    from pyspark.sql import functions as _F
+
+    docs = spark.read.parquet(DOCS).select(
+        "doc_id", _F.size(_F.split("text", " ")).alias("n_tok")
+    )
+    got = {
+        (r["shard"], r["pack_id"]): r
+        for r in pack_attention_cost(
+            docs, len_col="n_tok", capacity=128
+        ).collect()
+    }
+    packs: dict = {}
+    for r in pack_sequences(docs, len_col="n_tok", capacity=128).collect():
+        packs.setdefault((r["shard"], r["pack_id"]), []).append(r["len"])
+    assert set(got) == set(packs)
+    for key, lens in packs.items():
+        r = got[key]
+        payload, block = sum(lens), sum(v * v for v in lens)
+        full = payload * payload
+        assert (
+            r["n_seqs"],
+            r["payload_tokens"],
+            r["block_cost"],
+            r["full_cost"],
+        ) == (len(lens), payload, block, full)
+        assert r["savings_ppm"] == ((full - block) * 1_000_000) // full
+        if len(lens) == 1:
+            assert r["savings_ppm"] == 0
+        else:
+            assert r["savings_ppm"] > 0
