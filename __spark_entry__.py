@@ -2773,6 +2773,21 @@ def q_pack_attention_cost(spark: SparkSession, sf: str) -> DataFrame:
     return pack_attention_cost(docs, len_col="n_tok", capacity=256)
 
 
+def q_attention_cost_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """pack_attention_cost across candidate capacities in ONE corpus
+    pass: per (capacity, shard), block vs full attention cost and the
+    exact-ppm savings — the capacity-vs-attention tradeoff artifact
+    (tighter packing at larger capacity buys MORE segment-mask savings,
+    quadratically). applyInPandas replay per capacity over in-memory
+    length vectors; |capacities|×n_shards rows at any corpus size."""
+    from bistro_spark.operators.curation import attention_cost_sweep
+
+    docs = load_table(spark, "documents", sf).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return attention_cost_sweep(docs, capacities=(128, 256, 512))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sft_turn_spans": q_sft_turn_spans,
@@ -2792,6 +2807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_export_manifest": q_sft_export_manifest,
         "sft_corpus_stats": q_sft_corpus_stats,
         "pack_attention_cost": q_pack_attention_cost,
+        "attention_cost_sweep": q_attention_cost_sweep,
         "chunk_read_plan": q_chunk_read_plan,
         "fim_spans": q_fim_spans,
         "ann_l2_topk": q_ann_l2_topk,
@@ -3133,6 +3149,11 @@ def oracle_sql() -> dict[str, str]:
             "documents",
             len_expr="len(string_split(text, ' '))",
             capacity=256,
+        ),
+        "attention_cost_sweep": _curation.attention_cost_sweep_sql(
+            "documents",
+            capacities=(128, 256, 512),
+            len_expr="len(string_split(text, ' '))",
         ),
         "sft_export_manifest": _curation.binidx_manifest_sql(
             "(" + _trainprep._sft_stats_sql("documents") + ")",

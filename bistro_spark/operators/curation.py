@@ -4389,3 +4389,120 @@ def pack_attention_cost_sql(
                   ELSE 0 END AS BIGINT) AS savings_ppm
       FROM pk GROUP BY shard, pack_id
     """
+
+
+def attention_cost_sweep(
+    df: DataFrame,
+    capacities: tuple[int, ...] = (128, 256, 512, 1024),
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+    n_shards: int = 4,
+) -> DataFrame:
+    """:func:`pack_attention_cost` across candidate capacities in ONE
+    corpus pass — the capacity-vs-attention tradeoff artifact: a larger
+    capacity packs tighter (pack_capacity_sweep's fill side) but the
+    FULL-attention bill grows quadratically with the buffer, so the
+    block-diagonal savings of ``pack_segments`` masks grow with it too.
+    Per (capacity, shard): pack count, exact payload, block-diagonal
+    cost Σ len², full-attention cost Σ fill², and the exact-ppm
+    savings — the numbers that decide both the context length AND
+    whether segment masks are worth shipping at that length.
+
+    One ``applyInPandas`` kernel replays the greedy fold per capacity
+    over the shard's in-memory length vector (the pack_capacity_sweep
+    discipline: extra capacities cost numpy loops, never corpus
+    passes); output is |capacities| × n_shards rows at any corpus size,
+    all integer except nothing — even the savings is integer ppm."""
+    import pandas as pd
+
+    caps = tuple(int(c) for c in capacities)
+    src = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        F.col(len_col).cast("long").alias("len"),
+    )
+    schema = (
+        "capacity int, shard int, n_packs long, payload_tokens long, "
+        "block_cost long, full_cost long, savings_ppm long"
+    )
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        shard = int(pdf["shard"].iloc[0])
+        lens = pdf["len"].to_numpy()
+        out = []
+        for cap in caps:
+            fills, sqs = [], []
+            end = None
+            for ln in lens:
+                ln = int(ln)
+                if end is None or end + ln > cap:
+                    fills.append(ln)
+                    sqs.append(ln * ln)
+                    end = ln
+                else:
+                    fills[-1] += ln
+                    sqs[-1] += ln * ln
+                    end += ln
+            payload = int(sum(fills))
+            block = int(sum(sqs))
+            full = int(sum(f * f for f in fills))
+            ppm = ((full - block) * 1_000_000) // full if full else 0
+            out.append(
+                (cap, shard, len(fills), payload, block, full, ppm)
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "capacity",
+                "shard",
+                "n_packs",
+                "payload_tokens",
+                "block_cost",
+                "full_cost",
+                "savings_ppm",
+            ],
+        )
+
+    return src.groupBy("shard").applyInPandas(sweep, schema=schema)
+
+
+def attention_cost_sweep_sql(
+    table: str = "documents",
+    capacities: tuple[int, ...] = (128, 256, 512, 1024),
+    id_col: str = "doc_id",
+    len_expr: str = "len(string_split(text, ' '))",
+    n_shards: int = 4,
+) -> str:
+    """DuckDB twin: one recursive greedy fold per capacity (the
+    pack_capacity_sweep oracle discipline), per-pack costs aggregated
+    to the (capacity, shard) grid, UNION ALL'd."""
+    parts = []
+    for cap in capacities:
+        pack = pack_sequences_sql(
+            table=table,
+            id_col=id_col,
+            len_expr=len_expr,
+            capacity=int(cap),
+            n_shards=n_shards,
+        )
+        parts.append(
+            f"""
+          SELECT CAST({int(cap)} AS INTEGER) AS capacity,
+                 CAST(shard AS INTEGER) AS shard,
+                 CAST(count(*) AS BIGINT) AS n_packs,
+                 CAST(sum(pl) AS BIGINT) AS payload_tokens,
+                 CAST(sum(bc) AS BIGINT) AS block_cost,
+                 CAST(sum(pl * pl) AS BIGINT) AS full_cost,
+                 CAST(CASE WHEN sum(pl * pl) > 0
+                      THEN ((sum(pl * pl) - sum(bc)) * 1000000)
+                           // sum(pl * pl)
+                      ELSE 0 END AS BIGINT) AS savings_ppm
+          FROM (
+            SELECT shard, pack_id, sum(len) AS pl,
+                   sum(len * len) AS bc
+            FROM ({pack}) GROUP BY shard, pack_id)
+          GROUP BY shard
+        """
+        )
+    return " UNION ALL ".join(parts)

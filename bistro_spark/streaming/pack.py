@@ -733,3 +733,83 @@ class StreamingSftPackMonitor:
                 6,
             ),
         )
+
+
+class StreamingSftCardMonitor:
+    """The SFT dataset-card (``trainprep.sft_corpus_stats``) kept live:
+    every column is an additive integer sum per source (dialogs, turns,
+    rendered and supervised token totals), so the state is four BIGINTs
+    per group — groups-bounded, never stream-bounded — and each
+    trigger's delta reduces DISTRIBUTED-side through the batch
+    operator's own projection + partial agg. Plain addition is
+    commutative and associative: full-history parity with the batch
+    card is EXACT at every trigger in ANY arrival order (replay
+    protection belongs to the foreachBatch epoch guard, as with every
+    additive monitor). Report fractions are computed by the ENGINE with
+    the batch expressions, so rows hash-match verbatim."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        group_col: str = "source",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.spark = spark
+        self.group_col = group_col
+        self.id_col = id_col
+        self.text_col = text_col
+        # group -> [n_dialogs, n_turns, payload, supervised]
+        self._groups: dict = {}
+        self.batches_seen = 0
+
+    # ------------------------------------------------------- recovery --
+    def state_snapshot(self) -> dict:
+        return {str(g): list(v) for g, v in self._groups.items()}
+
+    def restore_state(self, snapshot: dict) -> None:
+        self._groups = {g: [int(x) for x in v] for g, v in snapshot.items()}
+
+    # ---------------------------------------------------------- fold --
+    def process_batch(self, batch_df: DataFrame) -> int:
+        from bistro_spark.operators.trainprep import sft_corpus_stats
+
+        self.batches_seen += 1
+        rows = sft_corpus_stats(
+            batch_df,
+            group_col=self.group_col,
+            id_col=self.id_col,
+            text_col=self.text_col,
+        ).collect()
+        for r in rows:
+            c = self._groups.setdefault(r[self.group_col], [0, 0, 0, 0])
+            c[0] += r["n_dialogs"]
+            c[1] += r["n_turns"]
+            c[2] += r["payload_tokens"]
+            c[3] += r["supervised_tokens"]
+        return len(rows)
+
+    # --------------------------------------------------------- report --
+    def report(self) -> DataFrame:
+        rows = [
+            (g, nd, nt, pl, sup)
+            for g, (nd, nt, pl, sup) in self._groups.items()
+        ]
+        df = self.spark.createDataFrame(
+            rows,
+            f"{self.group_col} string, n_dialogs long, n_turns long, "
+            "payload_tokens long, supervised_tokens long",
+        )
+        return df.withColumn(
+            "supervised_frac",
+            F.round(
+                F.when(
+                    F.col("payload_tokens") > 0,
+                    F.col("supervised_tokens") / F.col("payload_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        ).withColumn(
+            "mean_turns",
+            F.round(F.col("n_turns") / F.col("n_dialogs"), 6),
+        )

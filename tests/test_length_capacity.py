@@ -313,3 +313,53 @@ def test_bucketed_batches_no_streaming_twin_counterexample(spark):
     # the append reshuffled an EXISTING batch, not just added a new one
     assert after[(16, 0)] != before[(16, 0)] or after[(16, 1)] != before[(16, 1)]
     assert (16, 2) in after  # and the overflow batch appeared
+
+
+# ----------------------------------------------- attention_cost_sweep --
+
+
+def test_attention_cost_sweep_consistency(spark):
+    """Each (capacity, shard) row equals per-capacity
+    pack_attention_cost aggregated; savings grow monotonically with
+    capacity on this corpus (bigger buffers hold more docs)."""
+    from bistro_spark.operators.curation import (
+        attention_cost_sweep,
+        pack_attention_cost,
+    )
+
+    rows = [(i, (i * 37) % 90 + 1) for i in range(160)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    caps = (64, 128, 256)
+    got = {
+        (r["capacity"], r["shard"]): r
+        for r in attention_cost_sweep(df, capacities=caps).collect()
+    }
+    for cap in caps:
+        per_pack = pack_attention_cost(
+            df, len_col="n_tok", capacity=cap
+        ).collect()
+        agg: dict = {}
+        for r in per_pack:
+            a = agg.setdefault(r["shard"], [0, 0, 0, 0])
+            a[0] += 1
+            a[1] += r["payload_tokens"]
+            a[2] += r["block_cost"]
+            a[3] += r["full_cost"]
+        for shard, (np_, pl, bc, fc) in agg.items():
+            r = got[(cap, shard)]
+            assert (
+                r["n_packs"],
+                r["payload_tokens"],
+                r["block_cost"],
+                r["full_cost"],
+            ) == (np_, pl, bc, fc)
+            assert r["savings_ppm"] == ((fc - bc) * 1_000_000) // fc
+    # block cost is capacity-invariant (it is a property of the docs)
+    for shard in {s for _c, s in got}:
+        blocks = {got[(c, shard)]["block_cost"] for c in caps}
+        assert len(blocks) == 1
+        # and savings strictly grow with capacity on this corpus
+        s64, s128, s256 = (
+            got[(c, shard)]["savings_ppm"] for c in caps
+        )
+        assert s64 < s128 < s256

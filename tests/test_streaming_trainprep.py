@@ -318,3 +318,30 @@ def test_sft_pack_monitor_id_monotone_parity_and_resume(spark):
     assert sorted(tuple(r) for r in mon2.report().collect()) == sorted(
         tuple(r) for r in sft_pack_manifest(docs, capacity=64).collect()
     )
+
+
+def test_sft_card_monitor_any_order_parity(spark):
+    """Additive per-source card: EXACT any-order full-history parity
+    with batch sft_corpus_stats at every trigger; JSON kill/resume."""
+    import json as _json
+
+    from bistro_spark.operators.trainprep import sft_corpus_stats
+    from bistro_spark.streaming.pack import StreamingSftCardMonitor
+
+    docs = spark.read.parquet(DOCS)
+    for order in ([0, 1, 2], [2, 0, 1]):
+        mon = StreamingSftCardMonitor(spark)
+        seen = None
+        for part in order:
+            delta = docs.filter(f"doc_id % 3 = {part}")
+            seen = delta if seen is None else seen.union(delta)
+            mon.process_batch(delta)
+            assert sorted(tuple(r) for r in mon.report().collect()) == (
+                sorted(tuple(r) for r in sft_corpus_stats(seen).collect())
+            )
+    snap = _json.loads(_json.dumps(mon.state_snapshot()))
+    m2 = StreamingSftCardMonitor(spark)
+    m2.restore_state(snap)
+    assert sorted(tuple(r) for r in m2.report().collect()) == sorted(
+        tuple(r) for r in sft_corpus_stats(docs).collect()
+    )
